@@ -1,0 +1,267 @@
+"""Layered configuration — single config tree (file + env + overrides).
+
+Replaces the reference's *two* same-named ``VectorDbConfig`` types (config.rs:167-471
+and types.rs:949-998) with one layered system:
+
+    defaults  <  TOML file  <  environment (GRAPE_*)  <  explicit kwargs
+
+Defaults follow the reference's tables: vector_dimension=768 (config.rs:400),
+HNSW m=16 / ef_construction=200 / ef_search=100 (config.rs:167-192), hybrid weights
+0.7/0.2/0.1 with RRF k=60 (config.rs:113-138), sparse vocabulary 100k (config.rs:140-165).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+try:  # py3.11+
+    import tomllib
+except ImportError:  # pragma: no cover
+    tomllib = None
+
+__all__ = [
+    "IndexConfig",
+    "BinaryQuantizationConfig",
+    "CacheConfig",
+    "PersistenceConfig",
+    "QueryConfig",
+    "Bm25Config",
+    "HybridSearchConfig",
+    "SparseVectorConfig",
+    "EmbeddingConfig",
+    "DeviceConfig",
+    "VectorDbConfig",
+    "EmbeddedConfig",
+    "load_config",
+]
+
+
+@dataclass
+class IndexConfig:
+    """ANN index parameters (reference index.rs:22-32, config.rs HnswConfig).
+
+    ``kind`` selects the index family: "flat" (exact device scan), "binary"
+    (Hamming pre-scan + rescore), "ivf" (partitioned scan), "graph" (batched
+    fixed-degree beam search).
+    """
+
+    kind: str = "flat"
+    # Graph parameters (HNSW-equivalent knobs)
+    m: int = 16
+    ef_construction: int = 200
+    ef_search: int = 100
+    max_layers: int = 16
+    # IVF parameters
+    nlist: int = 256
+    nprobe: int = 16
+    # Device array growth
+    initial_capacity: int = 4096
+    # When kind="binary": candidates rescored = max(limit, rescore_ratio * n)
+    rescore_ratio: float = 0.1
+
+
+@dataclass
+class BinaryQuantizationConfig:
+    """Binary quantization knobs (reference quantization.rs:10-31)."""
+
+    enabled: bool = False
+    threshold: float = 0.0
+    rescore_ratio: float = 0.1
+    enable_cache: bool = True
+
+
+@dataclass
+class CacheConfig:
+    """Result/embedding cache (reference performance/cache_manager.rs:5-91)."""
+
+    enabled: bool = True
+    query_cache_size: int = 50_000
+    embedding_cache_size: int = 100_000
+    ttl_seconds: float = 1800.0
+
+
+@dataclass
+class PersistenceConfig:
+    sync_writes: bool = False
+    flush_interval_ms: int = 1000
+    compression: bool = True  # zstd payload compression
+
+
+@dataclass
+class QueryConfig:
+    default_limit: int = 10
+    max_limit: int = 100
+    default_threshold: float = 0.0
+    text_weight: float = 0.3
+    timeout_ms: int = 30_000
+
+
+@dataclass
+class Bm25Config:
+    """BM25 constants (reference sparse.rs:41-53)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
+class HybridSearchConfig:
+    """Fusion defaults (reference config.rs:113-138)."""
+
+    fusion_strategy: str = "rrf"
+    rrf_k: float = 60.0
+    dense_weight: float = 0.7
+    sparse_weight: float = 0.2
+    text_weight: float = 0.1
+    bm25: Bm25Config = field(default_factory=Bm25Config)
+    max_candidates: int = 100
+
+
+@dataclass
+class SparseVectorConfig:
+    """Sparse index sizing (reference config.rs:140-165)."""
+
+    max_vocabulary_size: int = 100_000
+    vocabulary_update_interval: int = 1000
+    max_postings_per_term: int = 1_000_000
+
+
+@dataclass
+class EmbeddingConfig:
+    """Embedding provider selection (reference embeddings.rs / config.rs)."""
+
+    provider: str = "mock"  # mock | openai | azure | nvidia | huggingface | ollama
+    endpoint: Optional[str] = None
+    api_key: Optional[str] = None
+    model: str = "text-embedding-3-small"
+    dimension: int = 768
+    batch_size: int = 128
+    max_retries: int = 3
+    timeout_s: float = 30.0
+    extra_headers: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class DeviceConfig:
+    """TPU/device placement knobs (no reference analog — TPU-native addition)."""
+
+    # Store vectors on device in this dtype; scores always accumulate in f32.
+    storage_dtype: str = "bfloat16"
+    # Device batch the executor packs concurrent queries into.
+    max_query_batch: int = 64
+    # Mesh axis names for corpus sharding / replication.
+    shard_axis: str = "shard"
+    replica_axis: str = "replica"
+    # Capacity bucket growth factor (re-jit happens per bucket).
+    growth_factor: int = 2
+    # Use pallas kernels where available (fall back to XLA otherwise).
+    use_pallas: bool = True
+
+
+@dataclass
+class VectorDbConfig:
+    """Top-level database config (unifies reference config.rs:167-192 and
+    types.rs:949-998)."""
+
+    vector_dimension: int = 768
+    distance: str = "cosine"  # cosine | dot | euclidean
+    index: IndexConfig = field(default_factory=IndexConfig)
+    quantization: BinaryQuantizationConfig = field(default_factory=BinaryQuantizationConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    persistence: PersistenceConfig = field(default_factory=PersistenceConfig)
+    query: QueryConfig = field(default_factory=QueryConfig)
+    hybrid: HybridSearchConfig = field(default_factory=HybridSearchConfig)
+    sparse: SparseVectorConfig = field(default_factory=SparseVectorConfig)
+    embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
+    device: DeviceConfig = field(default_factory=DeviceConfig)
+
+
+@dataclass
+class EmbeddedConfig:
+    """Embedded-mode lifecycle config (reference embedded.rs:32-68)."""
+
+    data_dir: Optional[str] = None
+    max_memory_mb: int = 512
+    thread_pool_size: int = 4
+    startup_timeout_s: float = 30.0
+    shutdown_timeout_s: float = 30.0
+    enable_warmup: bool = True
+    health_check_interval_s: float = 30.0
+    db: VectorDbConfig = field(default_factory=VectorDbConfig)
+
+
+# ---------------------------------------------------------------------------
+# Loading / merging
+# ---------------------------------------------------------------------------
+
+_ENV_PREFIX = "GRAPE_"
+
+
+def _merge_into(obj: Any, data: Dict[str, Any]) -> Any:
+    """Recursively apply a dict onto a dataclass tree."""
+    for k, v in data.items():
+        if not hasattr(obj, k):
+            continue
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _merge_into(cur, v)
+        else:
+            setattr(obj, k, v)
+    return obj
+
+
+def _apply_env(obj: Any, prefix: str = _ENV_PREFIX) -> None:
+    """GRAPE_VECTOR_DIMENSION=512, GRAPE_INDEX__KIND=ivf (double underscore nests)."""
+    for key, raw in os.environ.items():
+        if not key.startswith(prefix):
+            continue
+        path = key[len(prefix):].lower().split("__")
+        target = obj
+        for part in path[:-1]:
+            if not hasattr(target, part):
+                target = None
+                break
+            target = getattr(target, part)
+        if target is None or not hasattr(target, path[-1]):
+            continue
+        cur = getattr(target, path[-1])
+        try:
+            if isinstance(cur, bool):
+                val: Any = raw.lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, int):
+                val = int(raw)
+            elif isinstance(cur, float):
+                val = float(raw)
+            else:
+                val = raw
+        except ValueError:
+            continue
+        setattr(target, path[-1], val)
+
+
+def load_config(
+    path: Optional[str] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+    env: bool = True,
+) -> VectorDbConfig:
+    """Build a VectorDbConfig: defaults < TOML file < env < overrides.
+
+    Mirrors the reference's SystemConfig path-fallback loader (config.rs:344-396):
+    if ``path`` is None, tries ``config/system_config.toml`` then
+    ``system_config.toml`` in the working directory.
+    """
+    cfg = VectorDbConfig()
+    candidates = [path] if path else ["config/system_config.toml", "system_config.toml"]
+    for cand in candidates:
+        if cand and os.path.exists(cand) and tomllib is not None:
+            with open(cand, "rb") as f:
+                _merge_into(cfg, tomllib.load(f))
+            break
+    if env:
+        _apply_env(cfg)
+    if overrides:
+        _merge_into(cfg, overrides)
+    return cfg

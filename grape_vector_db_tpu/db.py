@@ -1,0 +1,293 @@
+"""VectorDatabase — the library facade (reference src/lib.rs:233-788).
+
+Owns the document store, the device index, the sparse index, and the unified
+query engine. Batch-first ingest (single add delegates to batch, lib.rs:309-356),
+fixed mutation order on delete (index before storage, lib.rs:380-390),
+rebuild_index from stored documents (lib.rs:560-581), and the document-oriented
+search used by the gRPC layer with text fallback (lib.rs:459-540).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from grape_vector_db_tpu.config import VectorDbConfig
+from grape_vector_db_tpu.engine.filtering import FilterEngine
+from grape_vector_db_tpu.engine.hybrid import HybridSearchEngine
+from grape_vector_db_tpu.engine.planner import QueryEngine
+from grape_vector_db_tpu.engine.sparse import SparseIndex
+from grape_vector_db_tpu.errors import InvalidArgumentError, NotFoundError
+from grape_vector_db_tpu.index import BinaryDeviceIndex, FlatDeviceIndex, VectorIndex
+from grape_vector_db_tpu.services.embeddings import EmbeddingProvider, create_provider
+from grape_vector_db_tpu.services.metrics import MetricsCollector
+from grape_vector_db_tpu.storage import (
+    DocumentStore,
+    FileDocumentStore,
+    MemoryDocumentStore,
+)
+from grape_vector_db_tpu.types import (
+    Document,
+    DocumentRecord,
+    HybridSearchRequest,
+    ScoredPoint,
+    SearchRequest,
+    SearchResult,
+)
+
+__all__ = ["VectorDatabase", "DatabaseStats"]
+
+
+@dataclass
+class DatabaseStats:
+    """embedded.rs DatabaseStats / lib.rs stats aggregation."""
+
+    document_count: int = 0
+    index_size: int = 0
+    index_kind: str = ""
+    index_memory_mb: float = 0.0
+    storage_size_bytes: int = 0
+    sparse_vocabulary: int = 0
+    cache_hit_rate: float = 0.0
+    uptime_s: float = 0.0
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+def build_index(config: VectorDbConfig) -> VectorIndex:
+    kind = config.index.kind
+    common = dict(
+        dimension=config.vector_dimension,
+        metric=config.distance,
+        storage_dtype=config.device.storage_dtype,
+        initial_capacity=config.index.initial_capacity,
+        growth_factor=config.device.growth_factor,
+    )
+    if kind == "flat":
+        return FlatDeviceIndex(**common)
+    if kind == "binary":
+        return BinaryDeviceIndex(
+            **common,
+            threshold=config.quantization.threshold,
+            rescore_ratio=config.index.rescore_ratio,
+        )
+    if kind == "ivf":
+        from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+
+        return IvfDeviceIndex(
+            **common, nlist=config.index.nlist, nprobe=config.index.nprobe
+        )
+    raise InvalidArgumentError(f"unknown index kind: {kind}")
+
+
+class VectorDatabase:
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        config: Optional[VectorDbConfig] = None,
+        embedder: Optional[EmbeddingProvider] = None,
+        store: Optional[DocumentStore] = None,
+    ):
+        self.config = config or VectorDbConfig()
+        if self.config.embedding.dimension != self.config.vector_dimension:
+            self.config.embedding.dimension = self.config.vector_dimension
+        self.path = path
+        if store is not None:
+            self.store = store
+        elif path:
+            self.store = FileDocumentStore(
+                os.path.join(path, "store"),
+                sync_writes=self.config.persistence.sync_writes,
+            )
+        else:
+            self.store = MemoryDocumentStore()
+        self.index = build_index(self.config)
+        self.sparse = SparseIndex(bm25=self.config.hybrid.bm25, config=self.config.sparse)
+        self.embedder = embedder or create_provider(self.config.embedding)
+        self.metrics = MetricsCollector()
+        self.filter_engine = FilterEngine()
+        self.hybrid_engine = HybridSearchEngine(
+            self.index, self.sparse, self.store, self.config.hybrid
+        )
+        self.engine = QueryEngine(
+            self.index,
+            self.sparse,
+            self.store,
+            config=self.config.query,
+            metrics=self.metrics,
+            hybrid=self.hybrid_engine,
+            cache_size=self.config.cache.query_cache_size,
+            cache_ttl_s=self.config.cache.ttl_seconds,
+            enable_cache=self.config.cache.enabled,
+            filter_engine=self.filter_engine,
+        )
+        self._lock = threading.RLock()
+        self._t0 = time.monotonic()
+        # Rebuild device state from the durable store on open.
+        if self.store.count():
+            self.rebuild_index()
+
+    # -- ingest (batch-first, lib.rs:309-356) -----------------------------------
+
+    def add_document(self, doc: Document) -> str:
+        return self.batch_add_documents([doc])[0]
+
+    def batch_add_documents(self, docs: Sequence[Document]) -> List[str]:
+        if not docs:
+            return []
+        for d in docs:
+            if not d.id:
+                raise InvalidArgumentError("document id must be non-empty")
+        # Embed missing vectors in one provider batch.
+        missing = [d for d in docs if d.vector is None]
+        if missing:
+            embs = self.embedder.generate_embeddings(
+                [f"{d.title or ''} {d.content}".strip() for d in missing]
+            )
+            for d, e in zip(missing, embs):
+                d.vector = list(e)
+        dim = self.config.vector_dimension
+        for d in docs:
+            if len(d.vector) != dim:
+                raise InvalidArgumentError(
+                    f"document {d.id}: vector dim {len(d.vector)} != {dim}"
+                )
+        with self._lock:
+            records = [DocumentRecord.from_document(d) for d in docs]
+            self.store.batch_insert(records)
+            ids = [d.id for d in docs]
+            vecs = np.asarray([d.vector for d in docs], dtype=np.float32)
+            self.index.add_batch(ids, vecs)
+            for d in docs:
+                self.sparse.add_document(d.id, f"{d.title or ''} {d.content}".strip())
+                self.filter_engine.index_document(d.id, d.metadata)
+            self.engine.invalidate_cache()
+            self.metrics.record_insert(len(docs))
+            return ids
+
+    # -- point ops ----------------------------------------------------------------
+
+    def get_document(self, id_: str) -> Optional[Document]:
+        rec = self.store.get(id_)
+        return rec.to_document() if rec else None
+
+    def delete_document(self, id_: str) -> bool:
+        return self.batch_delete_documents([id_]) == 1
+
+    def batch_delete_documents(self, ids: Sequence[str]) -> int:
+        with self._lock:
+            # Fixed order: index first, then storage (lib.rs:380-390).
+            self.index.remove_batch(ids)
+            for i in ids:
+                self.sparse.remove_document(i)
+                self.filter_engine.remove_document(i)
+            n = self.store.batch_delete(ids)
+            self.engine.invalidate_cache()
+            self.metrics.record_delete(n)
+            return n
+
+    # -- search ---------------------------------------------------------------------
+
+    def search(self, req: SearchRequest) -> List[SearchResult]:
+        if req.vector is None and req.query:
+            req.vector = self.embedder.generate_embedding(req.query)
+        return self.engine.search(req)
+
+    def vector_search(self, req: SearchRequest) -> List[ScoredPoint]:
+        return self.engine.vector_search(req)
+
+    def text_search(self, req: SearchRequest) -> List[SearchResult]:
+        return self.engine.text_search(req)
+
+    def hybrid_search(self, req: HybridSearchRequest) -> List[SearchResult]:
+        if req.dense_vector is None and req.query:
+            req.dense_vector = self.embedder.generate_embedding(req.query)
+        return self.engine.hybrid_search(req)
+
+    def search_documents(self, query: str, limit: int = 10) -> List[SearchResult]:
+        """Semantic search with text fallback (lib.rs:459-540): embed the query,
+        dense-search, and if nothing comes back fall back to the text scan."""
+        vec = self.embedder.generate_embedding(query)
+        results = self.engine.search(SearchRequest(query=query, vector=vec, limit=limit))
+        if not results:
+            results = self.engine.text_search(SearchRequest(query=query, limit=limit))
+        return results
+
+    def vector_search_batch(self, vectors: np.ndarray, limit: int) -> List[List[ScoredPoint]]:
+        return self.engine.vector_search_batch(vectors, limit)
+
+    # -- maintenance ----------------------------------------------------------------
+
+    def rebuild_index(self) -> int:
+        """Re-read all docs and rebuild device/sparse/filter state (lib.rs:560-581)."""
+        with self._lock:
+            self.index.clear()
+            self.sparse.clear()
+            self.filter_engine.clear()
+            ids: List[str] = []
+            vecs: List[List[float]] = []
+            for rec in self.store.iter_records():
+                if rec.embedding is not None:
+                    ids.append(rec.id)
+                    vecs.append(rec.embedding)
+                self.sparse.add_document(rec.id, f"{rec.title} {rec.content}".strip())
+                self.filter_engine.index_document(rec.id, rec.metadata)
+            if ids:
+                arr = np.asarray(vecs, dtype=np.float32)
+                for i in range(0, len(ids), 8192):
+                    self.index.add_batch(ids[i:i + 8192], arr[i:i + 8192])
+            self.engine.invalidate_cache()
+            return len(ids)
+
+    def optimize(self) -> None:
+        self.index.optimize()
+
+    def flush(self) -> None:
+        self.store.flush()
+
+    def close(self) -> None:
+        self.store.close()
+
+    # -- backup / stats / health ---------------------------------------------------------
+
+    def create_backup(self, backup_path: str) -> Dict[str, Any]:
+        return self.store.create_backup(backup_path)
+
+    def restore_backup(self, backup_path: str) -> Dict[str, Any]:
+        with self._lock:
+            info = self.store.restore_backup(backup_path)
+            self.rebuild_index()
+            return info
+
+    def stats(self) -> DatabaseStats:
+        idx = self.index.get_stats()
+        st = self.store.get_stats()
+        m = self.metrics.snapshot()
+        return DatabaseStats(
+            document_count=st.document_count,
+            index_size=idx.point_count,
+            index_kind=idx.kind,
+            index_memory_mb=idx.memory_usage_mb,
+            storage_size_bytes=st.estimated_size_bytes,
+            sparse_vocabulary=self.sparse.vocabulary_size(),
+            cache_hit_rate=m.cache_hit_rate,
+            uptime_s=time.monotonic() - self._t0,
+            extra={"qps": m.qps, "p95_ms": m.p95_latency_ms},
+        )
+
+    def health_check(self) -> Dict[str, Any]:
+        storage_ok = self.store.health_check()
+        index_ok = len(self.index) == sum(
+            1 for r in self.store.iter_records() if r.embedding is not None
+        )
+        return {
+            "status": "healthy" if storage_ok else "unhealthy",
+            "storage": storage_ok,
+            "index_consistent": index_ok,
+            "document_count": self.store.count(),
+            "index_count": len(self.index),
+        }

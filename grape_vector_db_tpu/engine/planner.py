@@ -1,0 +1,271 @@
+"""QueryEngine — the unified query planner.
+
+The reference carries *two* parallel QueryEngine types (query.rs:31-35 owns an
+HNSW index and merges vector+text scores itself; query_engine.rs:38-43 delegates
+to the store and adds a moka cache) — SURVEY.md §1 calls for unifying them. This
+planner is that unification: it owns the device index, sparse index, and store;
+dispatches vector / text / hybrid queries; applies optimizer rules; and fronts a
+TTL result cache.
+
+Optimizer rules (query_engine.rs:239-373): LimitMaxResults (cap 100),
+MinSimilarityThreshold (floor 0.1 when requested threshold is lower but set),
+and query rewrite (trim/normalize whitespace).
+
+Dense+text merge semantics follow query.rs:75-182: dense hits get rank-decay
+weighting, text hits come from the substring scan, scores merge additively.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from grape_vector_db_tpu.config import QueryConfig
+from grape_vector_db_tpu.engine.cache import TtlCache
+from grape_vector_db_tpu.engine.hybrid import HybridSearchEngine, extract_snippet
+from grape_vector_db_tpu.engine.sparse import SparseIndex
+from grape_vector_db_tpu.index.base import VectorIndex
+from grape_vector_db_tpu.services.metrics import MetricsCollector, QueryTimer
+from grape_vector_db_tpu.storage.store import DocumentStore
+from grape_vector_db_tpu.types import (
+    HybridSearchRequest,
+    ScoredPoint,
+    SearchRequest,
+    SearchResult,
+)
+
+__all__ = ["QueryEngine", "QueryOptimizer"]
+
+
+@dataclass
+class QueryOptimizer:
+    """Rule-based request rewriting (query_engine.rs:239-373)."""
+
+    max_limit: int = 100
+    min_threshold: float = 0.1
+
+    def optimize(self, req: SearchRequest) -> SearchRequest:
+        limit = min(max(1, req.limit), self.max_limit)
+        threshold = req.score_threshold
+        if threshold is not None and threshold < self.min_threshold:
+            threshold = self.min_threshold
+        query = " ".join(req.query.split()) if req.query else req.query
+        return SearchRequest(
+            query=query,
+            vector=req.vector,
+            limit=limit,
+            offset=req.offset,
+            score_threshold=threshold,
+            filter=req.filter,
+            with_vectors=req.with_vectors,
+            with_payload=req.with_payload,
+        )
+
+
+class QueryEngine:
+    def __init__(
+        self,
+        index: VectorIndex,
+        sparse_index: SparseIndex,
+        store: DocumentStore,
+        config: Optional[QueryConfig] = None,
+        metrics: Optional[MetricsCollector] = None,
+        hybrid: Optional[HybridSearchEngine] = None,
+        cache_size: int = 50_000,
+        cache_ttl_s: float = 1800.0,
+        enable_cache: bool = True,
+        filter_engine=None,
+    ):
+        self.index = index
+        self.sparse = sparse_index
+        self.store = store
+        self.config = config or QueryConfig()
+        self.metrics = metrics or MetricsCollector()
+        self.optimizer = QueryOptimizer(max_limit=self.config.max_limit)
+        self.hybrid = hybrid or HybridSearchEngine(index, sparse_index, store)
+        self.filter_engine = filter_engine
+        self._cache: Optional[TtlCache] = (
+            TtlCache(cache_size, cache_ttl_s) if enable_cache else None
+        )
+
+    # -- cache helpers ------------------------------------------------------------
+
+    def _cache_key(self, kind: str, req: SearchRequest) -> Optional[tuple]:
+        if self._cache is None:
+            return None
+        vec_key = None
+        if req.vector is not None:
+            vec_key = np.asarray(req.vector, dtype=np.float32).tobytes()
+        filt_key = repr(req.filter.to_dict()) if req.filter else None
+        return (kind, req.query, vec_key, req.limit, req.offset, req.score_threshold,
+                filt_key, req.with_vectors, req.with_payload)
+
+    def invalidate_cache(self) -> None:
+        if self._cache is not None:
+            self._cache.invalidate_all()
+
+    # -- filtering hook -------------------------------------------------------------
+
+    def _allowed_ids(self, req: SearchRequest) -> Optional[set]:
+        if req.filter is None or req.filter.is_empty():
+            return None
+        if self.filter_engine is None:
+            return None
+        return set(self.filter_engine.execute_filter(req.filter))
+
+    def _apply_filter(self, hits: List[Tuple[str, float]], allowed: Optional[set]):
+        if allowed is None:
+            return hits
+        return [(i, s) for i, s in hits if i in allowed]
+
+    # -- vector search ------------------------------------------------------------------
+
+    def vector_search(self, req: SearchRequest) -> List[ScoredPoint]:
+        req = self.optimizer.optimize(req)
+        if req.vector is None:
+            raise ValueError("vector_search requires a vector")
+        key = self._cache_key("vec", req)
+        if key is not None:
+            cached = self._cache.get(key)
+            self.metrics.record_cache(cached is not None)
+            if cached is not None:
+                return cached
+        with QueryTimer(self.metrics):
+            allowed = self._allowed_ids(req)
+            # Over-fetch when filtering so post-filter still fills the page.
+            fetch = req.limit + req.offset
+            if allowed is not None:
+                fetch = min(self.optimizer.max_limit * 4, max(fetch * 4, 64))
+            hits = self.index.search(np.asarray(req.vector, dtype=np.float32), fetch)
+            hits = self._apply_filter(hits, allowed)
+            if req.score_threshold is not None:
+                hits = [(i, s) for i, s in hits if s >= req.score_threshold]
+            hits = hits[req.offset:req.offset + req.limit]
+            out = []
+            for id_, score in hits:
+                payload: Dict = {}
+                vec = None
+                rec = self.store.get(id_)
+                if req.with_payload and rec is not None:
+                    payload = rec.metadata
+                if req.with_vectors and rec is not None and rec.embedding is not None:
+                    vec = list(rec.embedding)
+                out.append(ScoredPoint(id=id_, score=score, vector=vec, payload=payload))
+        if key is not None:
+            self._cache.put(key, out)
+        return out
+
+    # -- text search ---------------------------------------------------------------------
+
+    def text_search(self, req: SearchRequest) -> List[SearchResult]:
+        req = self.optimizer.optimize(req)
+        if not req.query:
+            return []
+        key = self._cache_key("txt", req)
+        if key is not None:
+            cached = self._cache.get(key)
+            self.metrics.record_cache(cached is not None)
+            if cached is not None:
+                return cached
+        with QueryTimer(self.metrics):
+            allowed = self._allowed_ids(req)
+            bm25 = self.sparse.search_bm25(req.query, req.limit * 4 + req.offset)
+            sub = self.store.text_search(req.query, req.limit * 4 + req.offset)
+            merged: Dict[str, float] = {}
+            for id_, s in ((i, s) for i, s in bm25):
+                merged[id_] = merged.get(id_, 0.0) + s
+            for p in sub:
+                merged[p.id] = merged.get(p.id, 0.0) + p.score
+            hits = sorted(merged.items(), key=lambda kv: -kv[1])
+            hits = self._apply_filter(hits, allowed)
+            hits = hits[req.offset:req.offset + req.limit]
+            terms = req.query.split()
+            out = []
+            for id_, score in hits:
+                rec = self.store.get(id_)
+                if rec is None:
+                    continue
+                out.append(
+                    SearchResult(
+                        document=rec.to_document(),
+                        score=score,
+                        snippet=extract_snippet(rec.content, terms),
+                    )
+                )
+        if key is not None:
+            self._cache.put(key, out)
+        return out
+
+    # -- combined dense+text (query.rs:75-182 semantics) -----------------------------------
+
+    def search(self, req: SearchRequest) -> List[SearchResult]:
+        """Dense search with rank-decay weights merged with text scan scores."""
+        req = self.optimizer.optimize(req)
+        with QueryTimer(self.metrics):
+            allowed = self._allowed_ids(req)
+            merged: Dict[str, float] = {}
+            if req.vector is not None:
+                dense = self.index.search(
+                    np.asarray(req.vector, dtype=np.float32), req.limit * 2
+                )
+                dense = self._apply_filter(dense, allowed)
+                for rank, (id_, score) in enumerate(dense):
+                    # rank-decay weighting (query.rs:90-96)
+                    merged[id_] = merged.get(id_, 0.0) + score * (1.0 / (1.0 + 0.1 * rank))
+            if req.query:
+                text = self.store.text_search(req.query, req.limit * 2)
+                for p in text:
+                    if allowed is not None and p.id not in allowed:
+                        continue
+                    merged[p.id] = merged.get(p.id, 0.0) + p.score * self.config.text_weight
+            ranked = sorted(merged.items(), key=lambda kv: -kv[1])
+            if req.score_threshold is not None:
+                ranked = [(i, s) for i, s in ranked if s >= req.score_threshold]
+            ranked = ranked[req.offset:req.offset + req.limit]
+            terms = (req.query or "").split()
+            out = []
+            for id_, score in ranked:
+                rec = self.store.get(id_)
+                if rec is None:
+                    continue
+                out.append(
+                    SearchResult(
+                        document=rec.to_document(),
+                        score=score,
+                        snippet=extract_snippet(rec.content, terms) if terms else None,
+                    )
+                )
+            return out
+
+    # -- hybrid -------------------------------------------------------------------------------
+
+    def hybrid_search(self, req: HybridSearchRequest) -> List[SearchResult]:
+        with QueryTimer(self.metrics):
+            results = self.hybrid.search(req)
+        if req.filter is not None and self.filter_engine is not None:
+            allowed = set(self.filter_engine.execute_filter(req.filter))
+            results = [r for r in results if r.document.id in allowed]
+        return results
+
+    # -- batched dense search (TPU-native primary path) ------------------------------------------
+
+    def vector_search_batch(
+        self, vectors: np.ndarray, limit: int
+    ) -> List[List[ScoredPoint]]:
+        """One device call for B queries — the batching executor feeds this."""
+        with QueryTimer(self.metrics):
+            rows = self.index.search_batch(np.asarray(vectors, dtype=np.float32), limit)
+        return [[ScoredPoint(id=i, score=s) for i, s in row] for row in rows]
+
+    def cache_stats(self) -> Dict[str, float]:
+        if self._cache is None:
+            return {"enabled": 0.0}
+        return {
+            "enabled": 1.0,
+            "entries": float(len(self._cache)),
+            "hit_rate": self._cache.hit_rate,
+        }

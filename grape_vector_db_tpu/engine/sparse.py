@@ -1,0 +1,278 @@
+"""Sparse inverted index + BM25 (reference src/sparse.rs).
+
+Host-side tokenizer and vocabulary (sparse.rs:267-370 SimpleTokenizer: lowercase,
+split, en+zh stopwords), postings kept as growable numpy arrays. BM25 scoring is
+vectorized: per query term the posting arrays (doc handle, tf, doc_len) are
+gathered and contributions accumulated into a dense score vector with
+``np.add.at`` — the array form of the reference's per-posting-list accumulation
+loop (sparse.rs:152-199).
+
+Two deliberate fixes over the reference:
+- avg document length is maintained incrementally instead of recomputed by full
+  scan on every add/remove (sparse.rs:95-104, 135-147);
+- deletes tombstone a doc handle instead of rewriting postings; compaction
+  rebuilds postings when tombstones exceed 25%.
+
+BM25 constants k1=1.2 b=0.75, IDF = ln((N-df+0.5)/(df+0.5)) (sparse.rs:41-53,
+202-204).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import threading
+import unicodedata
+from collections import Counter
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from grape_vector_db_tpu.config import Bm25Config, SparseVectorConfig
+from grape_vector_db_tpu.types import SparseVector
+
+__all__ = ["SimpleTokenizer", "SparseIndex", "Bm25Config"]
+
+_EN_STOPWORDS: Set[str] = {
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has", "he",
+    "in", "is", "it", "its", "of", "on", "that", "the", "to", "was", "were",
+    "will", "with", "this", "but", "they", "have", "had", "what", "when", "where",
+    "who", "which", "why", "how", "or", "not", "no", "so", "if", "than", "then",
+}
+_ZH_STOPWORDS: Set[str] = {"的", "了", "和", "是", "在", "我", "有", "他", "这", "中",
+                           "大", "来", "上", "国", "个", "到", "说", "们", "为"}
+
+_TOKEN_RE = re.compile(r"[a-z0-9_]+", re.IGNORECASE)
+
+
+def _is_cjk(ch: str) -> bool:
+    return "CJK" in unicodedata.name(ch, "")
+
+
+class SimpleTokenizer:
+    """Lowercase + alphanumeric tokens; CJK runs emit single characters
+    (sparse.rs SimpleTokenizer semantics: whitespace split, lowercase, en+zh
+    stopword removal)."""
+
+    def __init__(self, stopwords: Optional[Set[str]] = None):
+        self.stopwords = stopwords if stopwords is not None else (_EN_STOPWORDS | _ZH_STOPWORDS)
+
+    def tokenize(self, text: str) -> List[str]:
+        out: List[str] = []
+        for m in _TOKEN_RE.finditer(text.lower()):
+            tok = m.group(0)
+            if tok not in self.stopwords:
+                out.append(tok)
+        for ch in text:
+            if _is_cjk(ch) and ch not in self.stopwords:
+                out.append(ch)
+        return out
+
+    def term_frequencies(self, text: str) -> Tuple[Counter, int]:
+        toks = self.tokenize(text)
+        return Counter(toks), len(toks)
+
+
+@dataclass
+class _Posting:
+    """Growable posting list for one term."""
+
+    handles: List[int]
+    tfs: List[float]
+
+
+class SparseIndex:
+    """Inverted index with BM25 search (sparse.rs:71-199)."""
+
+    def __init__(
+        self,
+        bm25: Optional[Bm25Config] = None,
+        config: Optional[SparseVectorConfig] = None,
+        tokenizer: Optional[SimpleTokenizer] = None,
+    ):
+        self.bm25 = bm25 or Bm25Config()
+        self.config = config or SparseVectorConfig()
+        self.tokenizer = tokenizer or SimpleTokenizer()
+        self._lock = threading.RLock()
+        self._vocab: Dict[str, int] = {}
+        self._postings: Dict[int, _Posting] = {}
+        self._doc_handle: Dict[str, int] = {}
+        self._handle_doc: List[Optional[str]] = []
+        self._doc_len: List[float] = []
+        self._total_len = 0.0
+        self._live_docs = 0
+        self._tombstones = 0
+
+    # -- vocabulary -------------------------------------------------------------
+
+    def _term_id(self, term: str, create: bool) -> Optional[int]:
+        tid = self._vocab.get(term)
+        if tid is None and create and len(self._vocab) < self.config.max_vocabulary_size:
+            tid = len(self._vocab)
+            self._vocab[term] = tid
+            self._postings[tid] = _Posting([], [])
+        return tid
+
+    def vocabulary_size(self) -> int:
+        return len(self._vocab)
+
+    def build_vocabulary(self, texts: Sequence[str]) -> None:
+        """Pre-seed the vocabulary (sparse.rs build_vocabulary)."""
+        with self._lock:
+            for t in texts:
+                for term in self.tokenizer.tokenize(t):
+                    self._term_id(term, create=True)
+
+    def document_to_sparse_vector(self, text: str) -> SparseVector:
+        """Relative-term-frequency sparse vector (sparse.rs document_to_sparse_vector)."""
+        tf, total = self.tokenizer.term_frequencies(text)
+        if total == 0:
+            return SparseVector()
+        idx_vals = []
+        for term, c in tf.items():
+            tid = self._vocab.get(term)
+            if tid is not None:
+                idx_vals.append((tid, c / total))
+        idx_vals.sort()
+        return SparseVector([i for i, _ in idx_vals], [v for _, v in idx_vals])
+
+    # -- mutation ------------------------------------------------------------------
+
+    def add_document(self, doc_id: str, text: str) -> None:
+        with self._lock:
+            if doc_id in self._doc_handle:
+                self._remove_locked(doc_id)
+            tf, total = self.tokenizer.term_frequencies(text)
+            handle = len(self._handle_doc)
+            self._handle_doc.append(doc_id)
+            self._doc_len.append(float(total))
+            self._doc_handle[doc_id] = handle
+            self._total_len += total
+            self._live_docs += 1
+            for term, count in tf.items():
+                tid = self._term_id(term, create=True)
+                if tid is None:
+                    continue
+                p = self._postings[tid]
+                p.handles.append(handle)
+                p.tfs.append(float(count))
+
+    def remove_document(self, doc_id: str) -> bool:
+        with self._lock:
+            return self._remove_locked(doc_id)
+
+    def _remove_locked(self, doc_id: str) -> bool:
+        handle = self._doc_handle.pop(doc_id, None)
+        if handle is None:
+            return False
+        self._handle_doc[handle] = None
+        self._total_len -= self._doc_len[handle]
+        self._live_docs -= 1
+        self._tombstones += 1
+        if self._live_docs > 0 and self._tombstones > 0.25 * (self._live_docs + self._tombstones):
+            self._compact_locked()
+        return True
+
+    def _compact_locked(self) -> None:
+        """Rewrite postings dropping tombstoned handles."""
+        remap: Dict[int, int] = {}
+        new_handle_doc: List[Optional[str]] = []
+        new_doc_len: List[float] = []
+        for old, doc in enumerate(self._handle_doc):
+            if doc is not None:
+                remap[old] = len(new_handle_doc)
+                new_handle_doc.append(doc)
+                new_doc_len.append(self._doc_len[old])
+        for p in self._postings.values():
+            pairs = [(remap[h], t) for h, t in zip(p.handles, p.tfs) if h in remap]
+            p.handles = [h for h, _ in pairs]
+            p.tfs = [t for _, t in pairs]
+        self._handle_doc = new_handle_doc
+        self._doc_len = new_doc_len
+        self._doc_handle = {d: h for h, d in enumerate(new_handle_doc)}
+        self._tombstones = 0
+
+    def clear(self) -> None:
+        with self._lock:
+            self.__init__(self.bm25, self.config, self.tokenizer)
+
+    def __len__(self) -> int:
+        return self._live_docs
+
+    @property
+    def avg_doc_len(self) -> float:
+        return self._total_len / self._live_docs if self._live_docs else 0.0
+
+    # -- search -------------------------------------------------------------------
+
+    def idf(self, term: str) -> float:
+        """ln((N-df+0.5)/(df+0.5)) (sparse.rs:202-204)."""
+        tid = self._vocab.get(term)
+        if tid is None:
+            return 0.0
+        df = self._df(tid)
+        n = self._live_docs
+        return math.log((n - df + 0.5) / (df + 0.5)) if n else 0.0
+
+    def _df(self, tid: int) -> int:
+        p = self._postings.get(tid)
+        if p is None:
+            return 0
+        live = 0
+        for h in p.handles:
+            if self._handle_doc[h] is not None:
+                live += 1
+        return live
+
+    def search_bm25(self, query: str, limit: int) -> List[Tuple[str, float]]:
+        """Vectorized BM25 accumulation (sparse.rs:152-199)."""
+        with self._lock:
+            if self._live_docs == 0:
+                return []
+            terms = self.tokenizer.tokenize(query)
+            if not terms:
+                return []
+            n_handles = len(self._handle_doc)
+            scores = np.zeros(n_handles, dtype=np.float64)
+            doc_len = np.asarray(self._doc_len, dtype=np.float64)
+            avgdl = max(self.avg_doc_len, 1e-9)
+            k1, b = self.bm25.k1, self.bm25.b
+            seen_any = False
+            for term in set(terms):
+                tid = self._vocab.get(term)
+                if tid is None:
+                    continue
+                p = self._postings[tid]
+                if not p.handles:
+                    continue
+                handles = np.asarray(p.handles, dtype=np.int64)
+                tfs = np.asarray(p.tfs, dtype=np.float64)
+                idf = self.idf(term)
+                dl = doc_len[handles]
+                contrib = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+                np.add.at(scores, handles, contrib)
+                seen_any = True
+            if not seen_any:
+                return []
+            live_mask = np.asarray([d is not None for d in self._handle_doc])
+            scores = np.where(live_mask, scores, -np.inf)
+            k = min(limit, n_handles)
+            top = np.argpartition(-scores, k - 1)[:k]
+            top = top[np.argsort(-scores[top])]
+            out: List[Tuple[str, float]] = []
+            for h in top:
+                if scores[h] == -np.inf or scores[h] == 0.0:
+                    continue
+                doc = self._handle_doc[h]
+                if doc is not None:
+                    out.append((doc, float(scores[h])))
+            return out
+
+    def get_stats(self) -> Dict[str, float]:
+        return {
+            "documents": float(self._live_docs),
+            "vocabulary": float(len(self._vocab)),
+            "avg_doc_len": self.avg_doc_len,
+            "tombstones": float(self._tombstones),
+        }

@@ -1,0 +1,17 @@
+"""Index layer — device-resident ANN/exact indexes.
+
+Replaces the reference's index layer (src/index.rs, src/quantization.rs):
+- FlatDeviceIndex: exact chunked-matmul scan (replaces full-scan cosine and is
+  the recall=1.0 baseline the reference never had at speed).
+- BinaryDeviceIndex: packed-bit Hamming pre-scan + exact rescore
+  (quantization.rs multi_stage_search, but batched on the VPU/MXU).
+- IvfDeviceIndex: k-means partitioned scan (the reference's FaissVectorIndex
+  trains k-means but then linear-scans anyway, index.rs:620-640 — ours actually
+  prunes).
+"""
+
+from grape_vector_db_tpu.index.base import VectorIndex, IndexStats
+from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+from grape_vector_db_tpu.index.binary import BinaryDeviceIndex
+
+__all__ = ["VectorIndex", "IndexStats", "FlatDeviceIndex", "BinaryDeviceIndex"]

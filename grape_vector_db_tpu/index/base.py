@@ -1,0 +1,91 @@
+"""VectorIndex interface — the trait of the index layer.
+
+Mirrors the reference's ``VectorIndex`` trait (index.rs:35-62):
+add / add_batch / search / remove / len / optimize / clear / get_stats,
+plus ``get_all`` for persistence (index.rs:120-137) and batched ``search_batch``
+(the TPU-native primary entry point — single-query search delegates to it).
+
+All host-facing array types are numpy; device residency is an implementation
+detail of each index.
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["VectorIndex", "IndexStats", "SearchHit"]
+
+
+@dataclass
+class IndexStats:
+    """index.rs IndexStats / query.rs:413-419 equivalents."""
+
+    point_count: int = 0
+    dimension: int = 0
+    capacity: int = 0
+    is_built: bool = True
+    memory_usage_mb: float = 0.0
+    kind: str = ""
+    extra: Dict[str, float] = field(default_factory=dict)
+
+
+SearchHit = Tuple[str, float]  # (id, score)
+
+
+class VectorIndex(abc.ABC):
+    """Abstract index over (id, vector) pairs with batched device search."""
+
+    @property
+    @abc.abstractmethod
+    def dimension(self) -> int: ...
+
+    @abc.abstractmethod
+    def add_batch(self, ids: Sequence[str], vectors: np.ndarray) -> None:
+        """Upsert a batch. ``vectors``: [M, dim] float32. Existing ids are
+        overwritten in place (the reference rebuilds the whole graph here —
+        index.rs:164-185; we scatter into device arrays)."""
+
+    def add(self, id_: str, vector: np.ndarray) -> None:
+        self.add_batch([id_], np.asarray(vector, dtype=np.float32)[None, :])
+
+    @abc.abstractmethod
+    def remove_batch(self, ids: Sequence[str]) -> int:
+        """Tombstone ids; returns number actually removed."""
+
+    def remove(self, id_: str) -> bool:
+        return self.remove_batch([id_]) == 1
+
+    @abc.abstractmethod
+    def search_batch(
+        self, queries: np.ndarray, k: int
+    ) -> List[List[SearchHit]]:
+        """Batched search: [B, dim] -> per-query descending (id, score) lists."""
+
+    def search(self, query: np.ndarray, k: int) -> List[SearchHit]:
+        return self.search_batch(np.asarray(query, dtype=np.float32)[None, :], k)[0]
+
+    @abc.abstractmethod
+    def __len__(self) -> int: ...
+
+    @abc.abstractmethod
+    def clear(self) -> None: ...
+
+    @abc.abstractmethod
+    def get_stats(self) -> IndexStats: ...
+
+    @abc.abstractmethod
+    def get_all(self) -> Tuple[List[str], np.ndarray]:
+        """(ids, [n, dim] f32 vectors) for persistence/rebuild (index.rs:120-137)."""
+
+    def contains(self, id_: str) -> bool:
+        return self.get_vector(id_) is not None
+
+    @abc.abstractmethod
+    def get_vector(self, id_: str) -> Optional[np.ndarray]: ...
+
+    def optimize(self) -> None:
+        """Hook for compaction/re-layout (index.rs optimize). Default no-op."""

@@ -1,0 +1,33 @@
+"""Device-side compute kernels (JAX/XLA + Pallas).
+
+This package replaces the reference's per-point CPU hot loops
+(index.rs HNSW walk, quantization.rs Hamming scan, sparse.rs BM25 accumulation)
+with batched, MXU/VPU-friendly kernels over HBM-resident arrays.
+"""
+
+from grape_vector_db_tpu.ops.distance import (
+    l2_normalize,
+    prepare_queries,
+    scored_topk,
+    score_block,
+)
+from grape_vector_db_tpu.ops.topk import merge_topk, take_topk
+from grape_vector_db_tpu.ops.hamming import (
+    pack_bits,
+    hamming_scores,
+    hamming_topk,
+    words_per_vector,
+)
+
+__all__ = [
+    "l2_normalize",
+    "prepare_queries",
+    "scored_topk",
+    "score_block",
+    "merge_topk",
+    "take_topk",
+    "pack_bits",
+    "hamming_scores",
+    "hamming_topk",
+    "words_per_vector",
+]

@@ -1,0 +1,114 @@
+"""Binary quantization kernels: bit packing + XOR/popcount Hamming scan.
+
+TPU-native replacement for the reference's binary quantization
+(quantization.rs:97-193): threshold binarization into packed bit-planes, Hamming
+distance via XOR + popcount, and the top-candidate selection used by two-stage
+search (Hamming pre-scan -> exact rescore).
+
+Layout: each vector's bits are packed into ``ceil(dim / 32)`` uint32 words
+(bit j of word w = coord ``w*32 + j`` > threshold). A corpus of N vectors is a
+``[N, W]`` uint32 array — 32x smaller than f32, matching the reference's
+compression claims while the scan itself runs on the VPU with
+``lax.population_count``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["words_per_vector", "pack_bits", "hamming_scores", "hamming_topk"]
+
+
+def words_per_vector(dim: int) -> int:
+    return (dim + 31) // 32
+
+
+def pack_bits(x: jax.Array, threshold: float = 0.0) -> jax.Array:
+    """Binarize + pack: [N, D] float -> [N, W] uint32 (quantization.rs:97-103).
+
+    Coordinates beyond D (padding to a multiple of 32) pack as 0 bits on both
+    query and corpus sides, so they never contribute to Hamming distance.
+    """
+    n, d = x.shape
+    w = words_per_vector(d)
+    pad = w * 32 - d
+    bits = (x > threshold).astype(jnp.uint32)
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    bits = bits.reshape(n, w, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def hamming_scores(qcodes: jax.Array, codes: jax.Array) -> jax.Array:
+    """Hamming distances: [B, W] x [C, W] -> [B, C] int32.
+
+    XOR + popcount on the VPU (the reference uses the `hamming` crate on CPU,
+    quantization.rs:130-141).
+    """
+    x = jnp.bitwise_xor(qcodes[:, None, :], codes[None, :, :])  # [B, C, W]
+    return jnp.sum(lax.population_count(x), axis=-1, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def hamming_topk(
+    qcodes: jax.Array,   # [B, W] uint32
+    codes: jax.Array,    # [N, W] uint32 (capacity-padded)
+    valid: jax.Array,    # [N] bool
+    k: int,
+    chunk: int = 16384,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k *smallest* Hamming distance over the packed corpus.
+
+    Returns (distances [B, k] int32, indices [B, k] int32). Invalid rows get
+    distance INT32_MAX/2 so they sort last. This is the pre-scan stage of the
+    reference's multi_stage_search (quantization.rs:151-193).
+    """
+    n, w = codes.shape
+    b = qcodes.shape[0]
+    chunk = min(chunk, n)
+    assert n % chunk == 0
+    num_chunks = n // chunk
+    kk = min(k, chunk)
+    big = jnp.int32(2**30)
+
+    def block(codes_i, valid_i, off):
+        d = hamming_scores(qcodes, codes_i)  # [B, chunk]
+        d = jnp.where(valid_i[None, :], d, big)
+        # top_k selects the largest; negate to get smallest distances.
+        vals, idxs = lax.top_k(-d, kk)
+        return -vals, idxs.astype(jnp.int32) + off
+
+    if num_chunks == 1:
+        vals, idxs = block(codes, valid, jnp.int32(0))
+        return _pad_k(vals, idxs, k, big)
+
+    codes_c = codes.reshape(num_chunks, chunk, w)
+    valid_c = valid.reshape(num_chunks, chunk)
+    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+
+    def body(carry, xs):
+        codes_i, valid_i, off = xs
+        return carry, block(codes_i, valid_i, off)
+
+    _, (vals, idxs) = lax.scan(body, None, (codes_c, valid_c, offsets))
+    vals = jnp.moveaxis(vals, 0, 1).reshape(b, num_chunks * kk)
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(b, num_chunks * kk)
+    fvals, fpos = lax.top_k(-vals, min(k, num_chunks * kk))
+    fidx = jnp.take_along_axis(idxs, fpos, axis=1)
+    return _pad_k(-fvals, fidx, k, big)
+
+
+def _pad_k(vals: jax.Array, idxs: jax.Array, k: int, fill) -> Tuple[jax.Array, jax.Array]:
+    got = vals.shape[1]
+    if got >= k:
+        return vals[:, :k], idxs[:, :k]
+    pad = k - got
+    vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=fill)
+    idxs = jnp.pad(idxs, ((0, 0), (0, pad)), constant_values=0)
+    return vals, idxs

@@ -1,0 +1,326 @@
+"""SPMD corpus sharding over a device mesh.
+
+The TPU-native rewrite of the reference's distributed query data plane:
+- shard.rs hash-range ShardManager  ->  static block assignment: global slot s
+  lives on device s // per_shard_capacity of the ``shard`` mesh axis.
+- shard.rs:759-901 scatter-gather search (per-shard tasks + HTTP + sort-merge)
+  ->  one shard_map: local chunked-matmul top-k per device, then a single
+  ``all_gather`` over ICI and a replicated global top-k merge.
+- shard migration / rebalancing  ->  resharding is a device_put with a new
+  NamedSharding over the same arrays (see redistribute()).
+
+Queries are replicated (every device scores its local shard for the whole query
+batch); the corpus is sharded along rows. This is the layout the scaling-book
+recipe prescribes for corpus-parallel retrieval: collectives ride ICI, payload
+gathers stay host-side.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from grape_vector_db_tpu.errors import DimensionMismatchError
+from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
+from grape_vector_db_tpu.ops.distance import score_block, prepare_queries
+from grape_vector_db_tpu.ops.topk import take_topk
+from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+
+__all__ = ["make_mesh", "sharded_scored_topk", "ShardedFlatIndex"]
+
+
+def make_mesh(
+    n_shards: Optional[int] = None,
+    shard_axis: str = "shard",
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_shards is not None:
+        devs = devs[:n_shards]
+    return Mesh(np.asarray(devs), (shard_axis,))
+
+
+def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int):
+    """Per-device exact top-k over the local shard rows (runs inside shard_map,
+    so shapes here are the *local* shard shapes)."""
+    n, d = vecs.shape
+    chunk = min(chunk, n)
+    num_chunks = max(1, n // chunk)
+    kk = min(k, chunk)
+    vecs_c = vecs.reshape(num_chunks, chunk, d)
+    norms_c = norms.reshape(num_chunks, chunk)
+    valid_c = valid.reshape(num_chunks, chunk)
+    offs = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+
+    def body(carry, xs):
+        v, nn, m, off = xs
+        s = score_block(q, v, nn, m, metric)
+        tv, ti = lax.top_k(s, kk)
+        return carry, (tv, ti.astype(jnp.int32) + off)
+
+    _, (vals, idxs) = lax.scan(body, None, (vecs_c, norms_c, valid_c, offs))
+    b = q.shape[0]
+    vals = jnp.moveaxis(vals, 0, 1).reshape(b, num_chunks * kk)
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(b, num_chunks * kk)
+    return take_topk(vals, idxs, min(k, num_chunks * kk))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "mesh", "shard_axis")
+)
+def sharded_scored_topk(
+    queries: jax.Array,   # [B, D] f32, replicated
+    vectors: jax.Array,   # [S*C, D] sharded on rows over `shard_axis`
+    norms: jax.Array,     # [S*C]   sharded
+    valid: jax.Array,     # [S*C]   sharded
+    k: int,
+    metric: str,
+    chunk: int,
+    mesh: Mesh,
+    shard_axis: str = "shard",
+) -> Tuple[jax.Array, jax.Array]:
+    """Global top-k across all shards: local scan + one all_gather merge.
+
+    Returns replicated (scores [B, k], *global* row indices [B, k]).
+    """
+    n_shards = mesh.shape[shard_axis]
+    per_shard = vectors.shape[0] // n_shards
+
+    def spmd(q, vecs, nrm, msk):
+        qp = prepare_queries(q, metric)
+        vals, idxs = _local_topk(qp, vecs, nrm, msk, k, metric, chunk)
+        shard_id = lax.axis_index(shard_axis)
+        gidx = idxs + shard_id * per_shard
+        # One collective over ICI: gather every shard's top-k, then merge.
+        all_vals = lax.all_gather(vals, shard_axis, axis=1, tiled=True)   # [B, S*k]
+        all_idx = lax.all_gather(gidx, shard_axis, axis=1, tiled=True)
+        return take_topk(all_vals, all_idx, k)
+
+    return jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(), P(shard_axis, None), P(shard_axis), P(shard_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, vectors, norms, valid)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _sharded_scatter_set(vectors, norms, valid, slots, new_vecs, new_norms):
+    """Global scatter into sharded arrays — XLA routes rows to owning devices."""
+    vectors = vectors.at[slots].set(new_vecs.astype(vectors.dtype), mode="drop")
+    norms = norms.at[slots].set(new_norms, mode="drop")
+    valid = valid.at[slots].set(True, mode="drop")
+    return vectors, norms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _sharded_invalidate(valid, slots):
+    return valid.at[slots].set(False, mode="drop")
+
+
+class ShardedFlatIndex(VectorIndex):
+    """Mesh-sharded exact index: same VectorIndex contract as FlatDeviceIndex but
+    the corpus rows live distributed across the ``shard`` mesh axis.
+
+    Slot assignment is round-robin across shards so load stays balanced (the
+    static-block analog of the reference's consistent-hash ring, shard.rs:164-372).
+    """
+
+    kind = "sharded_flat"
+
+    def __init__(
+        self,
+        dimension: int,
+        mesh: Optional[Mesh] = None,
+        metric: str = "cosine",
+        storage_dtype: str = "bfloat16",
+        shard_capacity: int = 4096,
+        shard_axis: str = "shard",
+        search_chunk: int = 65536,
+    ):
+        self._dim = dimension
+        self.metric = metric
+        self.mesh = mesh if mesh is not None else make_mesh(shard_axis=shard_axis)
+        self.shard_axis = shard_axis
+        self.n_shards = self.mesh.shape[shard_axis]
+        self.shard_capacity = shard_capacity
+        self.search_chunk = search_chunk
+        self.storage_dtype = jnp.dtype(storage_dtype)
+        self._row_sharding = NamedSharding(self.mesh, P(shard_axis, None))
+        self._vec_sharding = NamedSharding(self.mesh, P(shard_axis))
+        self._repl = NamedSharding(self.mesh, P())
+        cap = self.n_shards * shard_capacity
+        self.capacity = cap
+        self.vectors = jax.device_put(
+            jnp.zeros((cap, dimension), dtype=self.storage_dtype), self._row_sharding
+        )
+        self.norms = jax.device_put(jnp.zeros((cap,), jnp.float32), self._vec_sharding)
+        self.valid = jax.device_put(jnp.zeros((cap,), jnp.bool_), self._vec_sharding)
+        self._id_to_slot: Dict[str, int] = {}
+        self._slot_to_id: List[Optional[str]] = [None] * cap
+        # Per-shard free lists + next pointers for round-robin placement.
+        self._next_in_shard = [0] * self.n_shards
+        self._free: List[List[int]] = [[] for _ in range(self.n_shards)]
+        self._rr = 0
+
+    @property
+    def dimension(self) -> int:
+        return self._dim
+
+    def __len__(self) -> int:
+        return len(self._id_to_slot)
+
+    # -- slot assignment --------------------------------------------------------
+
+    def _alloc_slot(self) -> int:
+        for _ in range(self.n_shards):
+            s = self._rr
+            self._rr = (self._rr + 1) % self.n_shards
+            if self._free[s]:
+                return self._free[s].pop()
+            if self._next_in_shard[s] < self.shard_capacity:
+                slot = s * self.shard_capacity + self._next_in_shard[s]
+                self._next_in_shard[s] += 1
+                return slot
+        raise MemoryError(
+            f"sharded index full ({self.n_shards}x{self.shard_capacity}); "
+            "resize via redistribute()"
+        )
+
+    # -- mutation -----------------------------------------------------------------
+
+    def add_batch(self, ids: Sequence[str], vectors: np.ndarray) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.shape[1] != self._dim:
+            raise DimensionMismatchError(self._dim, vectors.shape[1])
+        if not len(ids):
+            return
+        last = {i: p for p, i in enumerate(ids)}
+        if len(last) != len(ids):
+            keep = sorted(last.values())
+            ids = [ids[p] for p in keep]
+            vectors = vectors[keep]
+        slots = np.empty(len(ids), dtype=np.int32)
+        for i, id_ in enumerate(ids):
+            slot = self._id_to_slot.get(id_)
+            if slot is None:
+                slot = self._alloc_slot()
+                self._id_to_slot[id_] = slot
+                self._slot_to_id[slot] = id_
+            slots[i] = slot
+        norms = np.linalg.norm(vectors, axis=1).astype(np.float32)
+        m = next_bucket(len(ids), base=64)
+        self.vectors, self.norms, self.valid = _sharded_scatter_set(
+            self.vectors, self.norms, self.valid,
+            jax.device_put(jnp.asarray(pad_rows(slots, m, fill=-1)), self._repl),
+            jax.device_put(jnp.asarray(pad_rows(vectors, m)), self._repl),
+            jax.device_put(jnp.asarray(pad_rows(norms, m)), self._repl),
+        )
+
+    def remove_batch(self, ids: Sequence[str]) -> int:
+        slots = []
+        for i in ids:
+            s = self._id_to_slot.pop(i, None)
+            if s is not None:
+                self._slot_to_id[s] = None
+                self._free[s // self.shard_capacity].append(s)
+                slots.append(s)
+        if not slots:
+            return 0
+        m = next_bucket(len(slots), base=64)
+        self.valid = _sharded_invalidate(
+            self.valid,
+            jax.device_put(
+                jnp.asarray(pad_rows(np.asarray(slots, np.int32), m, fill=-1)), self._repl
+            ),
+        )
+        return len(slots)
+
+    def clear(self) -> None:
+        self.__init__(
+            self._dim, mesh=self.mesh, metric=self.metric,
+            storage_dtype=str(self.storage_dtype), shard_capacity=self.shard_capacity,
+            shard_axis=self.shard_axis, search_chunk=self.search_chunk,
+        )
+
+    # -- search ---------------------------------------------------------------------
+
+    def search_batch(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.shape[1] != self._dim:
+            raise DimensionMismatchError(self._dim, queries.shape[1])
+        b = queries.shape[0]
+        if b == 0 or not self._id_to_slot:
+            return [[] for _ in range(b)]
+        bb = next_bucket(b, base=8)
+        q = jax.device_put(jnp.asarray(pad_rows(queries, bb)), self._repl)
+        chunk = min(self.search_chunk, self.shard_capacity)
+        vals, idxs = sharded_scored_topk(
+            q, self.vectors, self.norms, self.valid,
+            k=k, metric=self.metric, chunk=chunk, mesh=self.mesh,
+            shard_axis=self.shard_axis,
+        )
+        vals, idxs = np.asarray(vals)[:b], np.asarray(idxs)[:b]
+        out: List[List[SearchHit]] = []
+        for rv, ri in zip(vals, idxs):
+            hits = []
+            for v, i in zip(rv, ri):
+                if not np.isfinite(v):
+                    continue
+                id_ = self._slot_to_id[int(i)]
+                if id_ is not None:
+                    hits.append((id_, float(v)))
+            out.append(hits)
+        return out
+
+    # -- resharding (the reference's shard migration, shard.rs:925-1674) -------------
+
+    def redistribute(self, new_mesh: Mesh, shard_capacity: Optional[int] = None) -> None:
+        """Re-place the corpus on a different mesh (node join/leave): read back
+        live rows and re-ingest under the new static block assignment."""
+        ids, vecs = self.get_all()
+        self.__init__(
+            self._dim, mesh=new_mesh, metric=self.metric,
+            storage_dtype=str(self.storage_dtype),
+            shard_capacity=shard_capacity or self.shard_capacity,
+            shard_axis=self.shard_axis, search_chunk=self.search_chunk,
+        )
+        if ids:
+            self.add_batch(ids, vecs)
+
+    # -- introspection ------------------------------------------------------------------
+
+    def get_vector(self, id_: str) -> Optional[np.ndarray]:
+        slot = self._id_to_slot.get(id_)
+        if slot is None:
+            return None
+        return np.asarray(self.vectors[slot], dtype=np.float32)
+
+    def get_all(self) -> Tuple[List[str], np.ndarray]:
+        items = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
+        if not items:
+            return [], np.zeros((0, self._dim), dtype=np.float32)
+        ids = [i for i, _ in items]
+        slots = np.asarray([s for _, s in items], dtype=np.int64)
+        vecs = np.asarray(self.vectors, dtype=np.float32)[slots]
+        return ids, vecs
+
+    def get_stats(self) -> IndexStats:
+        per_shard_live = [0] * self.n_shards
+        for s in self._id_to_slot.values():
+            per_shard_live[s // self.shard_capacity] += 1
+        return IndexStats(
+            point_count=len(self._id_to_slot),
+            dimension=self._dim,
+            capacity=self.capacity,
+            kind=self.kind,
+            memory_usage_mb=self.capacity * (self.storage_dtype.itemsize * self._dim + 5) / 1e6,
+            extra={f"shard_{i}_points": float(c) for i, c in enumerate(per_shard_live)},
+        )

@@ -1,0 +1,211 @@
+"""End-to-end database tests — the slice from SURVEY.md §7.2 plus the
+reference's own lib.rs test suite shapes (CRUD roundtrip, semantic/hybrid
+search, concurrent no-deadlock with timeout, batch-insert perf smoke;
+lib.rs:827-1057)."""
+
+import concurrent.futures
+import time
+
+import numpy as np
+import pytest
+
+from grape_vector_db_tpu import (
+    Condition,
+    Document,
+    EmbeddedConfig,
+    EmbeddedVectorDB,
+    Filter,
+    HybridSearchRequest,
+    SearchRequest,
+    VectorDatabase,
+    VectorDbConfig,
+)
+from grape_vector_db_tpu.embedded import CheckStatus, DbState
+
+
+def small_config(dim=32, **over):
+    cfg = VectorDbConfig(vector_dimension=dim)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.initial_capacity = 256
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def make_docs(n, prefix="doc"):
+    return [
+        Document(
+            id=f"{prefix}-{i}",
+            title=f"Title {i}",
+            content=f"the content body of document number {i} talks about topic{i % 5}",
+            metadata={"category": "even" if i % 2 == 0 else "odd", "rank": i},
+        )
+        for i in range(n)
+    ]
+
+
+def test_crud_roundtrip():
+    db = VectorDatabase(config=small_config())
+    docs = make_docs(20)
+    ids = db.batch_add_documents(docs)
+    assert len(ids) == 20
+    got = db.get_document("doc-7")
+    assert got.title == "Title 7" and got.vector is not None
+
+    assert db.delete_document("doc-7")
+    assert db.get_document("doc-7") is None
+    assert not db.delete_document("doc-7")
+    st = db.stats()
+    assert st.document_count == 19 and st.index_size == 19
+
+
+def test_semantic_search_self_retrieval():
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(50))
+    # mock embedder is deterministic: querying with a doc's own text returns it
+    res = db.search_documents("Title 13 the content body of document number 13 talks about topic3")
+    assert res
+    # exact embedding match must rank first
+    doc13 = db.get_document("doc-13")
+    hits = db.vector_search(SearchRequest(vector=doc13.vector, limit=5))
+    assert hits[0].id == "doc-13"
+    assert hits[0].score > 0.99
+
+
+def test_filtered_vector_search():
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(40))
+    doc6 = db.get_document("doc-6")
+    req = SearchRequest(
+        vector=doc6.vector, limit=10,
+        filter=Filter(must=[Condition("category", "eq", "odd")]),
+    )
+    hits = db.vector_search(req)
+    assert hits
+    assert all(int(h.id.split("-")[1]) % 2 == 1 for h in hits)
+
+
+def test_hybrid_search_e2e():
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(30))
+    res = db.hybrid_search(HybridSearchRequest(query="document number 11", limit=5))
+    assert res
+    assert any(r.document.id == "doc-11" for r in res)
+    assert res[0].breakdown is not None
+
+
+def test_persistence_and_reopen(tmp_path):
+    path = str(tmp_path / "db")
+    cfg = small_config()
+    db = VectorDatabase(path=path, config=cfg)
+    db.batch_add_documents(make_docs(25))
+    doc3_vec = db.get_document("doc-3").vector
+    db.close()
+
+    db2 = VectorDatabase(path=path, config=small_config())
+    assert db2.stats().document_count == 25
+    hits = db2.vector_search(SearchRequest(vector=doc3_vec, limit=3))
+    assert hits[0].id == "doc-3"
+    db2.close()
+
+
+def test_backup_restore_e2e(tmp_path):
+    path, bak = str(tmp_path / "db"), str(tmp_path / "bak.gvdb")
+    db = VectorDatabase(path=path, config=small_config())
+    db.batch_add_documents(make_docs(15))
+    db.create_backup(bak)
+    db.batch_delete_documents([f"doc-{i}" for i in range(10)])
+    assert db.stats().document_count == 5
+    db.restore_backup(bak)
+    assert db.stats().document_count == 15
+    assert db.stats().index_size == 15
+    db.close()
+
+
+def test_rebuild_index():
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(12))
+    n = db.rebuild_index()
+    assert n == 12
+    doc5 = db.get_document("doc-5")
+    assert db.vector_search(SearchRequest(vector=doc5.vector, limit=1))[0].id == "doc-5"
+
+
+def test_concurrent_no_deadlock():
+    """20-task concurrent ops with a 10s wall-clock assertion (lib.rs:939-1010)."""
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(50))
+    t0 = time.monotonic()
+
+    def work(i):
+        if i % 3 == 0:
+            db.batch_add_documents(make_docs(5, prefix=f"w{i}"))
+        elif i % 3 == 1:
+            doc = db.get_document(f"doc-{i % 50}")
+            if doc:
+                db.vector_search(SearchRequest(vector=doc.vector, limit=5))
+        else:
+            db.search_documents(f"document number {i % 50}")
+        return True
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(work, range(20)))
+    assert all(results)
+    assert time.monotonic() - t0 < 10.0, "concurrent ops took too long (deadlock?)"
+
+
+def test_batch_insert_perf_smoke():
+    """50-doc batch insert must be fast (<1s target, bin/concurrent_insert_test.rs:23)."""
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(5))  # warm jit
+    t0 = time.monotonic()
+    db.batch_add_documents(make_docs(50, prefix="perf"))
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_embedded_lifecycle(tmp_path):
+    cfg = EmbeddedConfig(data_dir=str(tmp_path / "edb"), db=small_config())
+    cfg.health_check_interval_s = 0  # no background thread in tests
+    with EmbeddedVectorDB(cfg) as edb:
+        assert edb.state == DbState.READY
+        ids = edb.upsert(make_docs(10))
+        assert len(ids) == 10
+        doc = edb.get("doc-2")
+        hits = edb.vector_search(SearchRequest(vector=doc.vector, limit=3))
+        assert hits[0].id == "doc-2"
+        health = edb.health_check()
+        assert health.status == CheckStatus.HEALTHY
+        assert edb.stats().document_count == 10
+    assert edb.state == DbState.CLOSED
+    from grape_vector_db_tpu.errors import StateError
+    with pytest.raises(StateError):
+        edb.get("doc-2")
+
+
+def test_embedded_async(tmp_path):
+    import asyncio
+
+    cfg = EmbeddedConfig(data_dir=str(tmp_path / "adb"), db=small_config())
+    cfg.health_check_interval_s = 0
+
+    async def main():
+        edb = EmbeddedVectorDB(cfg)
+        await edb.upsert_async(make_docs(8))
+        doc = edb.get("doc-1")
+        hits = await edb.vector_search_async(SearchRequest(vector=doc.vector, limit=2))
+        assert hits[0].id == "doc-1"
+        edb.close()
+
+    asyncio.run(main())
+
+
+def test_binary_index_db_mode():
+    cfg = small_config(dim=64)
+    cfg.index.kind = "binary"
+    cfg.index.initial_capacity = 512
+    cfg.index.rescore_ratio = 0.3
+    db = VectorDatabase(config=cfg)
+    db.batch_add_documents(make_docs(100))
+    doc = db.get_document("doc-42")
+    hits = db.vector_search(SearchRequest(vector=doc.vector, limit=5))
+    assert hits[0].id == "doc-42"

@@ -1,0 +1,139 @@
+"""Filter engine tests: every operator, set algebra, geo, SQL parsing —
+including the operators the reference left stubbed (filtering.rs:430-431,
+572-592)."""
+
+import numpy as np
+import pytest
+
+from grape_vector_db_tpu.engine.filtering import FilterEngine, haversine_m, parse_sql_where
+from grape_vector_db_tpu.types import Condition, Filter
+
+
+@pytest.fixture
+def engine():
+    e = FilterEngine()
+    docs = {
+        "d1": {"category": "tech", "price": 10, "tags": ["gpu", "tpu"],
+               "loc": {"lat": 37.77, "lon": -122.42}, "title": "TPU guide"},
+        "d2": {"category": "tech", "price": 50, "tags": ["cpu"],
+               "loc": {"lat": 40.71, "lon": -74.00}, "title": "CPU handbook"},
+        "d3": {"category": "food", "price": 5, "nested": {"a": {"b": 7}},
+               "title": "Pasta recipes"},
+        "d4": {"category": "food", "price": 20, "tags": ["pasta", "tpu"]},
+    }
+    for i, m in docs.items():
+        e.index_document(i, m)
+    return e
+
+
+def q(engine, node):
+    return set(engine.execute_filter(node))
+
+
+def test_eq_ne_in(engine):
+    assert q(engine, Condition("category", "eq", "tech")) == {"d1", "d2"}
+    assert q(engine, Condition("category", "ne", "tech")) == {"d3", "d4"}
+    assert q(engine, Condition("category", "in", ["tech", "food"])) == {"d1", "d2", "d3", "d4"}
+
+
+def test_numeric_ranges(engine):
+    assert q(engine, Condition("price", "gt", 10)) == {"d2", "d4"}
+    assert q(engine, Condition("price", "gte", 10)) == {"d1", "d2", "d4"}
+    assert q(engine, Condition("price", "lt", 10)) == {"d3"}
+    assert q(engine, Condition("price", "lte", 10)) == {"d1", "d3"}
+
+
+def test_like_and_text_match(engine):
+    assert q(engine, Condition("title", "like", "%guide%")) == {"d1"}
+    assert q(engine, Condition("title", "like", "C_U handbook")) == {"d2"}
+    assert q(engine, Condition("title", "text_match", "pasta")) == {"d3"}
+
+
+def test_exists_null_array(engine):
+    assert q(engine, Condition("tags", "exists")) == {"d1", "d2", "d4"}
+    assert q(engine, Condition("tags", "is_null")) == {"d3"}
+    assert q(engine, Condition("tags", "array_contains", "tpu")) == {"d1", "d4"}
+
+
+def test_nested_paths(engine):
+    assert q(engine, Condition("nested.a.b", "eq", 7)) == {"d3"}
+    assert q(engine, Condition("nested.a.b", "gte", 5)) == {"d3"}
+
+
+def test_logical_combinators(engine):
+    f = Filter(
+        must=[Condition("category", "eq", "tech")],
+        must_not=[Condition("price", "gt", 20)],
+    )
+    assert q(engine, f) == {"d1"}
+    f2 = Filter(should=[Condition("price", "lt", 6), Condition("price", "gt", 40)])
+    assert q(engine, f2) == {"d2", "d3"}
+    nested = Filter(must=[f2, Condition("category", "eq", "food")])
+    assert q(engine, nested) == {"d3"}
+
+
+def test_geo_within_distance(engine):
+    # 10 km around San Francisco: only d1
+    got = q(engine, Condition("loc", "geo_within_distance",
+                              {"lat": 37.7749, "lon": -122.4194, "radius_m": 10_000}))
+    assert got == {"d1"}
+    # coast-to-coast radius captures both
+    got = q(engine, Condition("loc", "geo_within_distance",
+                              {"lat": 39.0, "lon": -98.0, "radius_m": 4_000_000}))
+    assert got == {"d1", "d2"}
+
+
+def test_geo_bbox(engine):
+    got = q(engine, Condition("loc", "geo_bounding_box",
+                              {"min_lat": 35, "max_lat": 39, "min_lon": -125, "max_lon": -120}))
+    assert got == {"d1"}
+
+
+def test_haversine_known_distance():
+    # SF -> NYC ~ 4130 km
+    d = haversine_m(37.7749, -122.4194, 40.7128, -74.0060)
+    assert 4.0e6 < float(d) < 4.3e6
+
+
+def test_remove_and_reindex(engine):
+    engine.remove_document("d1")
+    assert q(engine, Condition("category", "eq", "tech")) == {"d2"}
+    engine.index_document("d1", {"category": "food"})
+    assert q(engine, Condition("category", "eq", "food")) == {"d1", "d3", "d4"}
+
+
+def test_mask_for_slots(engine):
+    slots = ["d1", "d2", None, "d3", "d4"]
+    mask = engine.mask_for_slots(Condition("category", "eq", "tech"), slots)
+    np.testing.assert_array_equal(mask, [True, True, False, False, False])
+
+
+# -- SQL parser ----------------------------------------------------------------
+
+
+def test_sql_simple(engine):
+    f = parse_sql_where("category = 'tech' AND price >= 10")
+    assert q(engine, f) == {"d1", "d2"}
+
+
+def test_sql_or_not_parens(engine):
+    f = parse_sql_where("(category = 'food' OR price > 40) AND NOT price < 6")
+    assert q(engine, f) == {"d2", "d4"}
+
+
+def test_sql_like_in_null(engine):
+    assert q(engine, parse_sql_where("title LIKE '%handbook%'")) == {"d2"}
+    assert q(engine, parse_sql_where("category IN ('food')")) == {"d3", "d4"}
+    assert q(engine, parse_sql_where("tags IS NULL")) == {"d3"}
+    assert q(engine, parse_sql_where("tags IS NOT NULL")) == {"d1", "d2", "d4"}
+
+
+def test_sql_between(engine):
+    assert q(engine, parse_sql_where("price BETWEEN 6 AND 25")) == {"d1", "d4"}
+
+
+def test_sql_where_prefix_and_errors(engine):
+    assert q(engine, parse_sql_where("WHERE price = 5")) == {"d3"}
+    from grape_vector_db_tpu.errors import InvalidArgumentError
+    with pytest.raises(InvalidArgumentError):
+        parse_sql_where("price ===")

@@ -1,0 +1,127 @@
+"""Index-layer tests: upsert/delete/search on FlatDeviceIndex and
+BinaryDeviceIndex, growth across capacity buckets, recall vs oracle."""
+
+import numpy as np
+import pytest
+
+from grape_vector_db_tpu.index import FlatDeviceIndex, BinaryDeviceIndex
+
+
+def make_data(rng, n, d):
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"doc-{i}" for i in range(n)]
+    return ids, vecs
+
+
+def oracle_topk(qs, ids, vecs, k):
+    qn = qs / np.maximum(np.linalg.norm(qs, axis=-1, keepdims=True), 1e-12)
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=-1, keepdims=True), 1e-12)
+    scores = qn @ vn.T
+    out = []
+    for row in scores:
+        order = np.argsort(-row)[:k]
+        out.append([ids[i] for i in order])
+    return out
+
+
+@pytest.mark.parametrize("cls", [FlatDeviceIndex, BinaryDeviceIndex])
+def test_crud_roundtrip(rng, cls):
+    idx = cls(dimension=32, storage_dtype="float32", initial_capacity=64)
+    ids, vecs = make_data(rng, 50, 32)
+    idx.add_batch(ids, vecs)
+    assert len(idx) == 50
+    got = idx.get_vector("doc-7")
+    np.testing.assert_allclose(got, vecs[7], rtol=1e-6)
+
+    # overwrite an id in place
+    new_vec = rng.standard_normal(32).astype(np.float32)
+    idx.add("doc-7", new_vec)
+    assert len(idx) == 50
+    np.testing.assert_allclose(idx.get_vector("doc-7"), new_vec, rtol=1e-6)
+
+    assert idx.remove("doc-7")
+    assert not idx.remove("doc-7")
+    assert len(idx) == 49
+    assert idx.get_vector("doc-7") is None
+    # removed doc never comes back in search
+    hits = idx.search(new_vec, k=10)
+    assert all(h[0] != "doc-7" for h in hits)
+
+
+def test_flat_exact_recall(rng):
+    idx = FlatDeviceIndex(dimension=48, storage_dtype="float32", initial_capacity=256)
+    ids, vecs = make_data(rng, 200, 48)
+    idx.add_batch(ids, vecs)
+    qs = rng.standard_normal((8, 48)).astype(np.float32)
+    got = idx.search_batch(qs, k=10)
+    want = oracle_topk(qs, ids, vecs, 10)
+    for g, w in zip(got, want):
+        assert [h[0] for h in g] == w  # exact search: identical ranking
+
+
+def test_growth_across_buckets(rng):
+    idx = FlatDeviceIndex(dimension=16, storage_dtype="float32", initial_capacity=64)
+    ids, vecs = make_data(rng, 500, 16)
+    for start in range(0, 500, 100):
+        idx.add_batch(ids[start:start + 100], vecs[start:start + 100])
+    assert len(idx) == 500
+    assert idx.capacity >= 512
+    got_ids, got_vecs = idx.get_all()
+    assert got_ids == ids
+    np.testing.assert_allclose(got_vecs, vecs, rtol=1e-6)
+
+
+def test_slot_reuse_after_delete(rng):
+    idx = FlatDeviceIndex(dimension=16, storage_dtype="float32", initial_capacity=64)
+    ids, vecs = make_data(rng, 40, 16)
+    idx.add_batch(ids, vecs)
+    idx.remove_batch(ids[:20])
+    ids2 = [f"new-{i}" for i in range(20)]
+    vecs2 = rng.standard_normal((20, 16)).astype(np.float32)
+    idx.add_batch(ids2, vecs2)
+    assert len(idx) == 40
+    assert idx.capacity == 64  # tombstoned slots were recycled, no growth
+    hits = idx.search(vecs2[3], k=1)
+    assert hits[0][0] == "new-3"
+
+
+def test_binary_two_stage_recall(rng):
+    """Two-stage (Hamming pre-scan + rescore) must beat Hamming-only recall by a
+    wide margin — the reference's pure-Hamming recall@5 was 17%
+    (docs/week5-6-binary-quantization.md:62)."""
+    d, n, k = 128, 2000, 5
+    idx = BinaryDeviceIndex(
+        dimension=d, storage_dtype="float32", initial_capacity=2048,
+        rescore_ratio=0.5, max_rescore=1024,
+    )
+    ids, vecs = make_data(rng, n, d)
+    idx.add_batch(ids, vecs)
+    qs = vecs[:32] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+    want = oracle_topk(qs, ids, vecs, k)
+
+    two_stage = idx.search_batch(qs, k=k)
+    ham_only = idx.hamming_only_topk(qs, k=k)
+
+    def recall(got):
+        hit = sum(len(set(h[0] for h in g) & set(w)) for g, w in zip(got, want))
+        return hit / (len(want) * k)
+
+    r2, r1 = recall(two_stage), recall(ham_only)
+    assert r2 >= 0.95, f"two-stage recall {r2}"
+    assert r2 > r1, f"rescoring should improve over hamming-only ({r2} vs {r1})"
+
+
+def test_duplicate_ids_in_batch_last_wins(rng):
+    idx = FlatDeviceIndex(dimension=8, storage_dtype="float32", initial_capacity=64)
+    v1 = rng.standard_normal(8).astype(np.float32)
+    v2 = rng.standard_normal(8).astype(np.float32)
+    idx.add_batch(["a", "a"], np.stack([v1, v2]))
+    assert len(idx) == 1
+    np.testing.assert_allclose(idx.get_vector("a"), v2, rtol=1e-6)
+
+
+def test_dimension_mismatch(rng):
+    from grape_vector_db_tpu.errors import DimensionMismatchError
+    idx = FlatDeviceIndex(dimension=8, storage_dtype="float32")
+    with pytest.raises(DimensionMismatchError):
+        idx.add_batch(["a"], rng.standard_normal((1, 9)).astype(np.float32))

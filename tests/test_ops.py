@@ -1,0 +1,120 @@
+"""Kernel-level tests: distance scan, top-k merge, Hamming packing/scan.
+
+Oracle is always float64 numpy over the same data (the reference tests its
+kernels the same way: algorithm-level checks, SURVEY.md §4.1).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grape_vector_db_tpu.ops import (
+    scored_topk,
+    merge_topk,
+    pack_bits,
+    hamming_scores,
+    hamming_topk,
+    words_per_vector,
+)
+
+
+def np_cosine(q, v):
+    qn = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    vn = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return qn @ vn.T
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_scored_topk_matches_numpy(rng, metric):
+    n, d, b, k = 512, 64, 4, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[100:120] = False
+
+    vals, idxs = scored_topk(
+        jnp.asarray(qs), jnp.asarray(vecs), jnp.asarray(np.linalg.norm(vecs, axis=1)),
+        jnp.asarray(valid), k=k, metric=metric, chunk=128,
+    )
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+
+    if metric == "cosine":
+        ref = np_cosine(qs, vecs)
+    elif metric == "dot":
+        ref = qs @ vecs.T
+    else:
+        ref = -((qs[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    ref = np.where(valid[None, :], ref, -np.inf)
+    ref_idx = np.argsort(-ref, axis=1)[:, :k]
+
+    for row in range(b):
+        assert set(idxs[row]) == set(ref_idx[row])
+        np.testing.assert_allclose(
+            vals[row], np.sort(ref[row])[::-1][:k], rtol=2e-3, atol=2e-3
+        )
+        # descending order
+        assert all(vals[row][i] >= vals[row][i + 1] - 1e-6 for i in range(k - 1))
+
+
+def test_scored_topk_fewer_valid_than_k(rng):
+    n, d = 128, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.zeros(n, dtype=bool)
+    valid[:3] = True
+    vals, idxs = scored_topk(
+        jnp.asarray(rng.standard_normal((1, d)).astype(np.float32)),
+        jnp.asarray(vecs), jnp.asarray(np.linalg.norm(vecs, axis=1)),
+        jnp.asarray(valid), k=10, metric="cosine", chunk=128,
+    )
+    vals = np.asarray(vals)[0]
+    assert np.isfinite(vals[:3]).all()
+    assert (vals[3:] == -np.inf).all()
+
+
+def test_merge_topk(rng):
+    va = np.array([[3.0, 1.0]]); ia = np.array([[7, 9]])
+    vb = np.array([[2.5, 0.5]]); ib = np.array([[100, 101]])
+    v, i = merge_topk(jnp.asarray(va), jnp.asarray(ia), jnp.asarray(vb), jnp.asarray(ib), k=3)
+    np.testing.assert_allclose(np.asarray(v)[0], [3.0, 2.5, 1.0])
+    np.testing.assert_array_equal(np.asarray(i)[0], [7, 100, 9])
+
+
+def test_pack_bits_roundtrip(rng):
+    for d in (32, 64, 100, 768):
+        x = rng.standard_normal((5, d)).astype(np.float32)
+        codes = np.asarray(pack_bits(jnp.asarray(x), 0.0))
+        assert codes.shape == (5, words_per_vector(d))
+        bits = (x > 0).astype(np.uint64)
+        # unpack and compare
+        unpacked = np.zeros((5, words_per_vector(d) * 32), dtype=np.uint64)
+        for w in range(codes.shape[1]):
+            for j in range(32):
+                unpacked[:, w * 32 + j] = (codes[:, w] >> j) & 1
+        np.testing.assert_array_equal(unpacked[:, :d], bits)
+        assert (unpacked[:, d:] == 0).all()
+
+
+def test_hamming_scores_matches_numpy(rng):
+    d = 96
+    a = rng.standard_normal((3, d)).astype(np.float32)
+    b = rng.standard_normal((17, d)).astype(np.float32)
+    ca, cb = pack_bits(jnp.asarray(a), 0.0), pack_bits(jnp.asarray(b), 0.0)
+    got = np.asarray(hamming_scores(ca, cb))
+    ba, bb = (a > 0), (b > 0)
+    ref = (ba[:, None, :] != bb[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hamming_topk(rng):
+    n, d, k = 256, 64, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = x[:2] + 0.01 * rng.standard_normal((2, d)).astype(np.float32)
+    codes = pack_bits(jnp.asarray(x), 0.0)
+    qcodes = pack_bits(jnp.asarray(q), 0.0)
+    valid = np.ones(n, dtype=bool)
+    dists, idxs = hamming_topk(qcodes, codes, jnp.asarray(valid), k=k, chunk=64)
+    dists, idxs = np.asarray(dists), np.asarray(idxs)
+    # nearest neighbor of a barely-perturbed vector is itself
+    assert idxs[0, 0] == 0 and idxs[1, 0] == 1
+    # ascending distances
+    assert (np.diff(dists, axis=1) >= 0).all()

@@ -1,0 +1,74 @@
+"""Mesh-sharded search tests on the 8-device virtual CPU mesh: the sharded index
+must return exactly what the single-device exact index returns."""
+
+import numpy as np
+import pytest
+import jax
+
+from grape_vector_db_tpu.index import FlatDeviceIndex
+from grape_vector_db_tpu.parallel import ShardedFlatIndex, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.shape["shard"] == 8
+
+
+def test_sharded_matches_single_device(rng, mesh):
+    d, n, k = 32, 700, 10
+    ids = [f"doc-{i}" for i in range(n)]
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    sharded = ShardedFlatIndex(d, mesh=mesh, storage_dtype="float32", shard_capacity=128)
+    single = FlatDeviceIndex(d, storage_dtype="float32", initial_capacity=1024)
+    sharded.add_batch(ids, vecs)
+    single.add_batch(ids, vecs)
+    assert len(sharded) == n
+
+    qs = rng.standard_normal((5, d)).astype(np.float32)
+    got = sharded.search_batch(qs, k)
+    want = single.search_batch(qs, k)
+    for g, w in zip(got, want):
+        assert [h[0] for h in g] == [h[0] for h in w]
+        np.testing.assert_allclose(
+            [h[1] for h in g], [h[1] for h in w], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_sharded_balanced_placement(rng, mesh):
+    idx = ShardedFlatIndex(16, mesh=mesh, storage_dtype="float32", shard_capacity=64)
+    ids = [f"x-{i}" for i in range(80)]
+    idx.add_batch(ids, rng.standard_normal((80, 16)).astype(np.float32))
+    stats = idx.get_stats()
+    counts = [stats.extra[f"shard_{i}_points"] for i in range(8)]
+    assert max(counts) - min(counts) <= 1  # round-robin balance
+
+
+def test_sharded_delete_and_reuse(rng, mesh):
+    idx = ShardedFlatIndex(16, mesh=mesh, storage_dtype="float32", shard_capacity=32)
+    ids = [f"x-{i}" for i in range(50)]
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    idx.add_batch(ids, vecs)
+    assert idx.remove_batch(ids[:25]) == 25
+    assert len(idx) == 25
+    hits = idx.search_batch(vecs[30:31], 5)[0]
+    assert hits[0][0] == "x-30"
+    assert all(h[0] not in set(ids[:25]) for h in hits)
+    # reuse freed slots
+    idx.add_batch([f"y-{i}" for i in range(25)], rng.standard_normal((25, 16)).astype(np.float32))
+    assert len(idx) == 50
+
+
+def test_redistribute_to_smaller_mesh(rng, mesh):
+    idx = ShardedFlatIndex(16, mesh=mesh, storage_dtype="float32", shard_capacity=64)
+    ids = [f"x-{i}" for i in range(100)]
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    idx.add_batch(ids, vecs)
+    small_mesh = make_mesh(n_shards=4)
+    idx.redistribute(small_mesh, shard_capacity=64)
+    assert idx.n_shards == 4 and len(idx) == 100
+    hits = idx.search_batch(vecs[7:8], 3)[0]
+    assert hits[0][0] == "x-7"

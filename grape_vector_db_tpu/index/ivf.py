@@ -1,0 +1,394 @@
+"""IvfDeviceIndex — k-means partitioned search with per-query probing.
+
+The reference's ``FaissVectorIndex`` trains k-means/PQ but then linear-scans
+with cosine distance regardless of index type (index.rs:620-640). This is the
+real thing, TPU-shaped:
+
+- storage: ``[nlist, list_cap, D]`` bucketed device array — vectors grouped by
+  nearest centroid so a probe is a contiguous gather, not pointer chasing;
+- search: one ``[B, L]`` matmul scores queries against centroids, top-``nprobe``
+  lists are gathered per query and scored in a single batched einsum, masked
+  top-k maps winners back to global slots;
+- overflow: lists are fixed-capacity; spill goes to a flat exactly-scanned
+  region (the buffered "fresh partition" of SURVEY.md §7.1 step 3), folded in
+  by a top-k merge. ``optimize()`` retrains centroids and repacks everything.
+
+Trade-off vs the flat scan: compute drops from O(N) to O(nprobe * list_cap) per
+query at the cost of recall < 1 when the true neighbor's list isn't probed.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from grape_vector_db_tpu.errors import DimensionMismatchError
+from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
+from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+from grape_vector_db_tpu.ops.distance import prepare_queries
+from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
+from grape_vector_db_tpu.ops.topk import merge_topk
+from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+
+__all__ = ["IvfDeviceIndex"]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _ivf_scatter(vecs, norms, valid, list_ids, positions, new_vecs, new_norms):
+    """Scatter rows into [nlist, cap, ...] buckets at (list, pos)."""
+    vecs = vecs.at[list_ids, positions].set(new_vecs.astype(vecs.dtype), mode="drop")
+    norms = norms.at[list_ids, positions].set(new_norms, mode="drop")
+    valid = valid.at[list_ids, positions].set(True, mode="drop")
+    return vecs, norms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _ivf_invalidate(valid, list_ids, positions):
+    return valid.at[list_ids, positions].set(False, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def _ivf_topk(
+    queries,      # [B, D] f32 raw
+    centroids,    # [L, D] f32
+    vecs,         # [L, C, D] storage dtype
+    norms,        # [L, C] f32
+    valid,        # [L, C] bool
+    k: int,
+    nprobe: int,
+    metric: str,
+):
+    """Probe top-nprobe lists per query, score gathered candidates, top-k.
+
+    Returns (scores [B, k], global slots [B, k]) with slot = list * C + pos.
+    """
+    b, d = queries.shape
+    l, c, _ = vecs.shape
+    q = prepare_queries(queries, metric)
+
+    # Stage 1: pick lists. Centroid affinity uses plain dot/L2 on f32.
+    cq = lax.dot_general(q, centroids, (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)       # [B, L]
+    if metric == "euclidean":
+        c2 = jnp.sum(centroids * centroids, axis=-1)[None, :]
+        cq = -(jnp.sum(q * q, axis=-1, keepdims=True) - 2 * cq + c2)
+    _, probe = lax.top_k(cq, min(nprobe, l))                        # [B, P]
+
+    # Stage 2: gather probed lists and score.
+    cand_vecs = vecs[probe]      # [B, P, C, D]
+    cand_norms = norms[probe]    # [B, P, C]
+    cand_valid = valid[probe]    # [B, P, C]
+    precision = (
+        lax.Precision.HIGHEST if vecs.dtype == jnp.float32 else lax.Precision.DEFAULT
+    )
+    dots = jnp.einsum(
+        "bd,bpcd->bpc", q.astype(vecs.dtype), cand_vecs,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    if metric == "cosine":
+        scores = dots / jnp.maximum(cand_norms, 1e-12)
+    elif metric == "dot":
+        scores = dots
+    else:
+        q_sq = jnp.sum(q * q, axis=-1)[:, None, None]
+        scores = -(q_sq - 2.0 * dots + cand_norms * cand_norms)
+    scores = jnp.where(cand_valid, scores, -jnp.inf)
+
+    p = probe.shape[1]
+    flat_scores = scores.reshape(b, p * c)
+    pos_in_list = jax.lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
+    gslot = (probe[:, :, None] * c + pos_in_list).reshape(b, p * c)
+    kk = min(k, p * c)
+    vals, idx = lax.top_k(flat_scores, kk)
+    slots = jnp.take_along_axis(gslot, idx, axis=1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
+    return vals, slots
+
+
+class IvfDeviceIndex(VectorIndex):
+    kind = "ivf"
+
+    def __init__(
+        self,
+        dimension: int,
+        metric: str = "cosine",
+        storage_dtype: str = "bfloat16",
+        initial_capacity: int = 4096,
+        growth_factor: int = 2,
+        nlist: int = 64,
+        nprobe: int = 8,
+        train_size: int = 50_000,
+        kmeans_iters: int = 10,
+        device: Optional[jax.Device] = None,
+    ):
+        self._dim = dimension
+        self.metric = metric
+        self.storage_dtype = jnp.dtype(storage_dtype)
+        self.nlist = nlist
+        self.nprobe = min(nprobe, nlist)
+        self.train_size = train_size
+        self.kmeans_iters = kmeans_iters
+        self._lock = threading.RLock()
+        # list capacity starts small and doubles on overflow pressure
+        self.list_cap = max(64, next_bucket(initial_capacity // max(nlist, 1), base=64))
+        self.centroids: Optional[jax.Array] = None  # [L, D] f32
+        self._alloc(self.list_cap)
+        # Overflow region: exact flat index holding spill until optimize().
+        self._overflow = FlatDeviceIndex(
+            dimension, metric=metric, storage_dtype=storage_dtype,
+            initial_capacity=1024, growth_factor=growth_factor, device=device,
+        )
+        # id -> (list, pos) or ("overflow", id kept in _overflow)
+        self._id_to_cell: Dict[str, Tuple[int, int]] = {}
+        self._next_pos = np.zeros(nlist, dtype=np.int64)
+        self._free: List[List[int]] = [[] for _ in range(nlist)]
+        self._cell_to_id: Dict[int, str] = {}
+
+    def _alloc(self, cap: int) -> None:
+        l, d = self.nlist, self._dim
+        self.vecs = jnp.zeros((l, cap, d), dtype=self.storage_dtype)
+        self.norms = jnp.zeros((l, cap), dtype=jnp.float32)
+        self.valid = jnp.zeros((l, cap), dtype=jnp.bool_)
+
+    @property
+    def dimension(self) -> int:
+        return self._dim
+
+    def __len__(self) -> int:
+        return len(self._id_to_cell) + len(self._overflow)
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    # -- training ---------------------------------------------------------------
+
+    def train(self, sample: np.ndarray, seed: int = 0) -> None:
+        """Fit centroids (index.rs train -> kmeans_clustering, but on device)."""
+        sample = np.asarray(sample, dtype=np.float32)
+        if sample.shape[0] < self.nlist:
+            raise ValueError(f"need >= nlist={self.nlist} training points")
+        if sample.shape[0] > self.train_size:
+            sel = np.random.default_rng(seed).choice(
+                sample.shape[0], self.train_size, replace=False
+            )
+            sample = sample[sel]
+        cents, _ = kmeans(jnp.asarray(sample), k=self.nlist, iters=self.kmeans_iters,
+                          seed=seed)
+        self.centroids = cents
+
+    # -- mutation -----------------------------------------------------------------
+
+    def add_batch(self, ids: Sequence[str], vectors: np.ndarray) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.shape[1] != self._dim:
+            raise DimensionMismatchError(self._dim, vectors.shape[1])
+        if not len(ids):
+            return
+        with self._lock:
+            # Remove any existing versions first (upsert semantics).
+            existing = [i for i in ids if i in self._id_to_cell or self._overflow.contains(i)]
+            if existing:
+                self.remove_batch(existing)
+            if self.centroids is None:
+                if len(self) + len(ids) >= self.nlist * 4:
+                    # Auto-train on first big enough batch (+ overflow backlog).
+                    o_ids, o_vecs = self._overflow.get_all()
+                    pool = np.concatenate([o_vecs, vectors]) if len(o_ids) else vectors
+                    self.train(pool)
+                    if o_ids:
+                        self._overflow.clear()
+                        self._place(o_ids, o_vecs)
+                else:
+                    self._overflow.add_batch(ids, vectors)
+                    return
+            self._place(list(ids), vectors)
+
+    def _place(self, ids: List[str], vectors: np.ndarray) -> None:
+        assign = np.asarray(assign_clusters(jnp.asarray(vectors), self.centroids))
+        list_ids = np.empty(len(ids), dtype=np.int32)
+        positions = np.empty(len(ids), dtype=np.int32)
+        spill_idx: List[int] = []
+        for i, (id_, lst) in enumerate(zip(ids, assign)):
+            lst = int(lst)
+            if self._free[lst]:
+                pos = self._free[lst].pop()
+            elif self._next_pos[lst] < self.list_cap:
+                pos = int(self._next_pos[lst])
+                self._next_pos[lst] += 1
+            else:
+                spill_idx.append(i)
+                list_ids[i] = -1
+                positions[i] = -1
+                continue
+            list_ids[i] = lst
+            positions[i] = pos
+            self._id_to_cell[id_] = (lst, pos)
+            self._cell_to_id[lst * self.list_cap + pos] = id_
+        keep = list_ids >= 0
+        if keep.any():
+            kv = vectors[keep]
+            m = next_bucket(int(keep.sum()), base=64)
+            self.vecs, self.norms, self.valid = _ivf_scatter(
+                self.vecs, self.norms, self.valid,
+                jnp.asarray(pad_rows(list_ids[keep], m, fill=-1)),
+                jnp.asarray(pad_rows(positions[keep], m, fill=-1)),
+                jnp.asarray(pad_rows(kv, m)),
+                jnp.asarray(pad_rows(np.linalg.norm(kv, axis=1).astype(np.float32), m)),
+            )
+        if spill_idx:
+            self._overflow.add_batch(
+                [ids[i] for i in spill_idx], vectors[spill_idx]
+            )
+
+    def remove_batch(self, ids: Sequence[str]) -> int:
+        with self._lock:
+            cells = []
+            n = 0
+            for i in ids:
+                cell = self._id_to_cell.pop(i, None)
+                if cell is not None:
+                    lst, pos = cell
+                    self._free[lst].append(pos)
+                    self._cell_to_id.pop(lst * self.list_cap + pos, None)
+                    cells.append(cell)
+                    n += 1
+            n += self._overflow.remove_batch([i for i in ids if i not in self._id_to_cell])
+            if cells:
+                arr = np.asarray(cells, dtype=np.int32)
+                m = next_bucket(len(cells), base=64)
+                self.valid = _ivf_invalidate(
+                    self.valid,
+                    jnp.asarray(pad_rows(arr[:, 0], m, fill=-1)),
+                    jnp.asarray(pad_rows(arr[:, 1], m, fill=-1)),
+                )
+            return n
+
+    def clear(self) -> None:
+        with self._lock:
+            self.centroids = None
+            self._alloc(self.list_cap)
+            self._overflow.clear()
+            self._id_to_cell.clear()
+            self._cell_to_id.clear()
+            self._next_pos = np.zeros(self.nlist, dtype=np.int64)
+            self._free = [[] for _ in range(self.nlist)]
+
+    # -- search -------------------------------------------------------------------
+
+    def search_batch(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.shape[1] != self._dim:
+            raise DimensionMismatchError(self._dim, queries.shape[1])
+        b = queries.shape[0]
+        if b == 0 or len(self) == 0:
+            return [[] for _ in range(b)]
+        with self._lock:
+            if self.centroids is None:
+                return self._overflow.search_batch(queries, k)
+            bb = next_bucket(b, base=8)
+            qp = pad_rows(queries, bb)
+            vals, slots = _ivf_topk(
+                jnp.asarray(qp), self.centroids, self.vecs, self.norms, self.valid,
+                k=k, nprobe=self.nprobe, metric=self.metric,
+            )
+            vals, slots = np.asarray(vals)[:b], np.asarray(slots)[:b]
+            if len(self._overflow):
+                o_vals, o_idx = self._overflow.raw_topk(qp, k)
+                o_hits = self._overflow.hits_from_slots(o_vals[:b], o_idx[:b])
+            else:
+                o_hits = [[] for _ in range(b)]
+        out: List[List[SearchHit]] = []
+        for row_v, row_s, extra in zip(vals, slots, o_hits):
+            hits: List[SearchHit] = []
+            for v, s in zip(row_v, row_s):
+                if not np.isfinite(v):
+                    continue
+                id_ = self._cell_to_id.get(int(s))
+                if id_ is not None:
+                    hits.append((id_, float(v)))
+            hits.extend(extra)
+            hits.sort(key=lambda h: -h[1])
+            # Dedup (an id can't be in both regions, but keep it robust).
+            seen = set()
+            uniq = []
+            for h in hits:
+                if h[0] not in seen:
+                    seen.add(h[0])
+                    uniq.append(h)
+            out.append(uniq[:k])
+        return out
+
+    # -- maintenance ----------------------------------------------------------------
+
+    def optimize(self) -> None:
+        """Retrain centroids on the full corpus and repack all lists (absorbs the
+        overflow region) — the reference's IndexOptimizer trigger target
+        (performance/index_optimizer.rs)."""
+        with self._lock:
+            ids, vecs = self.get_all()
+            if len(ids) < self.nlist:
+                return
+            self.clear()
+            self.train(vecs)
+            # Size lists to the retrained cluster histogram (with 25% headroom)
+            # so the repack absorbs the whole corpus without re-spilling.
+            counts = np.bincount(
+                np.asarray(assign_clusters(jnp.asarray(vecs), self.centroids)),
+                minlength=self.nlist,
+            )
+            need = int(counts.max())
+            if need > self.list_cap:
+                self.list_cap = next_bucket(int(need * 1.25) + 1, base=64)
+                self._alloc(self.list_cap)
+            self._place(ids, vecs)
+
+    # -- introspection ---------------------------------------------------------------
+
+    def get_vector(self, id_: str) -> Optional[np.ndarray]:
+        cell = self._id_to_cell.get(id_)
+        if cell is None:
+            return self._overflow.get_vector(id_)
+        lst, pos = cell
+        return np.asarray(self.vecs[lst, pos], dtype=np.float32)
+
+    def get_all(self) -> Tuple[List[str], np.ndarray]:
+        with self._lock:
+            ids: List[str] = []
+            rows: List[np.ndarray] = []
+            if self._id_to_cell:
+                cells = sorted(self._id_to_cell.items(), key=lambda kv: kv[1])
+                host = np.asarray(self.vecs, dtype=np.float32)
+                for id_, (lst, pos) in cells:
+                    ids.append(id_)
+                    rows.append(host[lst, pos])
+            main = np.stack(rows) if rows else np.zeros((0, self._dim), np.float32)
+            o_ids, o_vecs = self._overflow.get_all()
+            ids.extend(o_ids)
+            return ids, np.concatenate([main, o_vecs], axis=0)
+
+    def get_stats(self) -> IndexStats:
+        fill = [int(self._next_pos[i]) - len(self._free[i]) for i in range(self.nlist)]
+        return IndexStats(
+            point_count=len(self),
+            dimension=self._dim,
+            capacity=self.nlist * self.list_cap,
+            kind=self.kind,
+            is_built=self.is_trained,
+            memory_usage_mb=self.nlist * self.list_cap
+            * (self.storage_dtype.itemsize * self._dim + 5) / 1e6,
+            extra={
+                "nlist": float(self.nlist),
+                "nprobe": float(self.nprobe),
+                "overflow": float(len(self._overflow)),
+                "max_list_fill": float(max(fill) if fill else 0),
+            },
+        )

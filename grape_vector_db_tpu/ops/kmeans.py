@@ -1,0 +1,64 @@
+"""K-means as jitted matmul-argmin iterations.
+
+Replaces the reference's hand-rolled CPU k-means (index.rs:429-503
+`kmeans_clustering`) with the MXU form: each iteration is one
+``[N, D] x [D, K]`` matmul for assignment plus a segment-sum for the centroid
+update. Empty clusters keep their previous centroid (the reference re-seeds
+randomly; keeping is deterministic and jit-friendly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["kmeans", "assign_clusters"]
+
+
+def _pairwise_sq_dist(x: jax.Array, c: jax.Array) -> jax.Array:
+    """[N, D], [K, D] -> [N, K] squared L2 distances (f32 accumulation)."""
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)          # [N, 1]
+    c2 = jnp.sum(c * c, axis=-1)[None, :]                # [1, K]
+    xc = lax.dot_general(
+        x, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return x2 - 2.0 * xc + c2
+
+
+def assign_clusters(x: jax.Array, centroids: jax.Array) -> jax.Array:
+    """[N, D] -> [N] int32 nearest-centroid ids."""
+    return jnp.argmin(_pairwise_sq_dist(x, centroids), axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans(
+    x: jax.Array, k: int, iters: int = 10, seed: int = 0
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd's algorithm on device. Returns (centroids [k, D], assignment [N]).
+
+    x must be f32 [N, D] with N >= k.
+    """
+    n, d = x.shape
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
+    centroids = x[init_idx]
+
+    def step(centroids, _):
+        assign = assign_clusters(x, centroids)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)      # [N, K]
+        counts = jnp.sum(one_hot, axis=0)                           # [K]
+        sums = lax.dot_general(
+            one_hot, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                           # [K, D]
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        # Empty clusters keep their previous centroid.
+        new_c = jnp.where((counts > 0)[:, None], new_c, centroids)
+        return new_c, None
+
+    centroids, _ = lax.scan(step, centroids, None, length=iters)
+    return centroids, assign_clusters(x, centroids)

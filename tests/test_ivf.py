@@ -1,0 +1,108 @@
+"""IVF index tests: k-means, probing recall, overflow spill, optimize repack."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+from grape_vector_db_tpu.index import FlatDeviceIndex
+from grape_vector_db_tpu.ops.kmeans import kmeans, assign_clusters
+
+
+def clustered_data(rng, n_clusters=8, per=100, d=32, spread=0.05):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 3
+    pts = np.concatenate(
+        [c + spread * rng.standard_normal((per, d)).astype(np.float32) for c in centers]
+    )
+    return centers, pts
+
+
+def test_kmeans_recovers_clusters(rng):
+    centers, pts = clustered_data(rng)
+    cents, assign = kmeans(jnp.asarray(pts), k=8, iters=15)
+    cents, assign = np.asarray(cents), np.asarray(assign)
+    # every true cluster should map to one recovered centroid (within spread)
+    d = np.linalg.norm(centers[:, None, :] - cents[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 0.5).all()
+    # points in the same true cluster get the same label (overwhelmingly)
+    labels = assign.reshape(8, 100)
+    agree = (labels == np.median(labels, axis=1, keepdims=True)).mean()
+    assert agree > 0.95
+
+
+def test_ivf_recall_on_clustered_data(rng):
+    _, pts = clustered_data(rng, n_clusters=16, per=64)
+    ids = [f"p{i}" for i in range(len(pts))]
+    ivf = IvfDeviceIndex(32, storage_dtype="float32", nlist=16, nprobe=4,
+                         initial_capacity=2048)
+    flat = FlatDeviceIndex(32, storage_dtype="float32", initial_capacity=2048)
+    ivf.add_batch(ids, pts)
+    flat.add_batch(ids, pts)
+    assert ivf.is_trained
+    qs = pts[::97][:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32)
+    got = ivf.search_batch(qs, 10)
+    want = flat.search_batch(qs, 10)
+    recall = np.mean([
+        len({h[0] for h in g} & {h[0] for h in w}) / 10 for g, w in zip(got, want)
+    ])
+    assert recall >= 0.9, f"ivf recall {recall}"
+
+
+def test_ivf_untrained_falls_back_to_exact(rng):
+    ivf = IvfDeviceIndex(16, storage_dtype="float32", nlist=32, nprobe=4)
+    vecs = rng.standard_normal((20, 16)).astype(np.float32)  # < nlist*4: stays flat
+    ivf.add_batch([f"a{i}" for i in range(20)], vecs)
+    assert not ivf.is_trained
+    hits = ivf.search_batch(vecs[3:4], 3)[0]
+    assert hits[0][0] == "a3"
+
+
+def test_ivf_auto_train_absorbs_backlog(rng):
+    ivf = IvfDeviceIndex(16, storage_dtype="float32", nlist=8, nprobe=8,
+                         initial_capacity=1024)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    ivf.add_batch([f"a{i}" for i in range(10)], vecs[:10])   # backlog
+    assert not ivf.is_trained
+    ivf.add_batch([f"a{i}" for i in range(10, 100)], vecs[10:])  # triggers train
+    assert ivf.is_trained
+    assert len(ivf) == 100
+    hits = ivf.search_batch(vecs[5:6], 1)[0]  # backlog point is searchable
+    assert hits[0][0] == "a5"
+
+
+def test_ivf_delete_upsert(rng):
+    _, pts = clustered_data(rng, n_clusters=8, per=16, d=16)
+    ivf = IvfDeviceIndex(16, storage_dtype="float32", nlist=8, nprobe=8)
+    ids = [f"p{i}" for i in range(len(pts))]
+    ivf.add_batch(ids, pts)
+    assert ivf.remove_batch(["p0", "p1"]) == 2
+    assert len(ivf) == len(pts) - 2
+    hits = ivf.search_batch(pts[0:1], 5)[0]
+    assert all(h[0] != "p0" for h in hits)
+    # upsert new vector under existing id
+    newv = rng.standard_normal(16).astype(np.float32)
+    ivf.add_batch(["p2"], newv[None])
+    np.testing.assert_allclose(ivf.get_vector("p2"), newv, rtol=1e-5)
+    assert len(ivf) == len(pts) - 2
+
+
+def test_ivf_overflow_spill_and_optimize(rng):
+    # tiny list_cap forces spill into the overflow region
+    ivf = IvfDeviceIndex(16, storage_dtype="float32", nlist=4, nprobe=4,
+                         initial_capacity=256)
+    ivf.list_cap = 32
+    ivf._alloc(32)
+    # one tight cluster: everything lands in one list -> overflow
+    base = rng.standard_normal(16).astype(np.float32)
+    pts = base + 0.01 * rng.standard_normal((200, 16)).astype(np.float32)
+    ids = [f"p{i}" for i in range(200)]
+    ivf.add_batch(ids, pts)
+    assert len(ivf) == 200
+    assert ivf.get_stats().extra["overflow"] > 0
+    hits = ivf.search_batch(pts[150:151], 3)[0]
+    assert hits[0][0] == "p150"  # overflow points are found exactly
+    ivf.optimize()
+    assert len(ivf) == 200
+    assert ivf.get_stats().extra["overflow"] == 0  # repack absorbed the spill
+    hits = ivf.search_batch(pts[150:151], 3)[0]
+    assert hits[0][0] == "p150"

@@ -127,6 +127,8 @@ class VectorDatabase:
         )
         self._lock = threading.RLock()
         self._t0 = time.monotonic()
+        self.auth = None        # set by enable_enterprise()
+        self.resilience = None
         # Rebuild device state from the durable store on open.
         if self.store.count():
             self.rebuild_index()
@@ -251,6 +253,45 @@ class VectorDatabase:
 
     def close(self) -> None:
         self.store.close()
+
+    # -- enterprise wrappers (lib.rs:717-787) ---------------------------------------------
+
+    def enable_enterprise(self, auth=None, resilience=None):
+        """Attach auth/RBAC + resilience guards. Returns the auth manager."""
+        from grape_vector_db_tpu.services.enterprise import AuthenticationManager
+        from grape_vector_db_tpu.services.resilience import ResilienceManager
+
+        self.auth = auth or AuthenticationManager()
+        self.resilience = resilience or ResilienceManager()
+        return self.auth
+
+    def _guarded(self, credential: str, perm, fn):
+        from grape_vector_db_tpu.errors import StateError
+        from grape_vector_db_tpu.services.enterprise import Permission
+
+        if getattr(self, "auth", None) is None:
+            raise StateError("enterprise features not enabled — call enable_enterprise()")
+        self.auth.authorize(credential, perm)
+        return self.resilience.execute(fn)
+
+    def search_with_auth(self, credential: str, req: SearchRequest):
+        from grape_vector_db_tpu.services.enterprise import Permission
+
+        return self._guarded(credential, Permission.READ_DATA, lambda: self.search(req))
+
+    def add_documents_with_auth(self, credential: str, docs: Sequence[Document]):
+        from grape_vector_db_tpu.services.enterprise import Permission
+
+        return self._guarded(
+            credential, Permission.WRITE_DATA, lambda: self.batch_add_documents(docs)
+        )
+
+    def delete_documents_with_auth(self, credential: str, ids: Sequence[str]):
+        from grape_vector_db_tpu.services.enterprise import Permission
+
+        return self._guarded(
+            credential, Permission.WRITE_DATA, lambda: self.batch_delete_documents(ids)
+        )
 
     # -- backup / stats / health ---------------------------------------------------------
 

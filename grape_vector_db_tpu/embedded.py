@@ -100,6 +100,15 @@ class EmbeddedVectorDB:
         self.db = VectorDatabase(
             path=self.config.data_dir, config=self.config.db, **db_kwargs
         )
+        # Micro-batching executor: packs concurrent single-query calls into one
+        # device batch (services/concurrent.py; the TPU analog of the
+        # reference's rayon parallel search).
+        from grape_vector_db_tpu.services.concurrent import BatchingExecutor
+
+        self.executor = BatchingExecutor(
+            self.db.engine.vector_search_batch,
+            max_batch=self.config.db.device.max_query_batch,
+        )
         if self.config.enable_warmup:
             self.warmup()
         if time.monotonic() - t0 > self.config.startup_timeout_s:
@@ -161,6 +170,7 @@ class EmbeddedVectorDB:
         self._stop_health.set()
         if self._health_thread is not None:
             self._health_thread.join(timeout=2.0)
+        self.executor.close()
         self.db.flush()
         self.db.close()
         self.lifecycle.run_shutdown_hooks()
@@ -204,6 +214,12 @@ class EmbeddedVectorDB:
 
     def vector_search(self, req: SearchRequest) -> List[ScoredPoint]:
         return self._run(lambda: self.db.vector_search(req))
+
+    def vector_search_one(self, vector, k: int = 10) -> List[ScoredPoint]:
+        """Single-query fast path through the micro-batching executor:
+        concurrent callers share one device batch."""
+        self._ensure_ready()
+        return self.executor.search(np.asarray(vector, dtype=np.float32), k)
 
     def hybrid_search(self, req: HybridSearchRequest) -> List[SearchResult]:
         return self._run(lambda: self.db.hybrid_search(req))

@@ -1,0 +1,367 @@
+"""gRPC service — the single-node server mode.
+
+Implements the reference's ``VectorDbService`` wire surface (grpc/server.rs:
+23-627; proto/vector_db.proto:6-38): 20 RPCs across vector ops, document ops,
+cluster, Raft, shard, and monitoring groups. Unlike the reference — whose
+cluster/Raft/shard handlers return hardcoded success stubs
+(grpc/server.rs:456-605) — the cluster-facing handlers here delegate to an
+attached cluster node when one is present and return real single-node answers
+otherwise.
+
+grpcio-tools isn't available in this image, so service registration is done
+with ``grpc.method_handlers_generic_handler`` over protoc-generated message
+classes — same wire format, no plugin codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from concurrent import futures
+from typing import Any, Callable, Dict, List, Optional
+
+import grpc
+import numpy as np
+
+from grape_vector_db_tpu.db import VectorDatabase
+from grape_vector_db_tpu.engine.filtering import parse_sql_where
+from grape_vector_db_tpu.server.proto import vector_db_pb2 as pb
+from grape_vector_db_tpu.types import (
+    Document,
+    FusionStrategy,
+    HybridSearchRequest,
+    SearchRequest,
+)
+
+__all__ = ["SERVICE_NAME", "VectorDbServicer", "build_grpc_server", "VectorDbClient"]
+
+SERVICE_NAME = "grape.vectordb.VectorDbService"
+
+# (method, request type, response type) — the full 20-RPC surface.
+_METHODS = [
+    ("UpsertVector", pb.UpsertVectorRequest, pb.UpsertVectorResponse),
+    ("DeleteVector", pb.DeleteVectorRequest, pb.DeleteVectorResponse),
+    ("SearchVectors", pb.SearchVectorsRequest, pb.SearchVectorsResponse),
+    ("GetVector", pb.GetVectorRequest, pb.GetVectorResponse),
+    ("AddDocument", pb.AddDocumentRequest, pb.AddDocumentResponse),
+    ("GetDocument", pb.GetDocumentRequest, pb.GetDocumentResponse),
+    ("SearchDocuments", pb.SearchDocumentsRequest, pb.SearchDocumentsResponse),
+    ("DeleteDocument", pb.DeleteDocumentRequest, pb.DeleteDocumentResponse),
+    ("JoinCluster", pb.JoinClusterRequest, pb.JoinClusterResponse),
+    ("LeaveCluster", pb.LeaveClusterRequest, pb.LeaveClusterResponse),
+    ("GetClusterInfo", pb.GetClusterInfoRequest, pb.GetClusterInfoResponse),
+    ("Heartbeat", pb.HeartbeatRequest, pb.HeartbeatResponse),
+    ("AppendEntries", pb.AppendEntriesRequest, pb.AppendEntriesResponse),
+    ("RequestVote", pb.RequestVoteRequest, pb.RequestVoteResponse),
+    ("InstallSnapshot", pb.InstallSnapshotRequest, pb.InstallSnapshotResponse),
+    ("MigrateShard", pb.MigrateShardRequest, pb.MigrateShardResponse),
+    ("RebalanceShards", pb.RebalanceShardsRequest, pb.RebalanceShardsResponse),
+    ("GetShardInfo", pb.GetShardInfoRequest, pb.GetShardInfoResponse),
+    ("GetStats", pb.GetStatsRequest, pb.GetStatsResponse),
+    ("GetMetrics", pb.GetMetricsRequest, pb.GetMetricsResponse),
+]
+
+
+def _payload_to_str_map(meta: Dict[str, Any]) -> Dict[str, str]:
+    return {k: v if isinstance(v, str) else json.dumps(v) for k, v in (meta or {}).items()}
+
+
+def _str_map_to_payload(m) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in dict(m).items():
+        try:
+            out[k] = json.loads(v)
+        except (json.JSONDecodeError, TypeError):
+            out[k] = v
+    return out
+
+
+class VectorDbServicer:
+    """RPC handlers over a VectorDatabase (+ optional cluster node)."""
+
+    def __init__(self, db: VectorDatabase, node: Optional[Any] = None,
+                 node_id: str = "standalone", started_at: Optional[float] = None):
+        self.db = db
+        self.node = node  # distributed ClusterNode when in cluster mode
+        self.node_id = node_id
+        self._t0 = started_at or time.time()
+
+    # -- vector ops ------------------------------------------------------------
+
+    def UpsertVector(self, req, ctx):
+        try:
+            docs = [
+                Document(
+                    id=p.id,
+                    content="",
+                    vector=list(p.vector.values),
+                    metadata=_str_map_to_payload(p.payload),
+                )
+                for p in req.points
+            ]
+            ids = self.db.batch_add_documents(docs)
+            return pb.UpsertVectorResponse(upserted=len(ids))
+        except Exception as e:
+            return pb.UpsertVectorResponse(error=str(e))
+
+    def DeleteVector(self, req, ctx):
+        try:
+            n = self.db.batch_delete_documents(list(req.ids))
+            return pb.DeleteVectorResponse(deleted=n)
+        except Exception as e:
+            return pb.DeleteVectorResponse(error=str(e))
+
+    def SearchVectors(self, req, ctx):
+        try:
+            sreq = SearchRequest(
+                vector=list(req.query.values),
+                limit=int(req.limit) or 10,
+                score_threshold=req.score_threshold if req.score_threshold else None,
+                filter=parse_sql_where(req.filter_sql) if req.filter_sql else None,
+                with_payload=req.with_payload,
+            )
+            hits = self.db.vector_search(sreq)
+            return pb.SearchVectorsResponse(
+                results=[
+                    pb.SearchResult(
+                        id=h.id, score=h.score,
+                        payload=_payload_to_str_map(h.payload if req.with_payload else {}),
+                    )
+                    for h in hits
+                ]
+            )
+        except Exception as e:
+            return pb.SearchVectorsResponse(error=str(e))
+
+    def GetVector(self, req, ctx):
+        doc = self.db.get_document(req.id)
+        if doc is None or doc.vector is None:
+            return pb.GetVectorResponse(found=False)
+        return pb.GetVectorResponse(
+            found=True,
+            point=pb.Point(
+                id=doc.id,
+                vector=pb.Vector(values=doc.vector),
+                payload=_payload_to_str_map(doc.metadata),
+            ),
+        )
+
+    # -- document ops -------------------------------------------------------------
+
+    def AddDocument(self, req, ctx):
+        try:
+            docs = [
+                Document(
+                    id=d.id,
+                    title=d.title or None,
+                    content=d.content,
+                    language=d.language or None,
+                    doc_type=d.doc_type or None,
+                    vector=list(d.vector) if d.vector else None,
+                    metadata=_str_map_to_payload(d.metadata),
+                )
+                for d in req.documents
+            ]
+            ids = self.db.batch_add_documents(docs)
+            return pb.AddDocumentResponse(ids=ids)
+        except Exception as e:
+            return pb.AddDocumentResponse(error=str(e))
+
+    def GetDocument(self, req, ctx):
+        doc = self.db.get_document(req.id)
+        if doc is None:
+            return pb.GetDocumentResponse(found=False)
+        return pb.GetDocumentResponse(
+            found=True,
+            document=pb.Document(
+                id=doc.id, title=doc.title or "", content=doc.content,
+                language=doc.language or "", doc_type=doc.doc_type or "",
+                vector=doc.vector or [],
+                metadata=_payload_to_str_map(doc.metadata),
+            ),
+        )
+
+    def SearchDocuments(self, req, ctx):
+        try:
+            limit = int(req.limit) or 10
+            filt = parse_sql_where(req.filter_sql) if req.filter_sql else None
+            mode = req.mode or "semantic"
+            if mode == "text":
+                results = self.db.text_search(SearchRequest(query=req.query, limit=limit,
+                                                            filter=filt))
+            elif mode == "hybrid":
+                results = self.db.hybrid_search(
+                    HybridSearchRequest(
+                        query=req.query, limit=limit, filter=filt,
+                        fusion_strategy=FusionStrategy(req.fusion or "rrf"),
+                    )
+                )
+            else:
+                results = self.db.search_documents(req.query, limit)
+                if filt is not None:
+                    allowed = set(self.db.filter_engine.execute_filter(filt))
+                    results = [r for r in results if r.document.id in allowed]
+            return pb.SearchDocumentsResponse(
+                results=[
+                    pb.SearchResult(
+                        id=r.document.id, score=r.score, snippet=r.snippet or "",
+                        payload=_payload_to_str_map(r.document.metadata),
+                    )
+                    for r in results
+                ]
+            )
+        except Exception as e:
+            return pb.SearchDocumentsResponse(error=str(e))
+
+    def DeleteDocument(self, req, ctx):
+        try:
+            n = self.db.batch_delete_documents(list(req.ids))
+            return pb.DeleteDocumentResponse(deleted=n)
+        except Exception as e:
+            return pb.DeleteDocumentResponse(error=str(e))
+
+    # -- cluster group (delegates to the node when clustered) ------------------------
+
+    def JoinCluster(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_join(req)
+        return pb.JoinClusterResponse(accepted=False, error="not running in cluster mode")
+
+    def LeaveCluster(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_leave(req)
+        return pb.LeaveClusterResponse(ok=False)
+
+    def GetClusterInfo(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_cluster_info(req)
+        return pb.GetClusterInfoResponse(
+            cluster_id="standalone",
+            leader_id=self.node_id,
+            shard_count=1,
+            members=[pb.NodeInfo(node_id=self.node_id, address="local", state="healthy")],
+        )
+
+    def Heartbeat(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_heartbeat(req)
+        return pb.HeartbeatResponse(ok=True, term=0)
+
+    # -- raft group -------------------------------------------------------------------
+
+    def AppendEntries(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_append_entries(req)
+        return pb.AppendEntriesResponse(term=0, success=False)
+
+    def RequestVote(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_request_vote(req)
+        return pb.RequestVoteResponse(term=0, vote_granted=False)
+
+    def InstallSnapshot(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_install_snapshot(req)
+        return pb.InstallSnapshotResponse(term=0, ok=False)
+
+    # -- shard group -------------------------------------------------------------------
+
+    def MigrateShard(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_migrate_shard(req)
+        return pb.MigrateShardResponse(ok=False, error="not running in cluster mode")
+
+    def RebalanceShards(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_rebalance(req)
+        return pb.RebalanceShardsResponse(ok=True, moves=0)
+
+    def GetShardInfo(self, req, ctx):
+        if self.node is not None:
+            return self.node.handle_shard_info(req)
+        return pb.GetShardInfoResponse(
+            shard_id=req.shard_id, primary_node=self.node_id,
+            point_count=self.db.stats().index_size, state="active",
+        )
+
+    # -- monitoring --------------------------------------------------------------------
+
+    def GetStats(self, req, ctx):
+        s = self.db.stats()
+        return pb.GetStatsResponse(
+            document_count=s.document_count,
+            index_size=s.index_size,
+            storage_bytes=float(s.storage_size_bytes),
+            index_kind=s.index_kind,
+            uptime_s=time.time() - self._t0,
+        )
+
+    def GetMetrics(self, req, ctx):
+        return pb.GetMetricsResponse(prometheus_text=self.db.metrics.prometheus_text())
+
+
+def build_grpc_server(
+    db: VectorDatabase,
+    port: int = 0,
+    node: Optional[Any] = None,
+    node_id: str = "standalone",
+    max_workers: int = 16,
+):
+    """Create (server, bound_port). Caller starts/stops the server."""
+    servicer = VectorDbServicer(db, node=node, node_id=node_id)
+    handlers = {}
+    for name, req_t, resp_t in _METHODS:
+        fn = getattr(servicer, name)
+        handlers[name] = grpc.unary_unary_rpc_method_handler(
+            fn,
+            request_deserializer=req_t.FromString,
+            response_serializer=resp_t.SerializeToString,
+        )
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler(SERVICE_NAME, handlers),)
+    )
+    bound = server.add_insecure_port(f"[::]:{port}")
+    return server, bound, servicer
+
+
+class VectorDbClient:
+    """Thin typed client (reference grpc/client.rs:11-119)."""
+
+    def __init__(self, address: str, timeout_s: float = 10.0):
+        self.channel = grpc.insecure_channel(address)
+        self.timeout_s = timeout_s
+        self._stubs: Dict[str, Callable] = {}
+        for name, req_t, resp_t in _METHODS:
+            self._stubs[name] = self.channel.unary_unary(
+                f"/{SERVICE_NAME}/{name}",
+                request_serializer=req_t.SerializeToString,
+                response_deserializer=resp_t.FromString,
+            )
+
+    def call(self, method: str, request, timeout_s: Optional[float] = None):
+        return self._stubs[method](request, timeout=timeout_s or self.timeout_s)
+
+    def __getattr__(self, name: str):
+        if name in self._stubs:
+            return lambda req, **kw: self.call(name, req, **kw)
+        raise AttributeError(name)
+
+    # convenience wrappers ---------------------------------------------------------
+
+    def upsert_points(self, points: List[pb.Point]) -> pb.UpsertVectorResponse:
+        return self.call("UpsertVector", pb.UpsertVectorRequest(points=points))
+
+    def search(self, vector: List[float], limit: int = 10,
+               filter_sql: str = "", with_payload: bool = True) -> pb.SearchVectorsResponse:
+        return self.call(
+            "SearchVectors",
+            pb.SearchVectorsRequest(
+                query=pb.Vector(values=vector), limit=limit,
+                filter_sql=filter_sql, with_payload=with_payload,
+            ),
+        )
+
+    def close(self) -> None:
+        self.channel.close()

@@ -209,3 +209,35 @@ def test_binary_index_db_mode():
     doc = db.get_document("doc-42")
     hits = db.vector_search(SearchRequest(vector=doc.vector, limit=5))
     assert hits[0].id == "doc-42"
+
+
+def test_enterprise_guarded_api():
+    from grape_vector_db_tpu.services.enterprise import Role
+    from grape_vector_db_tpu.errors import AuthorizationError, StateError
+
+    db = VectorDatabase(config=small_config())
+    with pytest.raises(StateError):
+        db.search_with_auth("gvdb_nope", SearchRequest(query="x"))
+    auth = db.enable_enterprise()
+    writer = auth.create_api_key("writer", Role.DATA_MANAGER)
+    reader = auth.create_api_key("reader", Role.READ_ONLY_USER)
+    db.add_documents_with_auth(writer.key, make_docs(5))
+    with pytest.raises(AuthorizationError):
+        db.add_documents_with_auth(reader.key, make_docs(1, prefix="x"))
+    doc = db.get_document("doc-1")
+    res = db.search_with_auth(reader.key, SearchRequest(vector=doc.vector, limit=2))
+    assert res and res[0].document.id == "doc-1"
+    assert db.delete_documents_with_auth(writer.key, ["doc-0"]) == 1
+
+
+def test_embedded_batched_single_queries(tmp_path):
+    cfg = EmbeddedConfig(data_dir=str(tmp_path / "bdb"), db=small_config())
+    cfg.health_check_interval_s = 0
+    with EmbeddedVectorDB(cfg) as edb:
+        edb.upsert(make_docs(30))
+        vecs = [edb.get(f"doc-{i}").vector for i in range(8)]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            rows = list(ex.map(lambda v: edb.vector_search_one(v, 3), vecs))
+        for i, row in enumerate(rows):
+            assert row[0].id == f"doc-{i}"
+        assert edb.executor.queries_run == 8

@@ -1,0 +1,184 @@
+"""Server-layer tests: real gRPC round trips over localhost + REST endpoints
+(the reference's grpc/server.rs document/vector RPC delegations)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from grape_vector_db_tpu import Document, VectorDatabase, VectorDbConfig
+from grape_vector_db_tpu.server.grpc_server import (
+    VectorDbClient,
+    build_grpc_server,
+)
+from grape_vector_db_tpu.server.proto import vector_db_pb2 as pb
+from grape_vector_db_tpu.server.rest import RestServer
+
+
+def small_db(dim=16):
+    cfg = VectorDbConfig(vector_dimension=dim)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.initial_capacity = 128
+    return VectorDatabase(config=cfg)
+
+
+@pytest.fixture()
+def grpc_pair():
+    db = small_db()
+    server, port, _ = build_grpc_server(db, port=0)
+    server.start()
+    client = VectorDbClient(f"127.0.0.1:{port}")
+    yield db, client
+    client.close()
+    server.stop(grace=0)
+
+
+def test_grpc_vector_roundtrip(grpc_pair, rng):
+    db, client = grpc_pair
+    pts = [
+        pb.Point(id=f"v{i}", vector=pb.Vector(values=rng.standard_normal(16).astype(float)),
+                 payload={"group": "a" if i % 2 == 0 else "b"})
+        for i in range(20)
+    ]
+    resp = client.upsert_points(pts)
+    assert resp.upserted == 20 and not resp.error
+
+    got = client.call("GetVector", pb.GetVectorRequest(id="v3"))
+    assert got.found and got.point.id == "v3"
+    q = list(got.point.vector.values)
+    sr = client.search(q, limit=3)
+    assert sr.results[0].id == "v3"
+    assert sr.results[0].payload["group"] == "b"
+
+    # filtered search through SQL
+    sr = client.search(q, limit=5, filter_sql="group = 'a'")
+    assert sr.results and all(r.payload["group"] == "a" for r in sr.results)
+
+    d = client.call("DeleteVector", pb.DeleteVectorRequest(ids=["v3"]))
+    assert d.deleted == 1
+    sr = client.search(q, limit=3)
+    assert all(r.id != "v3" for r in sr.results)
+
+
+def test_grpc_documents_and_modes(grpc_pair):
+    db, client = grpc_pair
+    docs = [
+        pb.Document(id=f"d{i}", title=f"T{i}",
+                    content=f"all about {'tpus' if i % 2 == 0 else 'pasta'} {i}",
+                    metadata={"i": str(i)})
+        for i in range(10)
+    ]
+    resp = client.call("AddDocument", pb.AddDocumentRequest(documents=docs))
+    assert list(resp.ids) == [f"d{i}" for i in range(10)]
+
+    got = client.call("GetDocument", pb.GetDocumentRequest(id="d4"))
+    assert got.found and "tpus" in got.document.content
+
+    for mode in ("semantic", "text", "hybrid"):
+        sr = client.call(
+            "SearchDocuments",
+            pb.SearchDocumentsRequest(query="tpus", limit=5, mode=mode),
+        )
+        assert not sr.error
+        if mode in ("text", "hybrid"):
+            assert sr.results, f"no results in mode {mode}"
+            assert all(int(r.id[1:]) % 2 == 0 for r in sr.results)
+
+    stats = client.call("GetStats", pb.GetStatsRequest())
+    assert stats.document_count == 10 and stats.index_size == 10
+
+    metrics = client.call("GetMetrics", pb.GetMetricsRequest())
+    assert "grape_vector_db_queries_total" in metrics.prometheus_text
+
+
+def test_grpc_cluster_group_standalone(grpc_pair):
+    _, client = grpc_pair
+    info = client.call("GetClusterInfo", pb.GetClusterInfoRequest())
+    assert info.cluster_id == "standalone" and len(info.members) == 1
+    hb = client.call("Heartbeat", pb.HeartbeatRequest(node_id="x", term=1))
+    assert hb.ok
+    join = client.call("JoinCluster", pb.JoinClusterRequest(
+        node=pb.NodeInfo(node_id="n2", address="h:1")))
+    assert not join.accepted and "cluster mode" in join.error
+    vote = client.call("RequestVote", pb.RequestVoteRequest(term=5, candidate_id="n2"))
+    assert not vote.vote_granted
+
+
+def test_grpc_error_paths(grpc_pair):
+    _, client = grpc_pair
+    # wrong-dimension upsert reported in-band
+    resp = client.upsert_points([pb.Point(id="bad", vector=pb.Vector(values=[1.0]))])
+    assert resp.upserted == 0 and "dim" in resp.error
+    # bad SQL reported in-band
+    sr = client.search([0.0] * 16, filter_sql="x ===")
+    assert sr.error
+
+
+# -- REST -------------------------------------------------------------------------
+
+
+def _req(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method,
+                               headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return resp.status, json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+@pytest.fixture()
+def rest():
+    db = small_db()
+    srv = RestServer(db, port=0)
+    host, port = srv.start()
+    yield db, f"http://{host}:{port}"
+    srv.stop()
+
+
+def test_rest_crud_and_search(rest, rng):
+    db, base = rest
+    vecs = rng.standard_normal((5, 16)).astype(float)
+    code, out = _req("POST", f"{base}/api/v1/vectors", {
+        "points": [{"id": f"r{i}", "vector": vecs[i].tolist(),
+                    "metadata": {"odd": bool(i % 2)}} for i in range(5)]
+    })
+    assert code == 200 and out["upserted"] == 5
+
+    code, out = _req("GET", f"{base}/api/v1/vectors/r2")
+    assert code == 200 and len(out["vector"]) == 16
+
+    code, out = _req("POST", f"{base}/api/v1/search",
+                     {"mode": "vector", "vector": vecs[2].tolist(), "limit": 2})
+    assert code == 200 and out["results"][0]["id"] == "r2"
+
+    code, out = _req("DELETE", f"{base}/api/v1/vectors/r2")
+    assert code == 200 and out["deleted"] == 1
+    code, _ = _req("GET", f"{base}/api/v1/vectors/r2")
+    assert code == 404
+
+
+def test_rest_health_metrics_stats(rest):
+    _, base = rest
+    code, h = _req("GET", f"{base}/health")
+    assert code == 200 and h["status"] == "healthy"
+    with urllib.request.urlopen(f"{base}/metrics", timeout=10) as r:
+        assert b"grape_vector_db_" in r.read()
+    code, s = _req("GET", f"{base}/api/v1/stats")
+    assert code == 200 and "document_count" in s
+
+
+def test_rest_documents_batch_and_unknown_route(rest):
+    _, base = rest
+    code, out = _req("POST", f"{base}/api/v1/documents/batch", {
+        "documents": [{"id": "a", "content": "hello tpu world"},
+                      {"id": "b", "content": "pasta recipe"}]
+    })
+    assert code == 200 and out["ids"] == ["a", "b"]
+    code, out = _req("POST", f"{base}/api/v1/search",
+                     {"mode": "text", "query": "tpu", "limit": 5})
+    assert code == 200 and out["results"][0]["id"] == "a"
+    code, _ = _req("GET", f"{base}/api/v1/nope")
+    assert code == 404

@@ -1,0 +1,442 @@
+"""ClusterNode — one member of a sharded, replicated, Raft-coordinated cluster.
+
+Folds the reference's ClusterManager (cluster.rs:97-823) and the data-plane
+glue the reference mocked. Architecture:
+
+- metadata plane: membership + shard placement changes are Raft-proposed
+  commands (msgpack) applied deterministically on every node; the shard map is
+  a pure function of the applied command sequence (cluster.rs join/leave +
+  shard re-primary semantics).
+- data plane: documents route by hash-range shard to the shard's primary and
+  replicas; the coordinating node writes copies under the configured
+  SyncPolicy (replication.rs semantics). Searches scatter to one owner per
+  shard, merge by score, dedupe by doc id (shard.rs:759-901 for real).
+- failure handling: every node heartbeats its peers through the transport; the
+  FailureDetector's FAILED transitions become Raft-proposed ``node_failed``
+  commands so the whole cluster agrees on membership state, then failover
+  tasks re-primary shards and top up replicas (failover.rs intent).
+
+Raft membership is static per cluster boot (the node set is the configured
+seed list — the reference likewise fixes peers via config, raft.rs:1470-1478);
+join/leave commands toggle liveness inside that set.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
+
+import msgpack
+import numpy as np
+
+from grape_vector_db_tpu.config import VectorDbConfig
+from grape_vector_db_tpu.db import VectorDatabase
+from grape_vector_db_tpu.distributed.failover import FailoverManager, FailureDetector
+from grape_vector_db_tpu.distributed.load_balancer import IntelligentLoadBalancer
+from grape_vector_db_tpu.distributed.raft import LogEntry, RaftConfig, RaftNode
+from grape_vector_db_tpu.distributed.replication import ReplicationManager, SyncPolicy
+from grape_vector_db_tpu.distributed.shard import (
+    ShardDataAccess,
+    ShardManager,
+    ShardMap,
+)
+from grape_vector_db_tpu.distributed.transport import Transport, TransportError
+from grape_vector_db_tpu.distributed.types import (
+    ClusterConfig,
+    ClusterHealth,
+    NodeInfo,
+    NodeState,
+)
+from grape_vector_db_tpu.errors import NotLeaderError, UnavailableError
+from grape_vector_db_tpu.types import Document, DocumentRecord
+
+__all__ = ["ClusterNode"]
+
+
+class _TransportDataAccess(ShardDataAccess):
+    """ShardDataAccess over the node-to-node transport."""
+
+    def __init__(self, node: "ClusterNode"):
+        self.node = node
+
+    def count_shard(self, node_id: str, shard_id: int) -> int:
+        resp = self.node._call(node_id, "data_count", {"shard_id": shard_id})
+        return resp["count"]
+
+    def pull_shard(self, node_id: str, shard_id: int) -> List[Dict[str, Any]]:
+        resp = self.node._call(node_id, "data_pull", {"shard_id": shard_id},
+                               timeout_s=10.0)
+        return resp["docs"]
+
+    def push_docs(self, node_id: str, docs: List[Dict[str, Any]]) -> int:
+        resp = self.node._call(node_id, "data_write", {"docs": docs}, timeout_s=10.0)
+        return resp["written"]
+
+    def drop_shard(self, node_id: str, shard_id: int) -> int:
+        resp = self.node._call(node_id, "data_drop", {"shard_id": shard_id},
+                               timeout_s=10.0)
+        return resp["dropped"]
+
+
+class ClusterNode:
+    def __init__(
+        self,
+        node_id: str,
+        address: str,
+        seed_nodes: Sequence[str],
+        transport: Transport,
+        cluster_config: Optional[ClusterConfig] = None,
+        db_config: Optional[VectorDbConfig] = None,
+        raft_config: Optional[RaftConfig] = None,
+        data_path: Optional[str] = None,
+    ):
+        self.node_id = node_id
+        self.address = address
+        self.config = cluster_config or ClusterConfig()
+        self.transport = transport
+        self.db = VectorDatabase(path=data_path, config=db_config)
+
+        # replicated cluster state (derived from applied raft commands)
+        self._state_lock = threading.RLock()
+        self.members: Dict[str, NodeInfo] = {}
+        self.shard_map = ShardMap(
+            shard_count=self.config.shard_count,
+            replica_count=self.config.replica_count,
+        )
+        self._applied_commands = 0
+
+        self.data_access = _TransportDataAccess(self)
+        self.shard_manager = ShardManager(self.shard_map, self.data_access,
+                                          rebalance_threshold=self.config.rebalance_threshold)
+        self.replication = ReplicationManager(
+            write_fn=self._replica_write,
+            policy={"strong": SyncPolicy.SYNCHRONOUS,
+                    "eventual": SyncPolicy.ASYNCHRONOUS,
+                    "session": SyncPolicy.QUORUM}.get(
+                        self.config.consistency.value, SyncPolicy.QUORUM),
+        )
+        self.load_balancer = IntelligentLoadBalancer()
+        self.detector = FailureDetector(
+            probe_fn=self._probe_peer,
+            interval_s=self.config.heartbeat_interval_s,
+            on_state_change=self._on_peer_state_change,
+        )
+        self.failover = FailoverManager(
+            self.shard_manager, self.healthy_node_ids,
+            replica_count=self.config.replica_count,
+        )
+
+        self.raft = RaftNode(
+            node_id, list(seed_nodes), transport,
+            apply_fn=self._apply_command,
+            storage=self.db.store,
+            config=raft_config or RaftConfig(
+                election_timeout_ms=self.config.election_timeout_ms,
+                heartbeat_ms=self.config.raft_heartbeat_ms,
+            ),
+        )
+        # Take over the transport slot: route raft methods to the raft node and
+        # data/cluster methods to this object.
+        transport.register(node_id, self._handle_rpc)
+        self._raft_methods = {"request_vote", "append_entries", "install_snapshot",
+                              "client_command"}
+        self._started = False
+
+    # ------------------------------------------------------------------ rpc
+
+    def _handle_rpc(self, method: str, payload: Dict[str, Any]) -> Dict[str, Any]:
+        if method in self._raft_methods:
+            return self.raft._handle_rpc(method, payload)
+        handler = getattr(self, f"_rpc_{method}", None)
+        if handler is None:
+            raise UnavailableError(f"unknown method {method}")
+        return handler(payload)
+
+    def _call(self, dst: str, method: str, payload: Dict[str, Any],
+              timeout_s: float = 2.0) -> Dict[str, Any]:
+        if dst == self.node_id:
+            return self._handle_rpc(method, payload)
+        return self.transport.call(self.node_id, dst, method, payload,
+                                   timeout_s=timeout_s)
+
+    # -------------------------------------------------------------- lifecycle
+
+    def start(self) -> None:
+        self.raft.start()
+        self.detector.start()
+        self._stop_reconcile = threading.Event()
+        self._reconcile_thread = threading.Thread(
+            target=self._reconcile_loop, daemon=True,
+            name=f"gvdb-reconcile-{self.node_id}",
+        )
+        self._reconcile_thread.start()
+        self._started = True
+
+    def stop(self) -> None:
+        self._started = False
+        self._stop_reconcile.set()
+        self._reconcile_thread.join(timeout=2.0)
+        self.detector.stop()
+        self.raft.stop()
+        self.replication.close()
+        self.db.close()
+        self.transport.unregister(self.node_id)
+
+    def _reconcile_loop(self) -> None:
+        """Leader-side anti-entropy: detector transitions propose state changes
+        one-shot, and a proposal can land during leader churn (e.g. a rejoining
+        node's inflated term forces re-election) and be lost. The leader
+        periodically re-compares its local detector view against the replicated
+        member states and re-proposes any disagreement."""
+        from grape_vector_db_tpu.distributed.raft import RaftRole
+
+        while not self._stop_reconcile.wait(self.config.heartbeat_interval_s):
+            if self.raft.role != RaftRole.LEADER:
+                continue
+            with self._state_lock:
+                pairs = [
+                    (nid, m.state, self.detector.state_of(nid))
+                    for nid, m in self.members.items()
+                    if nid != self.node_id
+                ]
+            for nid, replicated, observed in pairs:
+                try:
+                    if observed == NodeState.HEALTHY and replicated == NodeState.FAILED:
+                        self._propose({"op": "node_recovered", "node_id": nid})
+                    elif observed == NodeState.FAILED and replicated in (
+                        NodeState.HEALTHY, NodeState.RECOVERING
+                    ):
+                        self._propose({"op": "node_failed", "node_id": nid})
+                except Exception:
+                    pass
+
+    # ------------------------------------------------------- metadata plane
+
+    def _propose(self, command: Dict[str, Any], timeout_s: float = 3.0) -> None:
+        data = msgpack.packb(command, use_bin_type=True)
+        self.raft.propose_on_leader(data, timeout_s=timeout_s)
+
+    def _apply_command(self, entry: LogEntry) -> None:
+        cmd = msgpack.unpackb(entry.data, raw=False)
+        op = cmd.get("op")
+        with self._state_lock:
+            if op == "join":
+                info = NodeInfo(node_id=cmd["node_id"], address=cmd["address"])
+                self.members[cmd["node_id"]] = info
+                self.load_balancer.add_node(info)
+                if cmd["node_id"] != self.node_id:
+                    self.detector.watch(cmd["node_id"])
+                self._reassign_shards()
+            elif op == "leave":
+                self.members.pop(cmd["node_id"], None)
+                self.load_balancer.remove_node(cmd["node_id"])
+                self.detector.unwatch(cmd["node_id"])
+                self.shard_map.remove_node(cmd["node_id"])
+                self._reassign_shards()
+            elif op == "node_failed":
+                if cmd["node_id"] in self.members:
+                    self.members[cmd["node_id"]].state = NodeState.FAILED
+                    self.load_balancer.set_node_state(cmd["node_id"], NodeState.FAILED)
+                    self.failover.enqueue_failure(cmd["node_id"])
+                    self.failover.run_pending()
+            elif op == "node_recovered":
+                if cmd["node_id"] in self.members:
+                    self.members[cmd["node_id"]].state = NodeState.HEALTHY
+                    self.load_balancer.set_node_state(cmd["node_id"], NodeState.HEALTHY)
+            elif op == "set_placement":
+                self.shard_map.set_placement(
+                    cmd["shard_id"], cmd["primary"], cmd["replicas"]
+                )
+            self._applied_commands += 1
+
+    def _reassign_shards(self) -> None:
+        live = sorted(
+            nid for nid, m in self.members.items()
+            if m.state in (NodeState.HEALTHY, NodeState.RECOVERING)
+        )
+        if live:
+            self.shard_map.assign_all(live)
+
+    # -- membership API ------------------------------------------------------------
+
+    def join_cluster(self) -> None:
+        """Propose own membership (cluster.rs:97-182)."""
+        self._propose({"op": "join", "node_id": self.node_id, "address": self.address})
+
+    def leave_cluster(self) -> None:
+        """Graceful leave with shard handoff via re-assignment (cluster.rs:184-276)."""
+        self._propose({"op": "leave", "node_id": self.node_id})
+
+    def healthy_node_ids(self) -> List[str]:
+        with self._state_lock:
+            return [nid for nid, m in self.members.items()
+                    if m.state in (NodeState.HEALTHY, NodeState.RECOVERING)]
+
+    # ------------------------------------------------------------ failure path
+
+    def _probe_peer(self, node_id: str) -> bool:
+        try:
+            resp = self._call(node_id, "heartbeat", {
+                "node_id": self.node_id, "term": self.raft.current_term,
+            }, timeout_s=1.0)
+            return bool(resp.get("ok"))
+        except TransportError:
+            return False
+
+    def _on_peer_state_change(self, node_id: str, state: NodeState) -> None:
+        if not self._started:
+            return
+        try:
+            if state == NodeState.FAILED:
+                self._propose({"op": "node_failed", "node_id": node_id})
+            elif state == NodeState.HEALTHY:
+                self._propose({"op": "node_recovered", "node_id": node_id})
+        except Exception:
+            pass  # a non-leader race or no quorum; detector will fire again
+
+    def _rpc_heartbeat(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        self.load_balancer.mark_heartbeat(payload.get("node_id", ""))
+        return {"ok": True, "term": self.raft.current_term, "node_id": self.node_id}
+
+    # --------------------------------------------------------------- data plane
+
+    def _shard_of_record(self, rec_id: str) -> int:
+        return self.shard_map.shard_for_key(rec_id)
+
+    def _replica_write(self, node_id: str, docs: List[Dict[str, Any]]) -> int:
+        resp = self._call(node_id, "data_write", {"docs": docs}, timeout_s=5.0)
+        return resp["written"]
+
+    def _rpc_data_write(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        docs = [Document.from_dict(d) for d in payload["docs"]]
+        self.db.batch_add_documents(docs)
+        return {"written": len(docs), "node_id": self.node_id}
+
+    def _rpc_data_delete(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        return {"deleted": self.db.batch_delete_documents(payload["ids"])}
+
+    def _rpc_data_search(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        from grape_vector_db_tpu.types import SearchRequest
+
+        hits = self.db.vector_search(SearchRequest(
+            vector=payload["vector"], limit=payload["k"], with_payload=False,
+        ))
+        return {"hits": [(h.id, h.score) for h in hits]}
+
+    def _rpc_data_count(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        sid = payload["shard_id"]
+        n = sum(1 for rid in self.db.store.iter_ids()
+                if self._shard_of_record(rid) == sid)
+        return {"count": n}
+
+    def _rpc_data_pull(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        sid = payload["shard_id"]
+        docs = []
+        for rec in self.db.store.iter_records():
+            if self._shard_of_record(rec.id) == sid:
+                docs.append(rec.to_document().to_dict())
+        return {"docs": docs}
+
+    def _rpc_data_drop(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        sid = payload["shard_id"]
+        ids = [rid for rid in self.db.store.iter_ids()
+               if self._shard_of_record(rid) == sid]
+        return {"dropped": self.db.batch_delete_documents(ids)}
+
+    # -- client API -------------------------------------------------------------------
+
+    def upsert(self, docs: Sequence[Document]) -> int:
+        """Shard-routed replicated write (the write path of shard.rs:634-719,
+        for real)."""
+        by_shard: Dict[int, List[Document]] = {}
+        for d in docs:
+            by_shard.setdefault(self._shard_of_record(d.id), []).append(d)
+        written = 0
+        for sid, group in by_shard.items():
+            info = self.shard_map.shards[sid]
+            if not info.primary_node:
+                raise UnavailableError("shard map has no placement yet")
+            payload = [d.to_dict() for d in group]
+            self.replication.replicate(payload, info.primary_node, info.replica_nodes)
+            written += len(group)
+        return written
+
+    def delete(self, ids: Sequence[str]) -> int:
+        by_shard: Dict[int, List[str]] = {}
+        for i in ids:
+            by_shard.setdefault(self._shard_of_record(i), []).append(i)
+        deleted = 0
+        for sid, group in by_shard.items():
+            info = self.shard_map.shards[sid]
+            for nid in info.all_nodes():
+                try:
+                    resp = self._call(nid, "data_delete", {"ids": group}, timeout_s=5.0)
+                    if nid == info.primary_node:
+                        deleted += resp["deleted"]
+                except TransportError:
+                    pass
+        return deleted
+
+    def search(self, vector: Sequence[float], k: int = 10) -> List[Tuple[str, float]]:
+        """Scatter-gather: one owner per shard, merged global top-k
+        (shard.rs:759-901 — the real version of its mock)."""
+        with self._state_lock:
+            owners: Dict[str, Set[int]] = {}
+            healthy = set(self.healthy_node_ids())
+            for sid, info in self.shard_map.shards.items():
+                target = None
+                if info.primary_node in healthy:
+                    target = info.primary_node
+                else:
+                    for r in info.replica_nodes:
+                        if r in healthy:
+                            target = r
+                            break
+                if target is not None:
+                    owners.setdefault(target, set()).add(sid)
+        merged: Dict[str, float] = {}
+        payload = {"vector": list(vector), "k": k}
+        for nid in owners:
+            try:
+                resp = self._call(nid, "data_search", payload, timeout_s=5.0)
+            except TransportError:
+                continue
+            for id_, score in resp["hits"]:
+                if id_ not in merged or score > merged[id_]:
+                    merged[id_] = score
+        ranked = sorted(merged.items(), key=lambda kv: -kv[1])[:k]
+        return [(i, float(s)) for i, s in ranked]
+
+    # -- introspection --------------------------------------------------------------------
+
+    def cluster_health(self) -> ClusterHealth:
+        with self._state_lock:
+            total = len(self.members)
+            healthy = len(self.healthy_node_ids())
+            shards = self.shard_map.snapshot()
+            active = sum(1 for s in shards.values() if s.primary_node)
+            under = sum(
+                1 for s in shards.values()
+                if len(s.all_nodes()) < min(self.config.replica_count, max(total, 1))
+            )
+            status = "healthy"
+            if healthy < total:
+                status = "degraded"
+            if healthy <= total // 2:
+                status = "critical"
+            return ClusterHealth(
+                status=status, total_nodes=total, healthy_nodes=healthy,
+                total_shards=len(shards), active_shards=active,
+                under_replicated_shards=under,
+            )
+
+    def cluster_info_dict(self) -> Dict[str, Any]:
+        with self._state_lock:
+            return {
+                "cluster_id": self.config.cluster_id,
+                "leader_id": self.raft.leader_id,
+                "members": [m.to_dict() for m in self.members.values()],
+                "shard_count": self.config.shard_count,
+                "applied_commands": self._applied_commands,
+            }

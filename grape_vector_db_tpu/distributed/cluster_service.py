@@ -1,0 +1,145 @@
+"""ClusterService — one-stop cluster bootstrap (reference cluster_service.rs).
+
+Boots N ClusterNodes over a shared transport (in-process for tests; the gRPC
+binding reuses the same node objects behind server/grpc_server.py handlers),
+wires the router + load balancer, runs service discovery (periodic seed-node
+health checks that add/remove LB targets, cluster_service.rs:401-472), and
+aggregates status.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from grape_vector_db_tpu.config import VectorDbConfig
+from grape_vector_db_tpu.distributed.cluster import ClusterNode
+from grape_vector_db_tpu.distributed.load_balancer import IntelligentLoadBalancer
+from grape_vector_db_tpu.distributed.raft import RaftConfig
+from grape_vector_db_tpu.distributed.request_router import ClusterAwareRequestRouter
+from grape_vector_db_tpu.distributed.transport import (
+    InProcessTransport,
+    NetworkSimulator,
+    Transport,
+)
+from grape_vector_db_tpu.distributed.types import ClusterConfig
+from grape_vector_db_tpu.errors import ConfigError, UnavailableError
+from grape_vector_db_tpu.types import Document
+
+__all__ = ["ClusterService"]
+
+
+class ClusterService:
+    """Boot + operate an in-process cluster (the §4.3 TestCluster made
+    production-shaped: the same class drives tests and the embedded-cluster
+    deployment mode)."""
+
+    def __init__(
+        self,
+        node_ids: Sequence[str],
+        cluster_config: Optional[ClusterConfig] = None,
+        db_config: Optional[VectorDbConfig] = None,
+        raft_config: Optional[RaftConfig] = None,
+        transport: Optional[Transport] = None,
+        simulator: Optional[NetworkSimulator] = None,
+    ):
+        if len(node_ids) < 1:
+            raise ConfigError("need at least one node")
+        self.config = cluster_config or ClusterConfig()
+        self.sim = simulator or NetworkSimulator()
+        self.transport = transport or InProcessTransport(self.sim)
+        self.nodes: Dict[str, ClusterNode] = {}
+        self._stop_discovery = threading.Event()
+        self._discovery_thread: Optional[threading.Thread] = None
+        for nid in node_ids:
+            self.nodes[nid] = ClusterNode(
+                node_id=nid,
+                address=f"inproc://{nid}",
+                seed_nodes=list(node_ids),
+                transport=self.transport,
+                cluster_config=self.config,
+                db_config=db_config,
+                raft_config=raft_config,
+            )
+
+    # -- lifecycle ----------------------------------------------------------------
+
+    def start(self, join_timeout_s: float = 10.0) -> None:
+        for n in self.nodes.values():
+            n.start()
+        # wait for a raft leader, then register membership
+        deadline = time.monotonic() + join_timeout_s
+        leader = None
+        while time.monotonic() < deadline and leader is None:
+            for n in self.nodes.values():
+                if n.raft.leader_id is not None:
+                    leader = n.raft.leader_id
+                    break
+            time.sleep(0.02)
+        if leader is None:
+            raise UnavailableError("no raft leader during cluster start")
+        for n in self.nodes.values():
+            n.join_cluster()
+        # wait until every node sees full membership
+        while time.monotonic() < deadline:
+            if all(len(n.members) == len(self.nodes) for n in self.nodes.values()):
+                break
+            time.sleep(0.02)
+        self._discovery_thread = threading.Thread(
+            target=self._discovery_loop, daemon=True, name="gvdb-discovery"
+        )
+        self._discovery_thread.start()
+
+    def stop(self) -> None:
+        self._stop_discovery.set()
+        if self._discovery_thread:
+            self._discovery_thread.join(timeout=2.0)
+        for n in self.nodes.values():
+            n.stop()
+
+    def _discovery_loop(self) -> None:
+        """Periodic liveness sweep feeding the per-node LBs
+        (cluster_service.rs:401-472)."""
+        while not self._stop_discovery.wait(self.config.heartbeat_interval_s):
+            for n in self.nodes.values():
+                try:
+                    n.load_balancer.sweep_stale()
+                except Exception:
+                    pass
+
+    # -- client facade ---------------------------------------------------------------
+
+    def any_node(self) -> ClusterNode:
+        for n in self.nodes.values():
+            return n
+        raise UnavailableError("no nodes")
+
+    def leader_node(self) -> ClusterNode:
+        for n in self.nodes.values():
+            if n.raft.leader_id == n.node_id:
+                return n
+        raise UnavailableError("no leader")
+
+    def upsert(self, docs: Sequence[Document]) -> int:
+        return self.any_node().upsert(docs)
+
+    def search(self, vector, k: int = 10) -> List[Tuple[str, float]]:
+        return self.any_node().search(vector, k)
+
+    def delete(self, ids: Sequence[str]) -> int:
+        return self.any_node().delete(ids)
+
+    # -- status -------------------------------------------------------------------------
+
+    def status(self) -> Dict[str, Dict]:
+        return {
+            nid: {
+                "raft": n.raft.status(),
+                "health": n.cluster_health().__dict__,
+                "docs": n.db.store.count(),
+            }
+            for nid, n in self.nodes.items()
+        }

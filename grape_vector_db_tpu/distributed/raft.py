@@ -1,0 +1,607 @@
+"""Raft consensus — real election, log replication, commit/apply, persistence.
+
+The reference ships a full Raft struct set (raft.rs:59-203) but its replication
+RPC *sleeps 3-15ms and succeeds with 90% probability via fastrand*
+(raft.rs:578-603) and elections are 80% random (raft.rs:740-765). This module
+is the actual algorithm over the pluggable transport:
+
+- randomized election timeouts (150-300ms default, raft.rs:647-813 intent)
+- RequestVote with the up-to-date-log rule
+- AppendEntries with prev-log consistency check, conflict truncation
+  (raft.rs:1240-1289 intent), and per-peer next/match index backtracking
+- leader commit rule (majority match_index on a current-term entry)
+- state persistence into the document store's KV namespace under
+  ``raft_state_*`` / ``raft_log_*`` keys (raft.rs:979-1158 layout)
+- log compaction via state-machine snapshot + InstallSnapshot for lagging
+  followers (raft.rs:1311-1530 intent)
+
+Threading model: one lock guards all state; a tick thread drives timers; peer
+RPCs run on a small pool so a slow peer never blocks the tick loop.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import random
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import msgpack
+
+from grape_vector_db_tpu.distributed.transport import Transport, TransportError
+from grape_vector_db_tpu.errors import ConsensusError, NotLeaderError, TimeoutError_
+
+__all__ = ["RaftRole", "LogEntry", "RaftConfig", "RaftNode"]
+
+
+class RaftRole(str, Enum):
+    FOLLOWER = "follower"
+    CANDIDATE = "candidate"
+    LEADER = "leader"
+
+
+@dataclass
+class LogEntry:
+    index: int
+    term: int
+    entry_type: str = "command"
+    data: bytes = b""
+
+    def to_wire(self) -> Dict[str, Any]:
+        return {"index": self.index, "term": self.term,
+                "entry_type": self.entry_type, "data": self.data}
+
+    @staticmethod
+    def from_wire(d: Dict[str, Any]) -> "LogEntry":
+        return LogEntry(d["index"], d["term"], d.get("entry_type", "command"),
+                        d.get("data", b""))
+
+
+@dataclass
+class RaftConfig:
+    election_timeout_ms: Tuple[int, int] = (150, 300)
+    heartbeat_ms: float = 50.0
+    tick_ms: float = 10.0
+    snapshot_threshold: int = 1000
+    max_entries_per_append: int = 64
+    rpc_timeout_s: float = 0.5
+
+
+class RaftNode:
+    """One Raft participant. ``apply_fn(entry)`` applies committed commands to
+    the state machine; ``snapshot_fn()``/``restore_fn(bytes)`` support
+    compaction (optional)."""
+
+    def __init__(
+        self,
+        node_id: str,
+        peers: List[str],
+        transport: Transport,
+        apply_fn: Callable[[LogEntry], None],
+        storage: Optional[Any] = None,  # DocumentStore-like (put_kv/get_kv)
+        config: Optional[RaftConfig] = None,
+        snapshot_fn: Optional[Callable[[], bytes]] = None,
+        restore_fn: Optional[Callable[[bytes], None]] = None,
+    ):
+        self.node_id = node_id
+        self.peers = [p for p in peers if p != node_id]
+        self.transport = transport
+        self.apply_fn = apply_fn
+        self.storage = storage
+        self.config = config or RaftConfig()
+        self.snapshot_fn = snapshot_fn
+        self.restore_fn = restore_fn
+
+        self._lock = threading.RLock()
+        self._commit_cv = threading.Condition(self._lock)
+        # persistent state
+        self.current_term = 0
+        self.voted_for: Optional[str] = None
+        self.log: List[LogEntry] = []          # entries after snapshot
+        self.snapshot_last_index = 0
+        self.snapshot_last_term = 0
+        # volatile
+        self.role = RaftRole.FOLLOWER
+        self.leader_id: Optional[str] = None
+        self.commit_index = 0
+        self.last_applied = 0
+        self.next_index: Dict[str, int] = {}
+        self.match_index: Dict[str, int] = {}
+        # control
+        self._stop = threading.Event()
+        self._tick_thread: Optional[threading.Thread] = None
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(4, len(self.peers) + 1),
+            thread_name_prefix=f"raft-{node_id}",
+        )
+        self._election_deadline = 0.0
+        self._next_heartbeat = 0.0
+        # stats
+        self.elections_started = 0
+        self.entries_applied = 0
+
+        self._restore_persisted()
+        transport.register(node_id, self._handle_rpc)
+
+    # ------------------------------------------------------------------ utils
+
+    def _rand_election_timeout(self) -> float:
+        lo, hi = self.config.election_timeout_ms
+        return random.uniform(lo, hi) / 1e3
+
+    def _reset_election_timer(self) -> None:
+        self._election_deadline = time.monotonic() + self._rand_election_timeout()
+
+    def _last_log_index(self) -> int:
+        return self.log[-1].index if self.log else self.snapshot_last_index
+
+    def _last_log_term(self) -> int:
+        return self.log[-1].term if self.log else self.snapshot_last_term
+
+    def _entry_at(self, index: int) -> Optional[LogEntry]:
+        if index <= self.snapshot_last_index:
+            return None
+        pos = index - self.snapshot_last_index - 1
+        if 0 <= pos < len(self.log):
+            return self.log[pos]
+        return None
+
+    def _term_at(self, index: int) -> Optional[int]:
+        if index == 0:
+            return 0
+        if index == self.snapshot_last_index:
+            return self.snapshot_last_term
+        e = self._entry_at(index)
+        return e.term if e else None
+
+    # ---------------------------------------------------------------- persist
+
+    def _persist_state(self) -> None:
+        if self.storage is None:
+            return
+        self.storage.put_kv(
+            f"raft_state_{self.node_id}",
+            msgpack.packb({
+                "term": self.current_term,
+                "voted_for": self.voted_for,
+                "snapshot_last_index": self.snapshot_last_index,
+                "snapshot_last_term": self.snapshot_last_term,
+            }),
+        )
+
+    def _persist_entries(self, entries: List[LogEntry]) -> None:
+        if self.storage is None:
+            return
+        for e in entries:
+            self.storage.put_kv(
+                f"raft_log_{self.node_id}_{e.index:020d}", msgpack.packb(e.to_wire())
+            )
+
+    def _truncate_persisted_from(self, index: int) -> None:
+        if self.storage is None:
+            return
+        for key, _ in list(self.storage.iter_kv_prefix(f"raft_log_{self.node_id}_")):
+            if int(key.rsplit("_", 1)[1]) >= index:
+                self.storage.delete_kv(key)
+
+    def _restore_persisted(self) -> None:
+        if self.storage is None:
+            return
+        raw = self.storage.get_kv(f"raft_state_{self.node_id}")
+        if raw:
+            st = msgpack.unpackb(raw, raw=False)
+            self.current_term = st.get("term", 0)
+            self.voted_for = st.get("voted_for")
+            self.snapshot_last_index = st.get("snapshot_last_index", 0)
+            self.snapshot_last_term = st.get("snapshot_last_term", 0)
+        snap = self.storage.get_kv(f"raft_snapshot_{self.node_id}")
+        if snap and self.restore_fn:
+            self.restore_fn(snap)
+            self.commit_index = self.last_applied = self.snapshot_last_index
+        entries = []
+        for key, val in sorted(self.storage.iter_kv_prefix(f"raft_log_{self.node_id}_")):
+            e = LogEntry.from_wire(msgpack.unpackb(val, raw=False))
+            if e.index > self.snapshot_last_index:
+                entries.append(e)
+        self.log = entries
+
+    # ------------------------------------------------------------------ start
+
+    def start(self) -> None:
+        self._reset_election_timer()
+        self._tick_thread = threading.Thread(
+            target=self._tick_loop, daemon=True, name=f"raft-tick-{self.node_id}"
+        )
+        self._tick_thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._tick_thread:
+            self._tick_thread.join(timeout=1.0)
+        self._pool.shutdown(wait=False)
+        self.transport.unregister(self.node_id)
+
+    def _tick_loop(self) -> None:
+        while not self._stop.wait(self.config.tick_ms / 1e3):
+            now = time.monotonic()
+            with self._lock:
+                role = self.role
+                election_due = now >= self._election_deadline
+                heartbeat_due = now >= self._next_heartbeat
+            if role == RaftRole.LEADER:
+                if heartbeat_due:
+                    self._broadcast_append()
+            elif election_due:
+                self._start_election()
+
+    # -------------------------------------------------------------- elections
+
+    def _start_election(self) -> None:
+        with self._lock:
+            self.role = RaftRole.CANDIDATE
+            self.current_term += 1
+            self.voted_for = self.node_id
+            self.leader_id = None
+            term = self.current_term
+            self.elections_started += 1
+            self._persist_state()
+            self._reset_election_timer()
+            last_idx, last_term = self._last_log_index(), self._last_log_term()
+        votes = 1
+        needed = (len(self.peers) + 1) // 2 + 1
+        if votes >= needed:
+            self._become_leader(term)
+            return
+
+        vote_lock = threading.Lock()
+        state = {"votes": 1, "done": False}
+
+        def ask(peer: str) -> None:
+            try:
+                resp = self.transport.call(
+                    self.node_id, peer, "request_vote",
+                    {"term": term, "candidate_id": self.node_id,
+                     "last_log_index": last_idx, "last_log_term": last_term},
+                    timeout_s=self.config.rpc_timeout_s,
+                )
+            except TransportError:
+                return
+            with self._lock:
+                if resp["term"] > self.current_term:
+                    self._step_down(resp["term"])
+                    return
+            if resp.get("vote_granted"):
+                with vote_lock:
+                    state["votes"] += 1
+                    if not state["done"] and state["votes"] >= needed:
+                        state["done"] = True
+                        self._become_leader(term)
+
+        for p in self.peers:
+            self._pool.submit(ask, p)
+
+    def _become_leader(self, term: int) -> None:
+        with self._lock:
+            if self.role != RaftRole.CANDIDATE or self.current_term != term:
+                return
+            self.role = RaftRole.LEADER
+            self.leader_id = self.node_id
+            nxt = self._last_log_index() + 1
+            self.next_index = {p: nxt for p in self.peers}
+            self.match_index = {p: 0 for p in self.peers}
+            self._next_heartbeat = 0.0  # send immediately
+        self._broadcast_append()
+
+    def _step_down(self, term: int) -> None:
+        # caller holds lock
+        if term > self.current_term:
+            self.current_term = term
+            self.voted_for = None
+            self._persist_state()
+        self.role = RaftRole.FOLLOWER
+        self._reset_election_timer()
+
+    # ------------------------------------------------------------ replication
+
+    def _broadcast_append(self) -> None:
+        with self._lock:
+            if self.role != RaftRole.LEADER:
+                return
+            self._next_heartbeat = time.monotonic() + self.config.heartbeat_ms / 1e3
+            peers = list(self.peers)
+        for p in peers:
+            self._pool.submit(self._append_to_peer, p)
+
+    def _append_to_peer(self, peer: str) -> None:
+        with self._lock:
+            if self.role != RaftRole.LEADER:
+                return
+            term = self.current_term
+            nxt = self.next_index.get(peer, self._last_log_index() + 1)
+            if nxt <= self.snapshot_last_index:
+                self._send_snapshot(peer)
+                return
+            prev_idx = nxt - 1
+            prev_term = self._term_at(prev_idx)
+            if prev_term is None:
+                self._send_snapshot(peer)
+                return
+            entries = []
+            e = self._entry_at(nxt)
+            while e is not None and len(entries) < self.config.max_entries_per_append:
+                entries.append(e.to_wire())
+                e = self._entry_at(e.index + 1)
+            commit = self.commit_index
+        try:
+            resp = self.transport.call(
+                self.node_id, peer, "append_entries",
+                {"term": term, "leader_id": self.node_id,
+                 "prev_log_index": prev_idx, "prev_log_term": prev_term,
+                 "entries": entries, "leader_commit": commit},
+                timeout_s=self.config.rpc_timeout_s,
+            )
+        except TransportError:
+            return
+        with self._lock:
+            if resp["term"] > self.current_term:
+                self._step_down(resp["term"])
+                return
+            if self.role != RaftRole.LEADER or self.current_term != term:
+                return
+            if resp.get("success"):
+                match = resp.get("match_index", prev_idx + len(entries))
+                self.match_index[peer] = max(self.match_index.get(peer, 0), match)
+                self.next_index[peer] = self.match_index[peer] + 1
+                self._advance_commit()
+            else:
+                # conflict backtracking
+                hint = resp.get("conflict_index")
+                self.next_index[peer] = max(
+                    1, hint if hint is not None else self.next_index.get(peer, 2) - 1
+                )
+
+    def _advance_commit(self) -> None:
+        # caller holds lock; leader only
+        for n in range(self._last_log_index(), self.commit_index, -1):
+            t = self._term_at(n)
+            if t != self.current_term:
+                break
+            count = 1 + sum(1 for p in self.peers if self.match_index.get(p, 0) >= n)
+            if count >= (len(self.peers) + 1) // 2 + 1:
+                self.commit_index = n
+                self._commit_cv.notify_all()
+                break
+        self._apply_committed()
+
+    def _apply_committed(self) -> None:
+        # caller holds lock
+        to_apply = []
+        while self.last_applied < self.commit_index:
+            self.last_applied += 1
+            e = self._entry_at(self.last_applied)
+            if e is not None:
+                to_apply.append(e)
+        if to_apply:
+            # apply outside the lock to avoid deadlocks with the state machine
+            def run(entries: List[LogEntry]) -> None:
+                for e in entries:
+                    try:
+                        self.apply_fn(e)
+                    except Exception:
+                        pass
+                    self.entries_applied += 1
+
+            threading.Thread(target=run, args=(to_apply,), daemon=True).start()
+        self._maybe_compact()
+
+    # ---------------------------------------------------------------- snapshot
+
+    def _maybe_compact(self) -> None:
+        # caller holds lock
+        if self.snapshot_fn is None or len(self.log) < self.config.snapshot_threshold:
+            return
+        if self.last_applied <= self.snapshot_last_index:
+            return
+        snap = self.snapshot_fn()
+        last_term = self._term_at(self.last_applied) or self.snapshot_last_term
+        dropped = self.last_applied - self.snapshot_last_index
+        self.log = [e for e in self.log if e.index > self.last_applied]
+        self.snapshot_last_index = self.last_applied
+        self.snapshot_last_term = last_term
+        if self.storage is not None:
+            self.storage.put_kv(f"raft_snapshot_{self.node_id}", snap)
+            self._persist_state()
+            for key, val in list(self.storage.iter_kv_prefix(f"raft_log_{self.node_id}_")):
+                if int(key.rsplit("_", 1)[1]) <= self.snapshot_last_index:
+                    self.storage.delete_kv(key)
+
+    def _send_snapshot(self, peer: str) -> None:
+        # caller holds lock
+        if self.snapshot_fn is None:
+            return
+        snap = self.storage.get_kv(f"raft_snapshot_{self.node_id}") if self.storage else None
+        if snap is None:
+            snap = self.snapshot_fn()
+        payload = {
+            "term": self.current_term, "leader_id": self.node_id,
+            "last_included_index": self.snapshot_last_index,
+            "last_included_term": self.snapshot_last_term,
+            "data": snap,
+        }
+
+        def send() -> None:
+            try:
+                resp = self.transport.call(
+                    self.node_id, peer, "install_snapshot", payload,
+                    timeout_s=self.config.rpc_timeout_s * 4,
+                )
+            except TransportError:
+                return
+            with self._lock:
+                if resp["term"] > self.current_term:
+                    self._step_down(resp["term"])
+                elif resp.get("ok"):
+                    self.next_index[peer] = payload["last_included_index"] + 1
+                    self.match_index[peer] = payload["last_included_index"]
+
+        self._pool.submit(send)
+
+    # ------------------------------------------------------------------- RPCs
+
+    def _handle_rpc(self, method: str, payload: Dict[str, Any]) -> Dict[str, Any]:
+        if method == "request_vote":
+            return self.handle_request_vote(payload)
+        if method == "append_entries":
+            return self.handle_append_entries(payload)
+        if method == "install_snapshot":
+            return self.handle_install_snapshot(payload)
+        if method == "client_command":
+            data = payload["data"]
+            idx = self.propose(data, timeout_s=payload.get("timeout_s", 2.0))
+            return {"ok": True, "index": idx}
+        raise ConsensusError(f"unknown raft method {method}")
+
+    def handle_request_vote(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        with self._lock:
+            if p["term"] > self.current_term:
+                self._step_down(p["term"])
+            granted = False
+            if p["term"] == self.current_term and self.voted_for in (None, p["candidate_id"]):
+                up_to_date = (
+                    p["last_log_term"] > self._last_log_term()
+                    or (p["last_log_term"] == self._last_log_term()
+                        and p["last_log_index"] >= self._last_log_index())
+                )
+                if up_to_date:
+                    granted = True
+                    self.voted_for = p["candidate_id"]
+                    self._persist_state()
+                    self._reset_election_timer()
+            return {"term": self.current_term, "vote_granted": granted}
+
+    def handle_append_entries(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        with self._lock:
+            if p["term"] < self.current_term:
+                return {"term": self.current_term, "success": False}
+            if p["term"] > self.current_term or self.role != RaftRole.FOLLOWER:
+                self._step_down(p["term"])
+            self.leader_id = p["leader_id"]
+            self._reset_election_timer()
+
+            prev_idx, prev_term = p["prev_log_index"], p["prev_log_term"]
+            my_term = self._term_at(prev_idx)
+            if my_term is None or my_term != prev_term:
+                # conflict hint: first index of the conflicting term (or log end)
+                conflict = min(prev_idx, self._last_log_index() + 1)
+                if my_term is not None:
+                    i = prev_idx
+                    while i > self.snapshot_last_index + 1 and self._term_at(i - 1) == my_term:
+                        i -= 1
+                    conflict = i
+                return {"term": self.current_term, "success": False,
+                        "conflict_index": max(1, conflict)}
+
+            entries = [LogEntry.from_wire(e) for e in p["entries"]]
+            new_entries: List[LogEntry] = []
+            for e in entries:
+                mine = self._entry_at(e.index)
+                if mine is not None and mine.term != e.term:
+                    # conflict: truncate from here (raft.rs:1240-1289)
+                    pos = e.index - self.snapshot_last_index - 1
+                    self.log = self.log[:pos]
+                    self._truncate_persisted_from(e.index)
+                    mine = None
+                if mine is None and e.index == self._last_log_index() + 1:
+                    self.log.append(e)
+                    new_entries.append(e)
+            if new_entries:
+                self._persist_entries(new_entries)
+            if p["leader_commit"] > self.commit_index:
+                self.commit_index = min(p["leader_commit"], self._last_log_index())
+                self._commit_cv.notify_all()
+                self._apply_committed()
+            return {"term": self.current_term, "success": True,
+                    "match_index": self._last_log_index()}
+
+    def handle_install_snapshot(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        with self._lock:
+            if p["term"] < self.current_term:
+                return {"term": self.current_term, "ok": False}
+            self._step_down(p["term"])
+            self.leader_id = p["leader_id"]
+            if p["last_included_index"] <= self.snapshot_last_index:
+                return {"term": self.current_term, "ok": True}
+            if self.restore_fn is not None:
+                self.restore_fn(p["data"])
+            self.snapshot_last_index = p["last_included_index"]
+            self.snapshot_last_term = p["last_included_term"]
+            self.log = [e for e in self.log if e.index > self.snapshot_last_index]
+            self.commit_index = max(self.commit_index, self.snapshot_last_index)
+            self.last_applied = max(self.last_applied, self.snapshot_last_index)
+            if self.storage is not None:
+                self.storage.put_kv(f"raft_snapshot_{self.node_id}", p["data"])
+                self._persist_state()
+            return {"term": self.current_term, "ok": True}
+
+    # ----------------------------------------------------------------- client
+
+    def propose(self, data: bytes, entry_type: str = "command",
+                timeout_s: float = 2.0) -> int:
+        """Append a command; block until committed. Raises NotLeaderError with a
+        leader hint when this node isn't the leader (raft.rs:490-535)."""
+        with self._lock:
+            if self.role != RaftRole.LEADER:
+                raise NotLeaderError(self.leader_id)
+            entry = LogEntry(
+                index=self._last_log_index() + 1,
+                term=self.current_term,
+                entry_type=entry_type,
+                data=data,
+            )
+            self.log.append(entry)
+            self._persist_entries([entry])
+            idx, term = entry.index, entry.term
+        self._broadcast_append()
+        deadline = time.monotonic() + timeout_s
+        with self._commit_cv:
+            while self.commit_index < idx:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError_(f"commit of index {idx} timed out")
+                self._commit_cv.wait(remaining)
+            committed_term = self._term_at(idx)
+        if committed_term != term:
+            raise ConsensusError("entry was overwritten by a new leader")
+        return idx
+
+    def propose_on_leader(self, data: bytes, timeout_s: float = 2.0) -> int:
+        """Propose locally or forward to the known leader."""
+        try:
+            return self.propose(data, timeout_s=timeout_s)
+        except NotLeaderError as e:
+            if not e.leader_hint:
+                raise
+            resp = self.transport.call(
+                self.node_id, e.leader_hint, "client_command",
+                {"data": data, "timeout_s": timeout_s},
+                timeout_s=timeout_s + 0.5,
+            )
+            return resp["index"]
+
+    # ------------------------------------------------------------------ intro
+
+    def status(self) -> Dict[str, Any]:
+        with self._lock:
+            return {
+                "node_id": self.node_id,
+                "role": self.role.value,
+                "term": self.current_term,
+                "leader_id": self.leader_id,
+                "commit_index": self.commit_index,
+                "last_applied": self.last_applied,
+                "log_length": len(self.log),
+                "snapshot_last_index": self.snapshot_last_index,
+            }

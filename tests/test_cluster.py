@@ -1,0 +1,146 @@
+"""Full-cluster end-to-end tests: 3-node ClusterService with Raft metadata,
+sharded replicated writes, scatter-gather search, node failure + failover —
+the reference's disabled cluster_mode_tests / chaos tests, running for real."""
+
+import time
+
+import numpy as np
+import pytest
+
+from grape_vector_db_tpu.config import VectorDbConfig
+from grape_vector_db_tpu.distributed.cluster_service import ClusterService
+from grape_vector_db_tpu.distributed.raft import RaftConfig
+from grape_vector_db_tpu.distributed.types import ClusterConfig, ConsistencyLevel
+from grape_vector_db_tpu.types import Document
+
+
+def make_service(n=3, consistency=ConsistencyLevel.SESSION, shard_count=8):
+    ccfg = ClusterConfig(
+        shard_count=shard_count,
+        replica_count=2,
+        consistency=consistency,
+        heartbeat_interval_s=0.2,
+        election_timeout_ms=(80, 160),
+        raft_heartbeat_ms=25.0,
+    )
+    dcfg = VectorDbConfig(vector_dimension=16)
+    dcfg.device.storage_dtype = "float32"
+    dcfg.index.initial_capacity = 256
+    dcfg.cache.enabled = False
+    rcfg = RaftConfig(election_timeout_ms=(80, 160), heartbeat_ms=25.0, tick_ms=5.0)
+    svc = ClusterService([f"node-{i}" for i in range(n)], cluster_config=ccfg,
+                         db_config=dcfg, raft_config=rcfg)
+    svc.start()
+    return svc
+
+
+def make_docs(n, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        Document(id=f"doc-{i}", content=f"body {i}",
+                 vector=rng.standard_normal(dim).astype(np.float32).tolist())
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def svc():
+    s = make_service()
+    yield s
+    s.stop()
+
+
+def test_cluster_boot_and_membership(svc):
+    for n in svc.nodes.values():
+        assert len(n.members) == 3
+        assert all(i.primary_node for i in n.shard_map.shards.values())
+    health = svc.any_node().cluster_health()
+    assert health.status == "healthy" and health.healthy_nodes == 3
+
+
+def test_replicated_write_and_scatter_search(svc):
+    docs = make_docs(60)
+    written = svc.upsert(docs)
+    assert written == 60
+    # replica_count=2: every doc exists on exactly 2 nodes
+    total = sum(n.db.store.count() for n in svc.nodes.values())
+    assert total == 120
+    hits = svc.search(docs[7].vector, k=5)
+    assert hits[0][0] == "doc-7"
+    assert hits[0][1] > 0.99
+    # no duplicate ids in merged results despite replication
+    ids = [h[0] for h in hits]
+    assert len(ids) == len(set(ids))
+
+
+def test_cluster_delete(svc):
+    docs = make_docs(20)
+    svc.upsert(docs)
+    assert svc.delete(["doc-3", "doc-4"]) == 2
+    hits = svc.search(docs[3].vector, k=3)
+    assert all(h[0] != "doc-3" for h in hits)
+
+
+def test_node_failure_promotes_and_search_survives(svc):
+    docs = make_docs(80)
+    svc.upsert(docs)
+    # hard-fail one non-leader node at the network level
+    leader = svc.leader_node().node_id
+    victim = next(nid for nid in svc.nodes if nid != leader)
+    svc.sim.fail_node(victim)
+
+    # detectors on live nodes must notice and raft-propagate the failure
+    deadline = time.monotonic() + 8.0
+    survivor_ids = [nid for nid in svc.nodes if nid != victim]
+    ok = False
+    while time.monotonic() < deadline:
+        if all(
+            svc.nodes[nid].members[victim].state.value == "failed"
+            for nid in survivor_ids
+        ):
+            ok = True
+            break
+        time.sleep(0.05)
+    assert ok, "victim never marked failed in replicated state"
+
+    # after failover no shard lists the victim as primary on survivors' maps
+    for nid in survivor_ids:
+        for info in svc.nodes[nid].shard_map.shards.values():
+            assert info.primary_node != victim
+
+    # search from a survivor still finds everything (replicas cover the shards)
+    node = svc.nodes[survivor_ids[0]]
+    hits = node.search(docs[11].vector, k=3)
+    assert hits and hits[0][0] == "doc-11"
+
+
+def test_cluster_status_aggregation(svc):
+    svc.upsert(make_docs(10))
+    status = svc.status()
+    assert len(status) == 3
+    assert sum(1 for s in status.values() if s["raft"]["role"] == "leader") == 1
+    assert all(s["docs"] >= 0 for s in status.values())
+
+
+def test_node_recovery_propagates(svc):
+    """Regression: recovery must propagate even when the one-shot proposal is
+    lost to leader churn — the leader's reconcile loop re-proposes."""
+    svc.upsert(make_docs(10))
+    leader = svc.leader_node().node_id
+    victim = next(nid for nid in svc.nodes if nid != leader)
+    svc.sim.fail_node(victim)
+    survivors = [nid for nid in svc.nodes if nid != victim]
+    deadline = time.monotonic() + 8.0
+    while time.monotonic() < deadline:
+        if all(svc.nodes[n].members[victim].state.value == "failed" for n in survivors):
+            break
+        time.sleep(0.05)
+    svc.sim.recover_node(victim)
+    deadline = time.monotonic() + 8.0
+    ok = False
+    while time.monotonic() < deadline:
+        if all(svc.nodes[n].members[victim].state.value == "healthy" for n in survivors):
+            ok = True
+            break
+        time.sleep(0.05)
+    assert ok, "recovery never propagated to replicated member state"

@@ -1,0 +1,177 @@
+"""Raft consensus tests — the intent of the reference's disabled
+raft_comprehensive_tests (single-leader election on 3/6-node clusters, log
+replication, partition handling; raft_comprehensive_tests.rs.disabled:1-70) —
+but actually running, against a real implementation."""
+
+import time
+
+import pytest
+
+from grape_vector_db_tpu.distributed.raft import RaftConfig, RaftRole
+from grape_vector_db_tpu.errors import NotLeaderError
+from grape_vector_db_tpu.testing import RaftTestCluster
+
+FAST = RaftConfig(election_timeout_ms=(80, 160), heartbeat_ms=25.0, tick_ms=5.0)
+
+
+@pytest.fixture()
+def cluster3():
+    c = RaftTestCluster(3, config=FAST)
+    c.start()
+    yield c
+    c.stop()
+
+
+def test_single_leader_election_3(cluster3):
+    leader = cluster3.wait_for_leader()
+    time.sleep(0.3)
+    assert cluster3.leaders() == [leader]
+    # every node agrees on the leader
+    for n in cluster3.nodes.values():
+        assert n.leader_id == leader
+
+
+def test_single_leader_election_6():
+    c = RaftTestCluster(6, config=FAST)
+    c.start()
+    try:
+        leader = c.wait_for_leader()
+        time.sleep(0.3)
+        assert c.leaders() == [leader]
+    finally:
+        c.stop()
+
+
+def test_log_replication_to_all(cluster3):
+    leader = cluster3.wait_for_leader()
+    node = cluster3.nodes[leader]
+    for i in range(5):
+        idx = node.propose(f"cmd-{i}".encode())
+        assert idx == i + 1
+    cluster3.wait_applied(5)
+    cluster3.verify_log_consistency()
+    assert cluster3.applied[leader] == [f"cmd-{i}".encode() for i in range(5)]
+
+
+def test_propose_on_follower_raises_or_forwards(cluster3):
+    leader = cluster3.wait_for_leader()
+    follower = next(n for n in cluster3.node_ids if n != leader)
+    with pytest.raises(NotLeaderError):
+        cluster3.nodes[follower].propose(b"x")
+    # forwarding path
+    idx = cluster3.nodes[follower].propose_on_leader(b"fwd")
+    assert idx >= 1
+    cluster3.wait_applied(1)
+
+
+def test_partition_elects_new_leader_and_heals(cluster3):
+    leader = cluster3.wait_for_leader()
+    others = {n for n in cluster3.node_ids if n != leader}
+    # commit something first
+    cluster3.nodes[leader].propose(b"before")
+    cluster3.wait_applied(1)
+
+    # isolate the leader; the majority side elects a new one
+    cluster3.partition({leader}, others)
+    new_leader = cluster3.wait_for_leader(among=others, timeout_s=5.0)
+    assert new_leader != leader
+
+    # majority side can still commit
+    idx = cluster3.nodes[new_leader].propose(b"during")
+    assert idx == 2
+    cluster3.wait_applied(2, among=others)
+
+    # old leader cannot commit
+    with pytest.raises(Exception):
+        cluster3.nodes[leader].propose(b"stale", timeout_s=0.3)
+
+    # heal: old leader steps down and converges
+    cluster3.heal()
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if cluster3.nodes[leader].role == RaftRole.FOLLOWER:
+            break
+        time.sleep(0.02)
+    assert cluster3.nodes[leader].role == RaftRole.FOLLOWER
+    cluster3.wait_applied(2)
+    cluster3.verify_log_consistency()
+
+
+def test_no_commit_without_majority(cluster3):
+    leader = cluster3.wait_for_leader()
+    # partition every node from every other: no quorum anywhere
+    cluster3.partition(*({n} for n in cluster3.node_ids))
+    with pytest.raises(Exception):
+        cluster3.nodes[leader].propose(b"nope", timeout_s=0.4)
+    cluster3.heal()
+
+
+def test_crash_restart_recovers_from_storage():
+    c = RaftTestCluster(3, config=FAST)
+    c.start()
+    try:
+        leader = c.wait_for_leader()
+        for i in range(4):
+            c.nodes[leader].propose(f"v{i}".encode())
+        c.wait_applied(4)
+        victim = next(n for n in c.node_ids if n != leader)
+        c.kill_node(victim)
+        c.nodes[leader].propose(b"while-down")
+        # restart from persisted state; it must catch up
+        c.applied[victim] = []  # state machine resets on crash; log replays
+        c.restart_node(victim)
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            if len(c.applied[victim]) >= 5:
+                break
+            time.sleep(0.02)
+        assert len(c.applied[victim]) >= 5
+        c.verify_log_consistency()
+    finally:
+        c.stop()
+
+
+def test_snapshot_compaction_and_catchup():
+    cfg = RaftConfig(election_timeout_ms=(80, 160), heartbeat_ms=25.0, tick_ms=5.0,
+                     snapshot_threshold=20)
+    c = RaftTestCluster(3, config=cfg, snapshots=True)
+    c.start()
+    try:
+        leader = c.wait_for_leader()
+        lagger = next(n for n in c.node_ids if n != leader)
+        c.sim.fail_node(lagger)
+        for i in range(40):
+            c.nodes[leader].propose(f"s{i}".encode())
+        others = {n for n in c.node_ids if n != lagger}
+        c.wait_applied(40, among=others)
+        time.sleep(0.3)  # allow compaction
+        assert c.nodes[leader].snapshot_last_index > 0
+        assert len(c.nodes[leader].log) < 40
+        # recover the lagger: it must catch up via InstallSnapshot
+        c.sim.recover_node(lagger)
+        deadline = time.monotonic() + 6.0
+        while time.monotonic() < deadline:
+            if len(c.applied[lagger]) >= 40:
+                break
+            time.sleep(0.05)
+        assert len(c.applied[lagger]) >= 40, (
+            f"lagger only applied {len(c.applied[lagger])}"
+        )
+        c.verify_log_consistency()
+    finally:
+        c.stop()
+
+
+def test_leader_stability_under_packet_loss(cluster3):
+    leader = cluster3.wait_for_leader()
+    cluster3.sim.set_packet_loss(leader, 0.2)
+    for i in range(10):
+        try:
+            cluster3.nodes[cluster3.wait_for_leader()].propose(
+                f"lossy-{i}".encode(), timeout_s=2.0
+            )
+        except Exception:
+            pass  # occasional timeout under loss is fine
+    cluster3.sim.set_packet_loss(leader, 0.0)
+    time.sleep(0.5)
+    cluster3.verify_log_consistency()

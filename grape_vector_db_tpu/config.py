@@ -159,6 +159,10 @@ class DeviceConfig:
     growth_factor: int = 2
     # Use pallas kernels where available (fall back to XLA otherwise).
     use_pallas: bool = True
+    # Top-k engine: "exact" (iterative max-and-mask, recall 1.0) or "approx"
+    # (lax.approx_max_k at HBM roofline; recall_target below).
+    search_mode: str = "exact"
+    recall_target: float = 0.99
 
 
 @dataclass

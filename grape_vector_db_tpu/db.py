@@ -66,6 +66,8 @@ def build_index(config: VectorDbConfig) -> VectorIndex:
         storage_dtype=config.device.storage_dtype,
         initial_capacity=config.index.initial_capacity,
         growth_factor=config.device.growth_factor,
+        search_mode=config.device.search_mode,
+        recall_target=config.device.recall_target,
     )
     if kind == "flat":
         return FlatDeviceIndex(**common)

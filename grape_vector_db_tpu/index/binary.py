@@ -91,6 +91,8 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         threshold: float = 0.0,
         rescore_ratio: float = 0.1,
         max_rescore: int = 4096,
+        search_mode: str = "exact",
+        recall_target: float = 0.99,
         device: Optional[jax.Device] = None,
     ):
         self.threshold = float(threshold)
@@ -100,6 +102,7 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         super().__init__(
             dimension, metric=metric, storage_dtype=storage_dtype,
             initial_capacity=initial_capacity, growth_factor=growth_factor,
+            search_mode=search_mode, recall_target=recall_target,
             device=device,
         )
 

@@ -67,12 +67,18 @@ class FlatDeviceIndex(VectorIndex):
         storage_dtype: str = "bfloat16",
         initial_capacity: int = 4096,
         growth_factor: int = 2,
+        search_mode: str = "exact",
+        recall_target: float = 0.99,
         device: Optional[jax.Device] = None,
     ):
         if metric not in ("cosine", "dot", "euclidean"):
             raise ValueError(f"unknown metric {metric}")
+        if search_mode not in ("exact", "approx"):
+            raise ValueError(f"unknown search_mode {search_mode}")
         self._dim = dimension
         self.metric = metric
+        self.search_mode = search_mode
+        self.recall_target = recall_target
         self.storage_dtype = jnp.dtype(storage_dtype)
         self._initial_capacity = initial_capacity
         self._growth_factor = growth_factor
@@ -205,6 +211,7 @@ class FlatDeviceIndex(VectorIndex):
             vals, idxs = scored_topk(
                 jnp.asarray(queries), self.vectors, self.norms, self.valid,
                 k=k, metric=self.metric, chunk=chunk,
+                mode=self.search_mode, recall_target=self.recall_target,
             )
             return np.asarray(vals), np.asarray(idxs)
 

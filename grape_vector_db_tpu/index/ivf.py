@@ -127,6 +127,8 @@ class IvfDeviceIndex(VectorIndex):
         nprobe: int = 8,
         train_size: int = 50_000,
         kmeans_iters: int = 10,
+        search_mode: str = "exact",
+        recall_target: float = 0.99,
         device: Optional[jax.Device] = None,
     ):
         self._dim = dimension
@@ -144,7 +146,8 @@ class IvfDeviceIndex(VectorIndex):
         # Overflow region: exact flat index holding spill until optimize().
         self._overflow = FlatDeviceIndex(
             dimension, metric=metric, storage_dtype=storage_dtype,
-            initial_capacity=1024, growth_factor=growth_factor, device=device,
+            initial_capacity=1024, growth_factor=growth_factor,
+            search_mode=search_mode, recall_target=recall_target, device=device,
         )
         # id -> (list, pos) or ("overflow", id kept in _overflow)
         self._id_to_cell: Dict[str, Tuple[int, int]] = {}

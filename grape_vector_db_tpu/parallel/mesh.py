@@ -46,10 +46,19 @@ def make_mesh(
     return Mesh(np.asarray(devs), (shard_axis,))
 
 
-def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int):
-    """Per-device exact top-k over the local shard rows (runs inside shard_map,
-    so shapes here are the *local* shard shapes)."""
+def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int,
+                mode: str = "exact", recall_target: float = 0.99):
+    """Per-device top-k over the local shard rows (runs inside shard_map, so
+    shapes here are the *local* shard shapes). Uses the same fast top-k engines
+    as ops.distance (iterative exact / approx_max_k)."""
+    from grape_vector_db_tpu.ops.distance import _select_topk
+
     n, d = vecs.shape
+    b = q.shape[0]
+    if b * n <= 2**27:
+        s = score_block(q, vecs, norms, valid, metric)
+        vals, idxs = _select_topk(s, min(k, n), mode, recall_target)
+        return vals, idxs
     chunk = min(chunk, n)
     num_chunks = max(1, n // chunk)
     kk = min(k, chunk)
@@ -61,18 +70,19 @@ def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int):
     def body(carry, xs):
         v, nn, m, off = xs
         s = score_block(q, v, nn, m, metric)
-        tv, ti = lax.top_k(s, kk)
-        return carry, (tv, ti.astype(jnp.int32) + off)
+        tv, ti = _select_topk(s, kk, mode, recall_target)
+        return carry, (tv, ti + off)
 
     _, (vals, idxs) = lax.scan(body, None, (vecs_c, norms_c, valid_c, offs))
-    b = q.shape[0]
     vals = jnp.moveaxis(vals, 0, 1).reshape(b, num_chunks * kk)
     idxs = jnp.moveaxis(idxs, 0, 1).reshape(b, num_chunks * kk)
     return take_topk(vals, idxs, min(k, num_chunks * kk))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "mesh", "shard_axis")
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "mesh", "shard_axis", "mode",
+                     "recall_target"),
 )
 def sharded_scored_topk(
     queries: jax.Array,   # [B, D] f32, replicated
@@ -84,6 +94,8 @@ def sharded_scored_topk(
     chunk: int,
     mesh: Mesh,
     shard_axis: str = "shard",
+    mode: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k across all shards: local scan + one all_gather merge.
 
@@ -94,7 +106,8 @@ def sharded_scored_topk(
 
     def spmd(q, vecs, nrm, msk):
         qp = prepare_queries(q, metric)
-        vals, idxs = _local_topk(qp, vecs, nrm, msk, k, metric, chunk)
+        vals, idxs = _local_topk(qp, vecs, nrm, msk, k, metric, chunk,
+                                 mode=mode, recall_target=recall_target)
         shard_id = lax.axis_index(shard_axis)
         gidx = idxs + shard_id * per_shard
         # One collective over ICI: gather every shard's top-k, then merge.
@@ -144,9 +157,13 @@ class ShardedFlatIndex(VectorIndex):
         shard_capacity: int = 4096,
         shard_axis: str = "shard",
         search_chunk: int = 65536,
+        search_mode: str = "exact",
+        recall_target: float = 0.99,
     ):
         self._dim = dimension
         self.metric = metric
+        self.search_mode = search_mode
+        self.recall_target = recall_target
         self.mesh = mesh if mesh is not None else make_mesh(shard_axis=shard_axis)
         self.shard_axis = shard_axis
         self.n_shards = self.mesh.shape[shard_axis]
@@ -265,7 +282,8 @@ class ShardedFlatIndex(VectorIndex):
         vals, idxs = sharded_scored_topk(
             q, self.vectors, self.norms, self.valid,
             k=k, metric=self.metric, chunk=chunk, mesh=self.mesh,
-            shard_axis=self.shard_axis,
+            shard_axis=self.shard_axis, mode=self.search_mode,
+            recall_target=self.recall_target,
         )
         vals, idxs = np.asarray(vals)[:b], np.asarray(idxs)[:b]
         out: List[List[SearchHit]] = []

@@ -83,6 +83,15 @@ def build_index(config: VectorDbConfig) -> VectorIndex:
         return IvfDeviceIndex(
             **common, nlist=config.index.nlist, nprobe=config.index.nprobe
         )
+    if kind == "graph":
+        from grape_vector_db_tpu.index.graph import GraphDeviceIndex
+
+        return GraphDeviceIndex(
+            **common,
+            m=config.index.m,
+            ef_search=config.index.ef_search,
+            ef_construction=config.index.ef_construction,
+        )
     raise InvalidArgumentError(f"unknown index kind: {kind}")
 
 
@@ -110,6 +119,14 @@ class VectorDatabase:
         self.index = build_index(self.config)
         self.sparse = SparseIndex(bm25=self.config.hybrid.bm25, config=self.config.sparse)
         self.embedder = embedder or create_provider(self.config.embedding)
+        if self.config.cache.enabled:
+            from grape_vector_db_tpu.engine.performance import CachingEmbedder
+
+            self.embedder = CachingEmbedder(
+                self.embedder,
+                cache_size=self.config.cache.embedding_cache_size,
+                ttl_s=self.config.cache.ttl_seconds,
+            )
         self.metrics = MetricsCollector()
         self.filter_engine = FilterEngine()
         self.hybrid_engine = HybridSearchEngine(
@@ -296,6 +313,60 @@ class VectorDatabase:
         )
 
     # -- backup / stats / health ---------------------------------------------------------
+
+    def save_index(self, path: str) -> Dict[str, Any]:
+        """Index snapshot (query.rs:282-409): compressed ids+vectors+metadata,
+        dimension-validated on load. On TPU, rebuilding index structures from
+        raw vectors is cheap, so snapshotting vectors is the whole checkpoint."""
+        import msgpack
+        import zstandard
+
+        ids, vecs = self.index.get_all()
+        payload = msgpack.packb({
+            "metadata": {
+                "dimension": self.config.vector_dimension,
+                "total_points": len(ids),
+                "created_at": int(time.time() * 1000),
+                "index_kind": self.index.get_stats().kind,
+                "metric": self.config.distance,
+            },
+            "ids": ids,
+            "vectors_f32": np.ascontiguousarray(vecs, dtype=np.float32).tobytes(),
+        }, use_bin_type=True)
+        blob = zstandard.ZstdCompressor(level=3).compress(payload)
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return {"points": len(ids), "bytes": len(blob)}
+
+    def load_index(self, path: str) -> Dict[str, Any]:
+        """Load an index snapshot; rejects dimension mismatches (query.rs:282-409)."""
+        import msgpack
+        import zstandard
+
+        with open(path, "rb") as f:
+            payload = msgpack.unpackb(
+                zstandard.ZstdDecompressor().decompress(f.read()), raw=False
+            )
+        meta = payload["metadata"]
+        if meta["dimension"] != self.config.vector_dimension:
+            raise InvalidArgumentError(
+                f"index snapshot dimension {meta['dimension']} != "
+                f"configured {self.config.vector_dimension}"
+            )
+        ids = payload["ids"]
+        vecs = np.frombuffer(payload["vectors_f32"], dtype=np.float32).reshape(
+            len(ids), meta["dimension"]
+        )
+        with self._lock:
+            self.index.clear()
+            for s in range(0, len(ids), 8192):
+                self.index.add_batch(ids[s:s + 8192], vecs[s:s + 8192])
+            self.index.optimize()
+            self.engine.invalidate_cache()
+        return {"points": len(ids), "created_at": meta["created_at"]}
 
     def create_backup(self, backup_path: str) -> Dict[str, Any]:
         return self.store.create_backup(backup_path)

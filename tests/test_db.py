@@ -241,3 +241,69 @@ def test_embedded_batched_single_queries(tmp_path):
         for i, row in enumerate(rows):
             assert row[0].id == f"doc-{i}"
         assert edb.executor.queries_run == 8
+
+
+def test_graph_index_db_mode():
+    cfg = small_config(dim=48)
+    cfg.index.kind = "graph"
+    cfg.index.initial_capacity = 1024
+    cfg.index.m = 8
+    cfg.index.ef_search = 64
+    db = VectorDatabase(config=cfg)
+    db.batch_add_documents(make_docs(400))
+    db.optimize()
+    doc = db.get_document("doc-123")
+    hits = db.vector_search(SearchRequest(vector=doc.vector, limit=5))
+    assert hits[0].id == "doc-123"
+    assert db.stats().index_kind == "graph"
+
+
+def test_index_snapshot_save_load(tmp_path):
+    cfg = small_config()
+    db = VectorDatabase(config=cfg)
+    db.batch_add_documents(make_docs(40))
+    snap = str(tmp_path / "index.snap")
+    info = db.save_index(snap)
+    assert info["points"] == 40
+
+    db2 = VectorDatabase(config=small_config())
+    out = db2.load_index(snap)
+    assert out["points"] == 40
+    doc = db.get_document("doc-9")
+    hits = db2.vector_search(SearchRequest(vector=doc.vector, limit=1))
+    assert hits[0].id == "doc-9"
+
+    # dimension mismatch rejected
+    from grape_vector_db_tpu.errors import InvalidArgumentError
+    db3 = VectorDatabase(config=small_config(dim=16))
+    with pytest.raises(InvalidArgumentError):
+        db3.load_index(snap)
+
+
+def test_embedding_cache_dedupes_provider_calls():
+    calls = {"n": 0}
+    from grape_vector_db_tpu.services.embeddings import MockEmbeddingProvider
+
+    class CountingProvider(MockEmbeddingProvider):
+        def generate_embeddings(self, texts):
+            calls["n"] += len(texts)
+            return super().generate_embeddings(texts)
+
+    cfg = small_config()
+    db = VectorDatabase(config=cfg, embedder=CountingProvider(32))
+    db.search_documents("same query text")
+    first = calls["n"]
+    db.search_documents("same query text")
+    assert calls["n"] == first  # embedding came from cache
+
+
+def test_index_optimizer_triggers():
+    from grape_vector_db_tpu.engine.performance import IndexOptimizer
+
+    ran = []
+    opt = IndexOptimizer(lambda: ran.append(1), mutation_threshold=5, interval_s=9999)
+    opt.notify_mutations(3)
+    assert not opt.maybe_optimize()
+    opt.notify_mutations(3)
+    assert opt.maybe_optimize()
+    assert len(ran) == 1

@@ -20,6 +20,7 @@ Parameter mapping to the reference (index.rs:22-32): ``m`` = graph degree,
 
 from __future__ import annotations
 
+import functools
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -31,9 +32,30 @@ from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
 from grape_vector_db_tpu.index.flat import FlatDeviceIndex
 from grape_vector_db_tpu.ops.graph import beam_search, build_knn_graph
+from grape_vector_db_tpu.ops.kmeans import kmeans
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
 
 __all__ = ["GraphDeviceIndex"]
+
+
+@functools.partial(jax.jit, static_argnames=("e", "metric"))
+def _probe_entries(q, centroids, reps, e: int, metric: str):
+    """Per-query entry points: top-e centroids' representative points."""
+    from grape_vector_db_tpu.ops.distance import prepare_queries
+
+    qp = prepare_queries(q, metric)
+    dots = jax.lax.dot_general(
+        qp, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "cosine":
+        cn = jnp.linalg.norm(centroids, axis=1)
+        dots = dots / jnp.maximum(cn, 1e-12)[None, :]
+    elif metric == "euclidean":
+        c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+        dots = -(jnp.sum(qp * qp, axis=1, keepdims=True) - 2 * dots + c2)
+    _, top = jax.lax.top_k(dots, min(e, centroids.shape[0]))
+    return reps[top]
 
 
 class GraphDeviceIndex(VectorIndex):
@@ -77,7 +99,9 @@ class GraphDeviceIndex(VectorIndex):
             search_mode=search_mode, recall_target=recall_target, device=device,
         )
         self.neighbors: Optional[jax.Array] = None   # [graph_n, m] int32
-        self.entries: Optional[jax.Array] = None     # [E] int32
+        self.entries: Optional[jax.Array] = None     # [E] int32 (small graphs)
+        self.centroids: Optional[jax.Array] = None   # [L, D] f32 (probe entries)
+        self.reps: Optional[jax.Array] = None        # [L] int32
         self._graph_n = 0  # slots covered by the graph (high-water at build)
         # Fresh region: exact-scanned buffer of post-build inserts.
         self._fresh = FlatDeviceIndex(
@@ -133,6 +157,8 @@ class GraphDeviceIndex(VectorIndex):
             self._fresh.clear()
             self.neighbors = None
             self.entries = None
+            self.centroids = None
+            self.reps = None
             self._graph_n = 0
 
     def optimize(self) -> None:
@@ -162,11 +188,36 @@ class GraphDeviceIndex(VectorIndex):
             nn_sample=min(self.degree, 8), metric=self.metric,
         )
         self.neighbors = jnp.asarray(nb, dtype=jnp.int32)
-        # Entry points: evenly spaced live slots (cheap, well-spread).
+        # Entry points: a bare kNN graph is not navigable from static entries
+        # at scale (measured recall 0.06 at 100k from 64 fixed entries), so
+        # search probes k-means centroids per query and enters the graph at
+        # each probed centroid's nearest live point.
         live = [s for s in range(self._graph_n) if gs._slot_to_id[s] is not None]
-        step = max(1, len(live) // self.n_entries)
-        ent = np.asarray(live[::step][: self.n_entries], dtype=np.int32)
-        self.entries = jnp.asarray(ent)
+        n_live = len(live)
+        n_cent = min(4096, max(self.n_entries, next_bucket(n_live // 32, base=64)))
+        if n_live > n_cent:
+            sample = np.asarray(live, dtype=np.int64)
+            if n_live > 65536:
+                sample = np.random.default_rng(0).choice(sample, 65536, replace=False)
+            train = np.asarray(gs.vectors, dtype=np.float32)[sample]
+            cents, _ = kmeans(jnp.asarray(train), k=n_cent, iters=8)
+            self.centroids = cents
+            # representative = nearest live point per centroid (exact top-1)
+            from grape_vector_db_tpu.ops.distance import scored_topk
+
+            _, rep_idx = scored_topk(
+                cents, gs.vectors[: self._nb_cap], gs.norms[: self._nb_cap],
+                gs.valid[: self._nb_cap], k=1, metric=self.metric, mode="exact",
+            )
+            self.reps = rep_idx[:, 0].astype(jnp.int32)
+            self.entries = None
+        else:
+            self.centroids = None
+            self.reps = None
+            step = max(1, n_live // self.n_entries)
+            self.entries = jnp.asarray(
+                np.asarray(live[::step][: self.n_entries], dtype=np.int32)
+            )
         self.builds += 1
 
     # -- search -----------------------------------------------------------------------
@@ -184,12 +235,20 @@ class GraphDeviceIndex(VectorIndex):
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
             gs = self._graph_store
+            q_dev = jnp.asarray(qp)
+            if self.centroids is not None:
+                entries = _probe_entries(
+                    q_dev, self.centroids, self.reps,
+                    e=self.n_entries, metric=self.metric,
+                )
+            else:
+                entries = self.entries
             vals, idxs = beam_search(
-                jnp.asarray(qp),
+                q_dev,
                 gs.vectors[: self._nb_cap],
                 gs.norms[: self._nb_cap],
                 gs.valid[: self._nb_cap],
-                self.neighbors, self.entries,
+                entries, self.neighbors,
                 k=k, pool=self.pool, expand=self.expand,
                 iters=self.search_iters, metric=self.metric,
             )

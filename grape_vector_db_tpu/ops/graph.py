@@ -171,8 +171,8 @@ def beam_search(
     vectors: jax.Array,     # [N, D] storage dtype
     norms: jax.Array,       # [N] f32
     valid: jax.Array,       # [N] bool
+    entries: jax.Array,     # [E] int32 global, or [B, E] per-query entry points
     neighbors: jax.Array,   # [N, M] int32
-    entries: jax.Array,     # [E] int32 entry points
     k: int,
     pool: int = 128,
     expand: int = 8,
@@ -184,30 +184,23 @@ def beam_search(
     Pool semantics: a per-query candidate pool of `pool` best-so-far nodes with
     an expanded flag. Each iteration expands the top `expand` unexpanded
     entries, scores their neighbors, and merges (sort-dedup keeps the expanded
-    copy of a node so it is never re-expanded)."""
+    copy of a node so it is never re-expanded).
+
+    ``entries`` may be per-query ([B, E], e.g. from a centroid probe — a bare
+    kNN graph is not navigable from static entries at scale) or global ([E])."""
     b, d = queries.shape
     m = neighbors.shape[1]
     q = prepare_queries(queries, metric)
     rows = jnp.arange(b)[:, None]
 
     # init pool from entry points
-    e = entries.shape[0]
-    evecs = vectors[entries]            # [E, D]
-    enorms = norms[entries]
-    precision = (
-        lax.Precision.HIGHEST if vectors.dtype == jnp.float32 else lax.Precision.DEFAULT
-    )
-    edots = lax.dot_general(q.astype(vectors.dtype), evecs,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=precision)
-    if metric == "cosine":
-        escores = edots / jnp.maximum(enorms, 1e-12)[None, :]
-    elif metric == "dot":
-        escores = edots
-    else:
-        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
-        escores = -(q_sq - 2.0 * edots + (enorms * enorms)[None, :])
-    escores = jnp.where(valid[entries][None, :], escores, NEG_INF)
+    if entries.ndim == 1:
+        entries = jnp.broadcast_to(entries[None, :], (b, entries.shape[0]))
+    e = entries.shape[1]
+    evecs = vectors[entries]            # [B, E, D]
+    enorms = norms[entries]             # [B, E]
+    escores = _pairwise_scores(q, evecs, enorms, metric)
+    escores = jnp.where(valid[entries], escores, NEG_INF)
 
     pp = min(pool, max(e, k))
     init_vals = jnp.full((b, pp), NEG_INF)
@@ -215,7 +208,7 @@ def beam_search(
     take = min(e, pp)
     tv, tp = lax.top_k(escores, take)
     init_vals = init_vals.at[:, :take].set(tv)
-    init_idx = init_idx.at[:, :take].set(entries[tp])
+    init_idx = init_idx.at[:, :take].set(jnp.take_along_axis(entries, tp, axis=1))
     init_exp = jnp.zeros((b, pp), dtype=bool)
     init_exp = init_exp.at[:, take:].set(True)  # padding slots never expand
 

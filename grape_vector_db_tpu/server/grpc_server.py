@@ -60,6 +60,7 @@ _METHODS = [
     ("GetShardInfo", pb.GetShardInfoRequest, pb.GetShardInfoResponse),
     ("GetStats", pb.GetStatsRequest, pb.GetStatsResponse),
     ("GetMetrics", pb.GetMetricsRequest, pb.GetMetricsResponse),
+    ("Internal", pb.InternalRequest, pb.InternalResponse),
 ]
 
 
@@ -299,6 +300,12 @@ class VectorDbServicer:
 
     def GetMetrics(self, req, ctx):
         return pb.GetMetricsResponse(prometheus_text=self.db.metrics.prometheus_text())
+
+    def Internal(self, req, ctx):
+        """Generic node-to-node transport carrier (see cluster_adapter)."""
+        if self.node is not None and hasattr(self.node, "handle_internal"):
+            return self.node.handle_internal(req)
+        return pb.InternalResponse(error="not running in cluster mode")
 
 
 def build_grpc_server(

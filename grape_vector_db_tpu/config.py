@@ -59,8 +59,11 @@ class IndexConfig:
     nprobe: int = 16
     # Device array growth
     initial_capacity: int = 4096
-    # When kind="binary": candidates rescored = max(limit, rescore_ratio * n)
+    # When kind="binary"/"pq": candidates rescored = max(limit, rescore_ratio * n)
     rescore_ratio: float = 0.1
+    # PQ parameters (kind="pq"): subspaces (None -> dim // 8) and bits/code
+    pq_n_sub: Optional[int] = None
+    pq_nbits: int = 8
 
 
 @dataclass

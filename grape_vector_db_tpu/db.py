@@ -83,6 +83,15 @@ def build_index(config: VectorDbConfig) -> VectorIndex:
         return IvfDeviceIndex(
             **common, nlist=config.index.nlist, nprobe=config.index.nprobe
         )
+    if kind == "pq":
+        from grape_vector_db_tpu.index.pq import PqDeviceIndex
+
+        return PqDeviceIndex(
+            **common,
+            n_sub=config.index.pq_n_sub,
+            nbits=config.index.pq_nbits,
+            rescore_ratio=config.index.rescore_ratio,
+        )
     if kind == "graph":
         from grape_vector_db_tpu.index.graph import GraphDeviceIndex
 

@@ -307,3 +307,16 @@ def test_index_optimizer_triggers():
     opt.notify_mutations(3)
     assert opt.maybe_optimize()
     assert len(ran) == 1
+
+
+def test_pq_index_db_mode():
+    cfg = small_config(dim=32)
+    cfg.index.kind = "pq"
+    cfg.index.initial_capacity = 2048
+    cfg.index.rescore_ratio = 0.2
+    db = VectorDatabase(config=cfg)
+    db.batch_add_documents(make_docs(1200))
+    doc = db.get_document("doc-77")
+    hits = db.vector_search(SearchRequest(vector=doc.vector, limit=3))
+    assert hits[0].id == "doc-77"
+    assert db.stats().index_kind == "pq"

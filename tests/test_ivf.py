@@ -106,3 +106,60 @@ def test_ivf_overflow_spill_and_optimize(rng):
     assert ivf.get_stats().extra["overflow"] == 0  # repack absorbed the spill
     hits = ivf.search_batch(pts[150:151], 3)[0]
     assert hits[0][0] == "p150"
+
+
+# -- product quantization ---------------------------------------------------------
+
+
+def test_pq_train_encode_roundtrip(rng):
+    import jax.numpy as jnp
+    from grape_vector_db_tpu.ops.pq import train_pq, encode_pq
+
+    vecs = rng.standard_normal((2000, 32)).astype(np.float32)
+    books = train_pq(jnp.asarray(vecs), n_sub=4, nbits=8, iters=6)
+    assert books.shape == (4, 256, 8)
+    codes = np.asarray(encode_pq(jnp.asarray(vecs[:50]), books))
+    assert codes.shape == (50, 4) and codes.dtype == np.uint8
+    # reconstruction from codewords is closer to the original than random
+    recon = np.concatenate(
+        [np.asarray(books)[s, codes[:, s]] for s in range(4)], axis=1
+    )
+    err = np.linalg.norm(recon - vecs[:50], axis=1).mean()
+    base = np.linalg.norm(vecs[:50] - vecs[50:100], axis=1).mean()
+    assert err < base * 0.8
+
+
+def test_pq_index_recall(rng):
+    from grape_vector_db_tpu.index.pq import PqDeviceIndex
+    from grape_vector_db_tpu.index import FlatDeviceIndex
+
+    d, n, k = 64, 3000, 10
+    pq = PqDeviceIndex(d, storage_dtype="float32", initial_capacity=4096,
+                       n_sub=8, rescore_ratio=0.1, train_threshold=1024)
+    flat = FlatDeviceIndex(d, storage_dtype="float32", initial_capacity=4096)
+    ids = [f"p{i}" for i in range(n)]
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    pq.add_batch(ids, vecs)
+    flat.add_batch(ids, vecs)
+    assert pq.is_trained
+
+    qs = vecs[:16] + 0.05 * rng.standard_normal((16, d)).astype(np.float32)
+    got = pq.search_batch(qs, k)
+    want = flat.search_batch(qs, k)
+    recall = np.mean([
+        len({h[0] for h in g} & {h[0] for h in w}) / k for g, w in zip(got, want)
+    ])
+    assert recall >= 0.8, f"pq+rescore recall {recall}"
+    # self-retrieval exact
+    assert got[0][0][0] == "p0"
+
+
+def test_pq_untrained_falls_back_exact(rng):
+    from grape_vector_db_tpu.index.pq import PqDeviceIndex
+
+    pq = PqDeviceIndex(16, storage_dtype="float32", train_threshold=100000)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    pq.add_batch([f"x{i}" for i in range(50)], vecs)
+    assert not pq.is_trained
+    hits = pq.search_batch(vecs[7:8], 3)[0]
+    assert hits[0][0] == "x7"

@@ -10,7 +10,14 @@ with a batched gather + dot-product and returns the true top-k.
 
 The reference measured Recall@5 = 17% for Hamming-only search
 (docs/week5-6-binary-quantization.md:62); with rescoring this index holds
-recall near 1.0 while keeping the scan memory-bound on the packed planes.
+recall near 1.0.
+
+TPU economics note (measured on v5e at 1M x 768): the packed pre-scan is
+popcount-compute-bound on the VPU (~22 ms/128-batch for k=1024 candidates)
+while the MXU runs the full bf16 scan in 2.2 ms (approx) / 10.4 ms (exact).
+Binary quantization on TPU is therefore a *memory capacity* play — 32x more
+corpus per chip when full vectors are evicted — not a latency play. The same
+holds for PQ (index/pq.py). For HBM-resident corpora prefer kind="flat".
 """
 
 from __future__ import annotations
@@ -93,11 +100,17 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         max_rescore: int = 4096,
         search_mode: str = "exact",
         recall_target: float = 0.99,
+        use_pallas: bool = True,
         device: Optional[jax.Device] = None,
     ):
         self.threshold = float(threshold)
         self.rescore_ratio = float(rescore_ratio)
         self.max_rescore = int(max_rescore)
+        # Pallas kernel only lowers on real TPU backends; everything else
+        # (CPU tests, dryruns) uses the XLA broadcast fallback.
+        self.hamming_impl = "pallas" if (
+            use_pallas and jax.default_backend() == "tpu"
+        ) else "xla"
         self._words = words_per_vector(dimension)
         super().__init__(
             dimension, metric=metric, storage_dtype=storage_dtype,
@@ -134,7 +147,8 @@ class BinaryDeviceIndex(FlatDeviceIndex):
             q = jnp.asarray(queries)
             qcodes = pack_bits(q.astype(jnp.float32), self.threshold)
             chunk = min(16384, self.capacity)
-            dists, cand = hamming_topk(qcodes, self.codes, self.valid, k=r, chunk=chunk)
+            dists, cand = hamming_topk(qcodes, self.codes, self.valid, k=r,
+                                       chunk=chunk, impl=self.hamming_impl)
             vals, idxs = _rescore_topk(
                 q, self.vectors, self.norms, cand, dists, k=k, metric=self.metric
             )
@@ -154,7 +168,8 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         with self._lock:
             qcodes = pack_bits(jnp.asarray(pad_rows(queries, bb)), self.threshold)
             chunk = min(16384, self.capacity)
-            dists, idxs = hamming_topk(qcodes, self.codes, self.valid, k=k, chunk=chunk)
+            dists, idxs = hamming_topk(qcodes, self.codes, self.valid, k=k,
+                                       chunk=chunk, impl=self.hamming_impl)
             dists, idxs = np.asarray(dists)[:b], np.asarray(idxs)[:b]
         sims = 1.0 - dists.astype(np.float64) / float(self._dim)
         sims = np.where(dists >= _INVALID_DIST, -np.inf, sims)

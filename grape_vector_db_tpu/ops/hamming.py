@@ -45,23 +45,32 @@ def pack_bits(x: jax.Array, threshold: float = 0.0) -> jax.Array:
     return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
-def hamming_scores(qcodes: jax.Array, codes: jax.Array) -> jax.Array:
+def hamming_scores(qcodes: jax.Array, codes: jax.Array,
+                   impl: str = "xla") -> jax.Array:
     """Hamming distances: [B, W] x [C, W] -> [B, C] int32.
 
     XOR + popcount on the VPU (the reference uses the `hamming` crate on CPU,
-    quantization.rs:130-141).
+    quantization.rs:130-141). impl="pallas" uses the fused VMEM kernel
+    (ops/hamming_pallas.py); "pallas_interpret" runs it interpreted (tests);
+    "xla" is the broadcast fallback.
     """
+    if impl.startswith("pallas") and codes.shape[0] % 512 == 0:
+        from grape_vector_db_tpu.ops.hamming_pallas import hamming_scores_pallas
+
+        return hamming_scores_pallas(qcodes, codes,
+                                     interpret=impl == "pallas_interpret")
     x = jnp.bitwise_xor(qcodes[:, None, :], codes[None, :, :])  # [B, C, W]
     return jnp.sum(lax.population_count(x), axis=-1, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "impl"))
 def hamming_topk(
     qcodes: jax.Array,   # [B, W] uint32
     codes: jax.Array,    # [N, W] uint32 (capacity-padded)
     valid: jax.Array,    # [N] bool
     k: int,
     chunk: int = 16384,
+    impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k *smallest* Hamming distance over the packed corpus.
 
@@ -78,9 +87,16 @@ def hamming_topk(
     big = jnp.int32(2**30)
 
     def block(codes_i, valid_i, off):
-        d = hamming_scores(qcodes, codes_i)  # [B, chunk]
+        d = hamming_scores(qcodes, codes_i, impl=impl)  # [B, chunk]
         d = jnp.where(valid_i[None, :], d, big)
-        # top_k selects the largest; negate to get smallest distances.
+        # Select the smallest distances. lax.top_k dominates the whole scan for
+        # the large k this pre-stage uses (rescore candidates, k ~ 1024);
+        # approx_max_k runs at roofline and a near-miss candidate set is fine —
+        # the exact rescore stage decides the final ranking.
+        if kk > 16:
+            vals, idxs = lax.approx_max_k(-d.astype(jnp.float32), kk,
+                                          recall_target=0.95)
+            return (-vals).astype(jnp.int32), idxs.astype(jnp.int32) + off
         vals, idxs = lax.top_k(-d, kk)
         return -vals, idxs.astype(jnp.int32) + off
 
@@ -99,9 +115,16 @@ def hamming_topk(
     _, (vals, idxs) = lax.scan(body, None, (codes_c, valid_c, offsets))
     vals = jnp.moveaxis(vals, 0, 1).reshape(b, num_chunks * kk)
     idxs = jnp.moveaxis(idxs, 0, 1).reshape(b, num_chunks * kk)
-    fvals, fpos = lax.top_k(-vals, min(k, num_chunks * kk))
+    kf = min(k, num_chunks * kk)
+    if kf > 16:
+        fvals, fpos = lax.approx_max_k(-vals.astype(jnp.float32), kf,
+                                       recall_target=0.95)
+        fvals = (-fvals).astype(jnp.int32)
+    else:
+        nfvals, fpos = lax.top_k(-vals, kf)
+        fvals = -nfvals
     fidx = jnp.take_along_axis(idxs, fpos, axis=1)
-    return _pad_k(-fvals, fidx, k, big)
+    return _pad_k(fvals, fidx, k, big)
 
 
 def _pad_k(vals: jax.Array, idxs: jax.Array, k: int, fill) -> Tuple[jax.Array, jax.Array]:

@@ -118,3 +118,25 @@ def test_hamming_topk(rng):
     assert idxs[0, 0] == 0 and idxs[1, 0] == 1
     # ascending distances
     assert (np.diff(dists, axis=1) >= 0).all()
+
+
+def test_hamming_pallas_kernel_matches_xla(rng):
+    """Pallas kernel (interpret mode on CPU) must agree exactly with the XLA
+    broadcast implementation."""
+    d = 96
+    a = rng.standard_normal((8, d)).astype(np.float32)
+    b = rng.standard_normal((1024, d)).astype(np.float32)
+    ca, cb = pack_bits(jnp.asarray(a), 0.0), pack_bits(jnp.asarray(b), 0.0)
+    ref = np.asarray(hamming_scores(ca, cb, impl="xla"))
+    got = np.asarray(hamming_scores(ca, cb, impl="pallas_interpret"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hamming_pallas_non_multiple_block_falls_back(rng):
+    d = 64
+    a = rng.standard_normal((4, d)).astype(np.float32)
+    b = rng.standard_normal((100, d)).astype(np.float32)  # not % 512
+    ca, cb = pack_bits(jnp.asarray(a), 0.0), pack_bits(jnp.asarray(b), 0.0)
+    ref = np.asarray(hamming_scores(ca, cb, impl="xla"))
+    got = np.asarray(hamming_scores(ca, cb, impl="pallas_interpret"))
+    np.testing.assert_array_equal(got, ref)  # silently used the fallback

@@ -248,6 +248,24 @@ class ClusterNode:
                 self.shard_map.set_placement(
                     cmd["shard_id"], cmd["primary"], cmd["replicas"]
                 )
+            elif op == "data_upsert":
+                # Strong-consistency write path (the reference's
+                # VectorCommand::Upsert applied from the raft log,
+                # raft.rs:96-112, 1161-1237): every node applies the subset of
+                # documents whose shard it owns. Shard-map changes are also
+                # raft-ordered, so ownership is consistent across appliers.
+                mine = [
+                    d for d in cmd["docs"]
+                    if self.node_id in self.shard_map.shards[
+                        self.shard_map.shard_for_key(d["id"])
+                    ].all_nodes()
+                ]
+                if mine:
+                    self.db.batch_add_documents(
+                        [Document.from_dict(d) for d in mine]
+                    )
+            elif op == "data_delete":
+                self.db.batch_delete_documents(cmd["ids"])
             self._applied_commands += 1
 
     def _reassign_shards(self) -> None:
@@ -348,7 +366,16 @@ class ClusterNode:
 
     def upsert(self, docs: Sequence[Document]) -> int:
         """Shard-routed replicated write (the write path of shard.rs:634-719,
-        for real)."""
+        for real). Under STRONG consistency the batch goes through the raft
+        log (VectorCommand semantics) so every owner applies it in the same
+        order; otherwise the replication manager writes copies directly."""
+        from grape_vector_db_tpu.distributed.types import ConsistencyLevel
+
+        if self.config.consistency == ConsistencyLevel.STRONG:
+            self._propose({
+                "op": "data_upsert", "docs": [d.to_dict() for d in docs],
+            }, timeout_s=5.0)
+            return len(docs)
         by_shard: Dict[int, List[Document]] = {}
         for d in docs:
             by_shard.setdefault(self._shard_of_record(d.id), []).append(d)
@@ -363,6 +390,11 @@ class ClusterNode:
         return written
 
     def delete(self, ids: Sequence[str]) -> int:
+        from grape_vector_db_tpu.distributed.types import ConsistencyLevel
+
+        if self.config.consistency == ConsistencyLevel.STRONG:
+            self._propose({"op": "data_delete", "ids": list(ids)}, timeout_s=5.0)
+            return len(ids)
         by_shard: Dict[int, List[str]] = {}
         for i in ids:
             by_shard.setdefault(self._shard_of_record(i), []).append(i)

@@ -249,7 +249,9 @@ class GraphDeviceIndex(VectorIndex):
                 gs.norms[: self._nb_cap],
                 gs.valid[: self._nb_cap],
                 entries, self.neighbors,
-                k=k, pool=self.pool, expand=self.expand,
+                # over-fetch 2k: the pool may hold duplicate copies of a node
+                # (history-based dedup is approximate); the host merge dedupes
+                k=min(2 * k, self.pool), pool=self.pool, expand=self.expand,
                 iters=self.search_iters, metric=self.metric,
             )
             graph_hits = gs.hits_from_slots(np.asarray(vals)[:b], np.asarray(idxs)[:b])

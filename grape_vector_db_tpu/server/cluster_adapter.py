@@ -180,11 +180,16 @@ class GrpcTransport(Transport):
             self._local.pop(node_id, None)
 
     def _stub(self, node_id: str):
+        import os
+
         with self._lock:
             stub = self._stubs.get(node_id)
             if stub is not None:
                 return stub
-            addr = self.addresses.get(node_id)
+            # Env override wins (the reference's GRAPE_NODE_{ID}_ADDRESS
+            # convention, failover.rs:670-696), then the address book.
+            env_key = f"GRAPE_NODE_{node_id.upper().replace('-', '_')}_ADDRESS"
+            addr = os.environ.get(env_key) or self.addresses.get(node_id)
             if addr is None:
                 raise TransportError(f"no address for node {node_id}")
             channel = grpc.insecure_channel(addr)

@@ -144,3 +144,41 @@ def test_node_recovery_propagates(svc):
             break
         time.sleep(0.05)
     assert ok, "recovery never propagated to replicated member state"
+
+
+def test_strong_consistency_writes_via_raft():
+    """STRONG mode: writes go through the raft log (VectorCommand semantics,
+    raft.rs:96-112) and land exactly on each shard's owner nodes."""
+    svc = make_service(consistency=ConsistencyLevel.STRONG)
+    try:
+        docs = make_docs(40)
+        assert svc.upsert(docs) == 40
+        # wait for apply on all nodes
+        deadline = time.monotonic() + 8.0
+        while time.monotonic() < deadline:
+            total = sum(n.db.store.count() for n in svc.nodes.values())
+            if total == 80:  # replica_count=2
+                break
+            time.sleep(0.05)
+        assert total == 80
+        # each doc lives exactly on its shard's owners
+        any_node = svc.any_node()
+        for d in docs[:10]:
+            info = any_node.shard_map.shards[any_node.shard_map.shard_for_key(d.id)]
+            owners = set(info.all_nodes())
+            holders = {nid for nid, n in svc.nodes.items()
+                       if n.db.store.get(d.id) is not None}
+            assert holders == owners, (d.id, holders, owners)
+        # search still works
+        hits = svc.search(docs[5].vector, k=2)
+        assert hits[0][0] == "doc-5"
+        # raft-ordered delete
+        svc.delete(["doc-5"])
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            if all(n.db.store.get("doc-5") is None for n in svc.nodes.values()):
+                break
+            time.sleep(0.05)
+        assert all(n.db.store.get("doc-5") is None for n in svc.nodes.values())
+    finally:
+        svc.stop()

@@ -34,7 +34,7 @@ def main() -> None:
 
     dim, n, k, batch = 768, 100_000, 10, 128
     cap = 131_072  # one capacity bucket: no growth recompiles
-    iters = 100
+    iters = 60
     rng = np.random.default_rng(0)
 
     idx = FlatDeviceIndex(
@@ -108,7 +108,7 @@ def main() -> None:
 
     # Synchronous end-to-end (host in / host out) single-batch latency.
     lat = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         idx.raw_topk(queries, k)
         lat.append((time.perf_counter() - t0) * 1e3)

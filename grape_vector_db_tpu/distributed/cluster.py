@@ -45,6 +45,7 @@ from grape_vector_db_tpu.distributed.transport import Transport, TransportError
 from grape_vector_db_tpu.distributed.types import (
     ClusterConfig,
     ClusterHealth,
+    ConsistencyLevel,
     NodeInfo,
     NodeState,
 )
@@ -135,6 +136,12 @@ class ClusterNode:
                 election_timeout_ms=self.config.election_timeout_ms,
                 heartbeat_ms=self.config.raft_heartbeat_ms,
             ),
+            # Snapshot the replicated control state so the log compacts —
+            # without this, STRONG-mode data commands (full vectors) accumulate
+            # in the log forever. Document data itself is durable in each
+            # node's own store; replayed data commands are idempotent.
+            snapshot_fn=self._snapshot_state,
+            restore_fn=self._restore_state,
         )
         # Take over the transport slot: route raft methods to the raft node and
         # data/cluster methods to this object.
@@ -213,9 +220,11 @@ class ClusterNode:
 
     # ------------------------------------------------------- metadata plane
 
-    def _propose(self, command: Dict[str, Any], timeout_s: float = 3.0) -> None:
+    def _propose(self, command: Dict[str, Any], timeout_s: float = 3.0,
+                 wait_applied: bool = False) -> None:
         data = msgpack.packb(command, use_bin_type=True)
-        self.raft.propose_on_leader(data, timeout_s=timeout_s)
+        self.raft.propose_on_leader(data, timeout_s=timeout_s,
+                                    wait_applied=wait_applied)
 
     def _apply_command(self, entry: LogEntry) -> None:
         cmd = msgpack.unpackb(entry.data, raw=False)
@@ -267,6 +276,37 @@ class ClusterNode:
             elif op == "data_delete":
                 self.db.batch_delete_documents(cmd["ids"])
             self._applied_commands += 1
+
+    def _snapshot_state(self) -> bytes:
+        with self._state_lock:
+            return msgpack.packb({
+                "members": [
+                    {"node_id": m.node_id, "address": m.address,
+                     "state": m.state.value}
+                    for m in self.members.values()
+                ],
+                "placements": {
+                    str(sid): [i.primary_node, list(i.replica_nodes)]
+                    for sid, i in self.shard_map.shards.items()
+                },
+                "applied": self._applied_commands,
+            }, use_bin_type=True)
+
+    def _restore_state(self, blob: bytes) -> None:
+        st = msgpack.unpackb(blob, raw=False)
+        with self._state_lock:
+            self.members = {}
+            for m in st["members"]:
+                info = NodeInfo(node_id=m["node_id"], address=m["address"],
+                                state=NodeState(m["state"]))
+                self.members[m["node_id"]] = info
+                self.load_balancer.add_node(info)
+                if m["node_id"] != self.node_id:
+                    self.detector.watch(m["node_id"])
+            for sid, (primary, replicas) in st["placements"].items():
+                if primary:
+                    self.shard_map.set_placement(int(sid), primary, replicas)
+            self._applied_commands = st.get("applied", 0)
 
     def _reassign_shards(self) -> None:
         live = sorted(
@@ -369,12 +409,17 @@ class ClusterNode:
         for real). Under STRONG consistency the batch goes through the raft
         log (VectorCommand semantics) so every owner applies it in the same
         order; otherwise the replication manager writes copies directly."""
-        from grape_vector_db_tpu.distributed.types import ConsistencyLevel
-
         if self.config.consistency == ConsistencyLevel.STRONG:
+            # Refuse before proposing if any target shard has no placement —
+            # otherwise the commit applies to nobody and the write is lost
+            # while reporting success.
+            for d in docs:
+                info = self.shard_map.shards[self.shard_map.shard_for_key(d.id)]
+                if not info.primary_node:
+                    raise UnavailableError("shard map has no placement yet")
             self._propose({
                 "op": "data_upsert", "docs": [d.to_dict() for d in docs],
-            }, timeout_s=5.0)
+            }, timeout_s=5.0, wait_applied=True)
             return len(docs)
         by_shard: Dict[int, List[Document]] = {}
         for d in docs:
@@ -390,10 +435,9 @@ class ClusterNode:
         return written
 
     def delete(self, ids: Sequence[str]) -> int:
-        from grape_vector_db_tpu.distributed.types import ConsistencyLevel
-
         if self.config.consistency == ConsistencyLevel.STRONG:
-            self._propose({"op": "data_delete", "ids": list(ids)}, timeout_s=5.0)
+            self._propose({"op": "data_delete", "ids": list(ids)}, timeout_s=5.0,
+                          wait_applied=True)
             return len(ids)
         by_shard: Dict[int, List[str]] = {}
         for i in ids:

@@ -22,6 +22,7 @@ RPCs run on a small pool so a slow peer never blocks the tick loop.
 from __future__ import annotations
 
 import concurrent.futures
+import queue
 import random
 import threading
 import time
@@ -119,6 +120,11 @@ class RaftNode:
         )
         self._election_deadline = 0.0
         self._next_heartbeat = 0.0
+        # ordered state-machine application
+        self._apply_queue: "queue.Queue[Optional[LogEntry]]" = queue.Queue()
+        self.applied_through = 0
+        self.apply_errors = 0
+        self._apply_thread: Optional[threading.Thread] = None
         # stats
         self.elections_started = 0
         self.entries_applied = 0
@@ -201,6 +207,7 @@ class RaftNode:
         if snap and self.restore_fn:
             self.restore_fn(snap)
             self.commit_index = self.last_applied = self.snapshot_last_index
+            self.applied_through = self.snapshot_last_index
         entries = []
         for key, val in sorted(self.storage.iter_kv_prefix(f"raft_log_{self.node_id}_")):
             e = LogEntry.from_wire(msgpack.unpackb(val, raw=False))
@@ -212,6 +219,11 @@ class RaftNode:
 
     def start(self) -> None:
         self._reset_election_timer()
+        self._apply_thread = threading.Thread(
+            target=self._apply_worker, daemon=True,
+            name=f"raft-apply-{self.node_id}",
+        )
+        self._apply_thread.start()
         self._tick_thread = threading.Thread(
             target=self._tick_loop, daemon=True, name=f"raft-tick-{self.node_id}"
         )
@@ -221,6 +233,9 @@ class RaftNode:
         self._stop.set()
         if self._tick_thread:
             self._tick_thread.join(timeout=1.0)
+        self._apply_queue.put(None)
+        if self._apply_thread:
+            self._apply_thread.join(timeout=1.0)
         self._pool.shutdown(wait=False)
         self.transport.unregister(self.node_id)
 
@@ -377,39 +392,52 @@ class RaftNode:
         self._apply_committed()
 
     def _apply_committed(self) -> None:
-        # caller holds lock
-        to_apply = []
+        # caller holds lock. Entries go to a single ordered apply worker —
+        # one-thread-per-batch application would let batches interleave and
+        # make data commands apply out of order across nodes.
         while self.last_applied < self.commit_index:
             self.last_applied += 1
             e = self._entry_at(self.last_applied)
             if e is not None:
-                to_apply.append(e)
-        if to_apply:
-            # apply outside the lock to avoid deadlocks with the state machine
-            def run(entries: List[LogEntry]) -> None:
-                for e in entries:
-                    try:
-                        self.apply_fn(e)
-                    except Exception:
-                        pass
-                    self.entries_applied += 1
+                self._apply_queue.put(e)
 
-            threading.Thread(target=run, args=(to_apply,), daemon=True).start()
-        self._maybe_compact()
+    def _apply_worker(self) -> None:
+        import logging
+
+        log = logging.getLogger("grape_vector_db_tpu.raft")
+        while True:
+            e = self._apply_queue.get()
+            if e is None:
+                return
+            try:
+                self.apply_fn(e)
+            except Exception as exc:
+                # A failed apply means this replica diverges — surface it.
+                self.apply_errors += 1
+                log.error("%s: apply of entry %d failed: %s",
+                          self.node_id, e.index, exc)
+            self.entries_applied += 1
+            with self._lock:
+                self.applied_through = max(self.applied_through, e.index)
+                self._commit_cv.notify_all()
+                # Compact from the worker: applied_through is exact here, so
+                # the snapshot can never miss an entry that is still queued.
+                self._maybe_compact()
 
     # ---------------------------------------------------------------- snapshot
 
     def _maybe_compact(self) -> None:
-        # caller holds lock
+        # caller holds lock; invoked from the apply worker so applied_through
+        # precisely reflects the state machine.
         if self.snapshot_fn is None or len(self.log) < self.config.snapshot_threshold:
             return
-        if self.last_applied <= self.snapshot_last_index:
+        bound = min(self.applied_through, self.commit_index)
+        if bound <= self.snapshot_last_index:
             return
         snap = self.snapshot_fn()
-        last_term = self._term_at(self.last_applied) or self.snapshot_last_term
-        dropped = self.last_applied - self.snapshot_last_index
-        self.log = [e for e in self.log if e.index > self.last_applied]
-        self.snapshot_last_index = self.last_applied
+        last_term = self._term_at(bound) or self.snapshot_last_term
+        self.log = [e for e in self.log if e.index > bound]
+        self.snapshot_last_index = bound
         self.snapshot_last_term = last_term
         if self.storage is not None:
             self.storage.put_kv(f"raft_snapshot_{self.node_id}", snap)
@@ -541,6 +569,7 @@ class RaftNode:
             self.log = [e for e in self.log if e.index > self.snapshot_last_index]
             self.commit_index = max(self.commit_index, self.snapshot_last_index)
             self.last_applied = max(self.last_applied, self.snapshot_last_index)
+            self.applied_through = max(self.applied_through, self.snapshot_last_index)
             if self.storage is not None:
                 self.storage.put_kv(f"raft_snapshot_{self.node_id}", p["data"])
                 self._persist_state()
@@ -549,9 +578,11 @@ class RaftNode:
     # ----------------------------------------------------------------- client
 
     def propose(self, data: bytes, entry_type: str = "command",
-                timeout_s: float = 2.0) -> int:
-        """Append a command; block until committed. Raises NotLeaderError with a
-        leader hint when this node isn't the leader (raft.rs:490-535)."""
+                timeout_s: float = 2.0, wait_applied: bool = False) -> int:
+        """Append a command; block until committed (and, with wait_applied,
+        until this node's state machine has applied it — read-your-writes on
+        the proposer). Raises NotLeaderError with a leader hint when this node
+        isn't the leader (raft.rs:490-535)."""
         with self._lock:
             if self.role != RaftRole.LEADER:
                 raise NotLeaderError(self.leader_id)
@@ -567,7 +598,9 @@ class RaftNode:
         self._broadcast_append()
         deadline = time.monotonic() + timeout_s
         with self._commit_cv:
-            while self.commit_index < idx:
+            while self.commit_index < idx or (
+                wait_applied and self.applied_through < idx
+            ):
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     raise TimeoutError_(f"commit of index {idx} timed out")
@@ -577,10 +610,12 @@ class RaftNode:
             raise ConsensusError("entry was overwritten by a new leader")
         return idx
 
-    def propose_on_leader(self, data: bytes, timeout_s: float = 2.0) -> int:
+    def propose_on_leader(self, data: bytes, timeout_s: float = 2.0,
+                          wait_applied: bool = False) -> int:
         """Propose locally or forward to the known leader."""
         try:
-            return self.propose(data, timeout_s=timeout_s)
+            return self.propose(data, timeout_s=timeout_s,
+                                wait_applied=wait_applied)
         except NotLeaderError as e:
             if not e.leader_hint:
                 raise

@@ -10,9 +10,11 @@ on every insert (index.rs:164-185). Here:
   graph builds in ~0.1s of device time instead of per-point graph surgery.
 - **Search** is a batched best-first beam: a fixed-size candidate pool per
   query; each iteration expands the best unexpanded pool entries, gathers
-  their neighbor lists, scores them in one einsum, and merges with
-  sort-based dedup. Static shapes, no data-dependent control flow — the
-  whole search is one XLA program (lax.scan over a fixed iteration count).
+  their neighbor lists, scores them in one einsum, and merges with sort-free
+  broadcast-compare dedup (expansion-history ring + in-pool + within-batch
+  checks — TPU variadic sorts are the slow path). Static shapes, no
+  data-dependent control flow — the whole search is one XLA program
+  (lax.scan over a fixed iteration count).
 
 Degree m maps to the reference's HNSW ``m`` (default 16, index.rs:22-32);
 pool size maps to ``ef_search``; expansion rounds to the graph walk depth.
@@ -203,8 +205,11 @@ def beam_search(
     escores = jnp.where(valid[entries], escores, NEG_INF)
 
     pp = min(pool, max(e, k))
+    expand = min(expand, pp)
     init_vals = jnp.full((b, pp), NEG_INF)
-    init_idx = jnp.zeros((b, pp), dtype=jnp.int32)
+    # Padding slots use -1: index 0 is a real node, and the in_pool/seen
+    # compares below would otherwise suppress it forever.
+    init_idx = jnp.full((b, pp), -1, dtype=jnp.int32)
     take = min(e, pp)
     tv, tp = lax.top_k(escores, take)
     init_vals = init_vals.at[:, :take].set(tv)

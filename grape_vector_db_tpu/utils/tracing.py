@@ -42,11 +42,13 @@ def setup_logging(level: Optional[str] = None) -> logging.Logger:
 def trace_span(name: str, log_threshold_ms: float = 0.0) -> Iterator[None]:
     """Annotate the profiler timeline + log the span's wall time."""
     t0 = time.perf_counter()
-    with jax.profiler.TraceAnnotation(name):
-        yield
-    ms = (time.perf_counter() - t0) * 1e3
-    if ms >= log_threshold_ms:
-        logger.debug("span %s took %.2f ms", name, ms)
+    try:
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    finally:
+        ms = (time.perf_counter() - t0) * 1e3
+        if ms >= log_threshold_ms:
+            logger.debug("span %s took %.2f ms", name, ms)
 
 
 @contextlib.contextmanager

@@ -113,3 +113,30 @@ def test_graph_upsert_after_build(rng):
     hits = idx.search_batch(newv[None], 1)[0]
     assert hits[0][0] == "p5"
     np.testing.assert_allclose(idx.get_vector("p5"), newv, rtol=1e-5)
+
+
+def test_beam_tiny_graph_small_k(rng):
+    """Regression: pool smaller than the expand width must not crash, and slot
+    0 must remain reachable despite pool padding."""
+    d = 16
+    idx = GraphDeviceIndex(d, storage_dtype="float32", m=4, ef_search=16,
+                           n_entries=4, expand=8)
+    vecs = rng.standard_normal((6, d)).astype(np.float32)
+    idx.add_batch([f"t{i}" for i in range(6)], vecs)
+    idx.optimize()
+    assert idx.is_built
+    hits = idx.search_batch(vecs[0:1], 2)[0]  # slot 0's own vector
+    assert hits and hits[0][0] == "t0"
+
+
+def test_beam_slot_zero_reachable(rng):
+    """Node in graph slot 0 must be findable (padding uses -1, not 0)."""
+    d = 24
+    idx = GraphDeviceIndex(d, storage_dtype="float32", m=8, ef_search=64,
+                           n_entries=16)
+    vecs = rng.standard_normal((500, d)).astype(np.float32)
+    ids = [f"z{i}" for i in range(500)]
+    idx.add_batch(ids, vecs)
+    idx.optimize()
+    hits = idx.search_batch(vecs[0:1], 5)[0]
+    assert hits[0][0] == "z0", hits[:3]

@@ -83,6 +83,16 @@ def build_index(config: VectorDbConfig) -> VectorIndex:
         return IvfDeviceIndex(
             **common, nlist=config.index.nlist, nprobe=config.index.nprobe
         )
+    if kind == "ivf_pq":
+        from grape_vector_db_tpu.index.ivf_pq import IvfPqDeviceIndex
+
+        return IvfPqDeviceIndex(
+            **common,
+            nlist=config.index.nlist,
+            nprobe=config.index.nprobe,
+            n_sub=config.index.pq_n_sub,
+            nbits=config.index.pq_nbits,
+        )
     if kind == "pq":
         from grape_vector_db_tpu.index.pq import PqDeviceIndex
 

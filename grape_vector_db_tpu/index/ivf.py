@@ -240,17 +240,22 @@ class IvfDeviceIndex(VectorIndex):
         if keep.any():
             kv = vectors[keep]
             m = next_bucket(int(keep.sum()), base=64)
+            lists_p = jnp.asarray(pad_rows(list_ids[keep], m, fill=-1))
+            pos_p = jnp.asarray(pad_rows(positions[keep], m, fill=-1))
+            vecs_p = jnp.asarray(pad_rows(kv, m))
             self.vecs, self.norms, self.valid = _ivf_scatter(
                 self.vecs, self.norms, self.valid,
-                jnp.asarray(pad_rows(list_ids[keep], m, fill=-1)),
-                jnp.asarray(pad_rows(positions[keep], m, fill=-1)),
-                jnp.asarray(pad_rows(kv, m)),
+                lists_p, pos_p, vecs_p,
                 jnp.asarray(pad_rows(np.linalg.norm(kv, axis=1).astype(np.float32), m)),
             )
+            self._post_scatter(lists_p, pos_p, vecs_p)
         if spill_idx:
             self._overflow.add_batch(
                 [ids[i] for i in spill_idx], vectors[spill_idx]
             )
+
+    def _post_scatter(self, list_ids, positions, vecs) -> None:
+        """Hook for subclasses keeping extra per-cell arrays (e.g. PQ codes)."""
 
     def remove_batch(self, ids: Sequence[str]) -> int:
         with self._lock:

@@ -163,3 +163,52 @@ def test_pq_untrained_falls_back_exact(rng):
     assert not pq.is_trained
     hits = pq.search_batch(vecs[7:8], 3)[0]
     assert hits[0][0] == "x7"
+
+
+def test_ivf_pq_recall(rng):
+    from grape_vector_db_tpu.index.ivf_pq import IvfPqDeviceIndex
+
+    d, n, k = 64, 4000, 10
+    _, pts = clustered_data(rng, n_clusters=32, per=125, d=d, spread=0.3)
+    ids = [f"p{i}" for i in range(len(pts))]
+    ivfpq = IvfPqDeviceIndex(d, storage_dtype="float32", nlist=32, nprobe=8,
+                             n_sub=8, rescore_k=256, initial_capacity=4096)
+    flat = FlatDeviceIndex(d, storage_dtype="float32", initial_capacity=4096)
+    ivfpq.add_batch(ids, pts)
+    flat.add_batch(ids, pts)
+    assert ivfpq.is_trained and ivfpq.codebooks is not None
+
+    qs = pts[::71][:16] + 0.02 * rng.standard_normal((16, d)).astype(np.float32)
+    got = ivfpq.search_batch(qs, k)
+    want = flat.search_batch(qs, k)
+    recall = np.mean([
+        len({h[0] for h in g} & {h[0] for h in w}) / k for g, w in zip(got, want)
+    ])
+    assert recall >= 0.85, f"ivf-pq recall {recall}"
+    assert got[0][0][1] <= 1.0 + 1e-5  # exact-rescored cosine, not ADC approx
+
+
+def test_ivf_pq_delete_and_db_mode(rng):
+    from grape_vector_db_tpu import Document, SearchRequest, VectorDatabase, VectorDbConfig
+
+    cfg = VectorDbConfig(vector_dimension=32)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.kind = "ivf_pq"
+    cfg.index.nlist = 16
+    cfg.index.nprobe = 8
+    cfg.index.initial_capacity = 2048
+    db = VectorDatabase(config=cfg)
+    rng2 = np.random.default_rng(1)
+    centers = rng2.standard_normal((16, 32)).astype(np.float32) * 3
+    docs = [Document(id=f"d{i}", content=f"c{i}",
+                     vector=(centers[i % 16]
+                             + 0.1 * rng2.standard_normal(32)).astype(np.float32).tolist())
+            for i in range(800)]
+    db.batch_add_documents(docs)
+    assert db.stats().index_kind == "ivf_pq"
+    q = db.get_document("d123").vector
+    hits = db.vector_search(SearchRequest(vector=q, limit=3))
+    assert hits[0].id == "d123"
+    db.delete_document("d123")
+    hits = db.vector_search(SearchRequest(vector=q, limit=3))
+    assert all(h.id != "d123" for h in hits)

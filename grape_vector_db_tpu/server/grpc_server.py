@@ -82,15 +82,45 @@ class VectorDbServicer:
     """RPC handlers over a VectorDatabase (+ optional cluster node)."""
 
     def __init__(self, db: VectorDatabase, node: Optional[Any] = None,
-                 node_id: str = "standalone", started_at: Optional[float] = None):
+                 node_id: str = "standalone", started_at: Optional[float] = None,
+                 use_batcher: bool = True):
         self.db = db
         self.node = node  # distributed ClusterNode when in cluster mode
         self.node_id = node_id
         self._t0 = started_at or time.time()
+        # Micro-batching executor: concurrent unfiltered SearchVectors calls
+        # share one device batch (services/concurrent.py).
+        self.batcher = None
+        if use_batcher:
+            from grape_vector_db_tpu.services.concurrent import BatchingExecutor
+
+            self.batcher = BatchingExecutor(
+                db.engine.vector_search_batch,
+                max_batch=db.config.device.max_query_batch,
+            )
+
+    def _authorize(self, ctx, perm) -> Optional[str]:
+        """API-key auth from gRPC metadata when enterprise is enabled
+        (lib.rs:717-787 gRPC-facing enforcement). Returns an error string for
+        in-band reporting, or None when authorized."""
+        if self.db.auth is None:
+            return None
+        meta = dict(ctx.invocation_metadata()) if ctx is not None else {}
+        cred = meta.get("x-api-key", "")
+        try:
+            self.db.auth.authorize(cred, perm)
+            return None
+        except Exception as e:
+            return f"unauthorized: {e}"
 
     # -- vector ops ------------------------------------------------------------
 
     def UpsertVector(self, req, ctx):
+        from grape_vector_db_tpu.services.enterprise import Permission
+
+        err = self._authorize(ctx, Permission.WRITE_DATA)
+        if err:
+            return pb.UpsertVectorResponse(error=err)
         try:
             docs = [
                 Document(
@@ -107,6 +137,11 @@ class VectorDbServicer:
             return pb.UpsertVectorResponse(error=str(e))
 
     def DeleteVector(self, req, ctx):
+        from grape_vector_db_tpu.services.enterprise import Permission
+
+        err = self._authorize(ctx, Permission.WRITE_DATA)
+        if err:
+            return pb.DeleteVectorResponse(error=err)
         try:
             n = self.db.batch_delete_documents(list(req.ids))
             return pb.DeleteVectorResponse(deleted=n)
@@ -114,7 +149,25 @@ class VectorDbServicer:
             return pb.DeleteVectorResponse(error=str(e))
 
     def SearchVectors(self, req, ctx):
+        from grape_vector_db_tpu.services.enterprise import Permission
+
+        err = self._authorize(ctx, Permission.READ_DATA)
+        if err:
+            return pb.SearchVectorsResponse(error=err)
         try:
+            # Fast path: unfiltered searches ride the micro-batching executor
+            # so concurrent RPCs share one device launch.
+            if (self.batcher is not None and not req.filter_sql
+                    and not req.score_threshold and not req.with_payload):
+                import numpy as np
+
+                hits = self.batcher.search(
+                    np.asarray(list(req.query.values), dtype=np.float32),
+                    int(req.limit) or 10,
+                )
+                return pb.SearchVectorsResponse(
+                    results=[pb.SearchResult(id=h.id, score=h.score) for h in hits]
+                )
             sreq = SearchRequest(
                 vector=list(req.query.values),
                 limit=int(req.limit) or 10,
@@ -314,9 +367,11 @@ def build_grpc_server(
     node: Optional[Any] = None,
     node_id: str = "standalone",
     max_workers: int = 16,
+    use_batcher: bool = True,
 ):
     """Create (server, bound_port). Caller starts/stops the server."""
-    servicer = VectorDbServicer(db, node=node, node_id=node_id)
+    servicer = VectorDbServicer(db, node=node, node_id=node_id,
+                                use_batcher=use_batcher)
     handlers = {}
     for name, req_t, resp_t in _METHODS:
         fn = getattr(servicer, name)

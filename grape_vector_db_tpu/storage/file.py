@@ -94,6 +94,7 @@ class FileDocumentStore(DocumentStore):
         compact_wal_bytes: int = 64 * 1024 * 1024,
         sync_writes: bool = False,
         compression_level: int = 3,
+        flush_interval_ms: int = 1000,
     ):
         self.data_dir = data_dir
         self.compact_wal_bytes = compact_wal_bytes
@@ -110,6 +111,20 @@ class FileDocumentStore(DocumentStore):
         self._wal_path = os.path.join(data_dir, "wal.gvdb")
         self._load()
         self._wal = open(self._wal_path, "ab")
+        # Background flusher (the reference's sled 1s flush interval,
+        # advanced_storage.rs:36-47). sync_writes=True fsyncs inline instead.
+        self._stop_flusher = threading.Event()
+        self._flusher: Optional[threading.Thread] = None
+        if flush_interval_ms > 0 and not sync_writes:
+            def _flush_loop() -> None:
+                while not self._stop_flusher.wait(flush_interval_ms / 1e3):
+                    try:
+                        self.flush()
+                    except (OSError, ValueError):
+                        return  # closed underneath us
+            self._flusher = threading.Thread(target=_flush_loop, daemon=True,
+                                             name="gvdb-flusher")
+            self._flusher.start()
 
     # -- load / replay -----------------------------------------------------------
 
@@ -255,6 +270,9 @@ class FileDocumentStore(DocumentStore):
             self._last_flush = now_ms()
 
     def close(self) -> None:
+        self._stop_flusher.set()
+        if self._flusher is not None:
+            self._flusher.join(timeout=2.0)
         with self._lock:
             if not self._wal.closed:
                 self._compact_locked()

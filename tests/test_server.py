@@ -229,3 +229,79 @@ def test_serve_subprocess_end_to_end(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_grpc_batched_concurrent_search(rng):
+    """Concurrent unfiltered SearchVectors RPCs share device batches through
+    the micro-batching executor."""
+    import concurrent.futures
+
+    db = small_db()
+    server, port, servicer = build_grpc_server(db, port=0)
+    server.start()
+    client = VectorDbClient(f"127.0.0.1:{port}")
+    try:
+        vecs = rng.standard_normal((20, 16)).astype(float)
+        client.upsert_points([
+            pb.Point(id=f"b{i}", vector=pb.Vector(values=vecs[i])) for i in range(20)
+        ])
+
+        def one(i):
+            r = client.call("SearchVectors", pb.SearchVectorsRequest(
+                query=pb.Vector(values=vecs[i]), limit=3, with_payload=False))
+            return r.results[0].id
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
+            got = list(ex.map(one, range(12)))
+        assert got == [f"b{i}" for i in range(12)]
+        assert servicer.batcher.queries_run >= 12
+        assert servicer.batcher.batches_run < 12  # actually batched
+    finally:
+        client.close()
+        server.stop(grace=0)
+
+
+def test_grpc_api_key_enforcement(rng):
+    """With enterprise enabled, data RPCs demand a valid x-api-key with the
+    right role (in-band error reporting, matching the other handlers)."""
+    import grpc
+    from grape_vector_db_tpu.services.enterprise import Role
+
+    db = small_db()
+    auth = db.enable_enterprise()
+    writer = auth.create_api_key("w", Role.DATA_MANAGER)
+    reader = auth.create_api_key("r", Role.READ_ONLY_USER)
+    server, port, _ = build_grpc_server(db, port=0)
+    server.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+    try:
+        def call(method, req_msg, resp_cls, key=None):
+            stub = channel.unary_unary(
+                f"/grape.vectordb.VectorDbService/{method}",
+                request_serializer=type(req_msg).SerializeToString,
+                response_deserializer=resp_cls.FromString,
+            )
+            md = (("x-api-key", key),) if key else ()
+            return stub(req_msg, metadata=md, timeout=10)
+
+        pt = pb.Point(id="a1", vector=pb.Vector(values=[1.0] * 16))
+        # no key -> rejected
+        r = call("UpsertVector", pb.UpsertVectorRequest(points=[pt]),
+                 pb.UpsertVectorResponse)
+        assert "unauthorized" in r.error and r.upserted == 0
+        # reader key cannot write
+        r = call("UpsertVector", pb.UpsertVectorRequest(points=[pt]),
+                 pb.UpsertVectorResponse, key=reader.key)
+        assert "unauthorized" in r.error
+        # writer key works
+        r = call("UpsertVector", pb.UpsertVectorRequest(points=[pt]),
+                 pb.UpsertVectorResponse, key=writer.key)
+        assert r.upserted == 1
+        # reader can search
+        r = call("SearchVectors", pb.SearchVectorsRequest(
+            query=pb.Vector(values=[1.0] * 16), limit=1), pb.SearchVectorsResponse,
+            key=reader.key)
+        assert not r.error and r.results[0].id == "a1"
+    finally:
+        channel.close()
+        server.stop(grace=0)

@@ -144,7 +144,15 @@ class FilterEngine:
 
     def clear(self) -> None:
         with self._lock:
-            self.__init__()
+            # Reset in place; replacing the lock via __init__ would break
+            # concurrent holders of the old lock.
+            self._value_index = {}
+            self._numeric = {}
+            self._text = {}
+            self._geo = {}
+            self._doc_fields = {}
+            self._arrays = {}
+            self._stats = FilterStatistics()
 
     # -- evaluation ------------------------------------------------------------------
 
@@ -198,10 +206,20 @@ class FilterEngine:
             }[op]
             return {i for i, x in nums.items() if cmp(x)}
         if op == "like":
-            # SQL LIKE: % -> *, _ -> ? (filtering.rs Like)
-            pattern = str(c.value).replace("%", "*").replace("_", "?")
+            # SQL LIKE compiled to an anchored regex: everything except the SQL
+            # wildcards is escaped, so literal *, ?, [ ] in the pattern match
+            # themselves (fnmatch treated them as glob metacharacters).
+            parts = []
+            for ch in str(c.value):
+                if ch == "%":
+                    parts.append(".*")
+                elif ch == "_":
+                    parts.append(".")
+                else:
+                    parts.append(re.escape(ch))
+            rx = re.compile("(?s)^" + "".join(parts) + "$", re.IGNORECASE)
             texts = self._text.get(f, {})
-            return {i for i, s in texts.items() if fnmatch.fnmatch(s, pattern)}
+            return {i for i, s in texts.items() if rx.match(s)}
         if op == "in":
             vmap = self._value_index.get(f, {})
             out: Set[str] = set()

@@ -187,27 +187,26 @@ class HybridSearchEngine:
         return self.sparse.search_bm25(query, limit)
 
     def _text_channel(self, query: Optional[str], limit: int):
-        """Paginated substring scan, 500/page, 10k cap (hybrid.rs:619-671)."""
+        """Substring scan over the store, capped at 10k docs (the reference
+        paginates 500/page to the same cap, hybrid.rs:619-671 — a single
+        iter_records pass gives identical results without re-sorting the id
+        list per page)."""
         if not query:
             return []
         q = query.lower()
         hits: List[Tuple[str, float]] = []
-        offset = 0
         scanned = 0
-        while scanned < _TEXT_SCAN_CAP:
-            page = self.store.list_page(offset, _TEXT_SCAN_PAGE)
-            if not page:
+        for rec in self.store.iter_records():
+            if scanned >= _TEXT_SCAN_CAP:
                 break
-            for rec in page:
-                score = 0.0
-                if q in (rec.title or "").lower():
-                    score += 0.3
-                if q in (rec.content or "").lower():
-                    score += 0.7
-                if score > 0:
-                    hits.append((rec.id, score))
-            scanned += len(page)
-            offset += _TEXT_SCAN_PAGE
+            scanned += 1
+            score = 0.0
+            if q in (rec.title or "").lower():
+                score += 0.3
+            if q in (rec.content or "").lower():
+                score += 0.7
+            if score > 0:
+                hits.append((rec.id, score))
         hits.sort(key=lambda h: -h[1])
         return hits[:limit]
 
@@ -263,16 +262,27 @@ class HybridSearchEngine:
 
     # -- search --------------------------------------------------------------------
 
-    def search(self, req: HybridSearchRequest) -> List[SearchResult]:
+    def search(self, req: HybridSearchRequest,
+               allowed_ids: Optional[set] = None) -> List[SearchResult]:
+        """``allowed_ids`` (from the filter engine) constrains every channel
+        BEFORE fusion/truncation — filtering fused top-k after the fact would
+        return too few results (or none) even when many documents match."""
         t0 = time.perf_counter()
         limit = max(1, req.limit)
         cand = max(limit, self.config.max_candidates)
+        # Over-fetch when filtered so post-filter channels still fill up.
+        fetch = cand if allowed_ids is None else cand * 4
 
         channels = {
-            "dense": self._dense_channel(req.dense_vector, cand),
-            "sparse": self._sparse_channel(req.query, cand),
-            "text": self._text_channel(req.query, cand),
+            "dense": self._dense_channel(req.dense_vector, fetch),
+            "sparse": self._sparse_channel(req.query, fetch),
+            "text": self._text_channel(req.query, fetch),
         }
+        if allowed_ids is not None:
+            channels = {
+                name: [(i, s) for i, s in hits if i in allowed_ids][:cand]
+                for name, hits in channels.items()
+            }
         fused = self._fuse(req, channels)
         dense_m = dict(channels["dense"])
         sparse_m = dict(channels["sparse"])

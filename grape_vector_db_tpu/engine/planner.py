@@ -136,10 +136,12 @@ class QueryEngine:
                 return cached
         with QueryTimer(self.metrics):
             allowed = self._allowed_ids(req)
-            # Over-fetch when filtering so post-filter still fills the page.
+            # Over-fetch when filtering so post-filter still fills the page —
+            # scaled by the requested offset so deep filtered pagination works
+            # (a fixed cap silently truncated pages past it).
             fetch = req.limit + req.offset
             if allowed is not None:
-                fetch = min(self.optimizer.max_limit * 4, max(fetch * 4, 64))
+                fetch = min(max(fetch * 4, 64), 8192)
             hits = self.index.search(np.asarray(req.vector, dtype=np.float32), fetch)
             hits = self._apply_filter(hits, allowed)
             if req.score_threshold is not None:
@@ -244,12 +246,12 @@ class QueryEngine:
     # -- hybrid -------------------------------------------------------------------------------
 
     def hybrid_search(self, req: HybridSearchRequest) -> List[SearchResult]:
-        with QueryTimer(self.metrics):
-            results = self.hybrid.search(req)
-        if req.filter is not None and self.filter_engine is not None:
+        allowed = None
+        if (req.filter is not None and not req.filter.is_empty()
+                and self.filter_engine is not None):
             allowed = set(self.filter_engine.execute_filter(req.filter))
-            results = [r for r in results if r.document.id in allowed]
-        return results
+        with QueryTimer(self.metrics):
+            return self.hybrid.search(req, allowed_ids=allowed)
 
     # -- batched dense search (TPU-native primary path) ------------------------------------------
 

@@ -195,7 +195,16 @@ class SparseIndex:
 
     def clear(self) -> None:
         with self._lock:
-            self.__init__(self.bm25, self.config, self.tokenizer)
+            # Reset fields in place — calling __init__ would replace self._lock
+            # and break threads still synchronizing on the old one.
+            self._vocab = {}
+            self._postings = {}
+            self._doc_handle = {}
+            self._handle_doc = []
+            self._doc_len = []
+            self._total_len = 0.0
+            self._live_docs = 0
+            self._tombstones = 0
 
     def __len__(self) -> int:
         return self._live_docs

@@ -216,20 +216,13 @@ def beam_search(
     init_idx = init_idx.at[:, :take].set(jnp.take_along_axis(entries, tp, axis=1))
     init_exp = jnp.zeros((b, pp), dtype=bool)
     init_exp = init_exp.at[:, take:].set(True)  # padding slots never expand
-    # Expansion history ring: every node ever expanded, per query. Used for
-    # dedup via broadcast compare instead of a per-iteration sort — variadic
-    # sorts are the slow path on TPU (same pathology as lax.top_k).
-    hist = jnp.full((b, iters * expand), -1, dtype=jnp.int32)
 
-    def step(state, it):
-        pool_idx, pool_val, expanded, hist = state
+    def step(state, _):
+        pool_idx, pool_val, expanded = state
         sel_scores = jnp.where(expanded, NEG_INF, pool_val)
         _, sel_pos = lax.top_k(sel_scores, expand)          # [B, expand]
         sel_idx = jnp.take_along_axis(pool_idx, sel_pos, axis=1)
         expanded = expanded.at[rows, sel_pos].set(True)
-        # skip nodes already expanded earlier (duplicate pool copies)
-        fresh = ~jnp.any(sel_idx[:, :, None] == hist[:, None, :], axis=-1)
-        hist = lax.dynamic_update_slice(hist, sel_idx, (0, it * expand))
 
         nbrs = neighbors[sel_idx].reshape(b, expand * m)     # [B, expand*M]
         cvecs = vectors[nbrs]                                # [B, expand*M, D]
@@ -237,22 +230,18 @@ def beam_search(
         cscores = _pairwise_scores(q, cvecs, cnorms, metric)
         cscores = jnp.where(valid[nbrs], cscores, NEG_INF)
         # Dedup without sorts (broadcast compares are VPU-cheap; variadic sort
-        # is the TPU slow path). A candidate dies if it:
-        #   (a) came from a stale (already-expanded) selection,
-        #   (b) was expanded in any earlier iteration (it's been in the pool),
-        #   (c) is already in the pool right now, or
-        #   (d) duplicates an earlier candidate in this same batch.
-        # Without (c)/(d) duplicate pool copies burn expansion turns and
-        # measured recall drops (0.99 -> 0.78 at 20k).
-        cscores = jnp.where(jnp.repeat(fresh, m, axis=1), cscores, NEG_INF)
-        seen = jnp.any(nbrs[:, :, None] == hist[:, None, :], axis=-1)
+        # is the TPU slow path). A candidate dies if it is already in the pool
+        # or duplicates an earlier candidate in this batch — exactly the sort-
+        # dedup semantics. NOTE: an expanded node that was evicted MAY re-enter
+        # and be re-expanded; blocking that with a global history mask cut
+        # exploration and dropped recall from 0.99 to 0.72 at 100k.
         in_pool = jnp.any(nbrs[:, :, None] == pool_idx[:, None, :], axis=-1)
         c = nbrs.shape[1]
         earlier = jnp.tril(jnp.ones((c, c), dtype=bool), k=-1)
         dup_in_batch = jnp.any(
             (nbrs[:, :, None] == nbrs[:, None, :]) & earlier[None], axis=-1
         )
-        cscores = jnp.where(seen | in_pool | dup_in_batch, NEG_INF, cscores)
+        cscores = jnp.where(in_pool | dup_in_batch, NEG_INF, cscores)
 
         all_idx = jnp.concatenate([pool_idx, nbrs], axis=1)
         all_val = jnp.concatenate([pool_val, cscores], axis=1)
@@ -262,11 +251,10 @@ def beam_search(
         top_v, top_p = lax.top_k(all_val, pp)
         new_idx = jnp.take_along_axis(all_idx, top_p, axis=1)
         new_exp = jnp.take_along_axis(all_exp, top_p, axis=1)
-        return (new_idx, top_v, new_exp, hist), None
+        return (new_idx, top_v, new_exp), None
 
-    (pool_idx, pool_val, _, _), _ = lax.scan(
-        step, (init_idx, init_vals, init_exp, hist),
-        jnp.arange(iters), length=iters
+    (pool_idx, pool_val, _), _ = lax.scan(
+        step, (init_idx, init_vals, init_exp), None, length=iters
     )
     kk = min(k, pp)
     vals, pos = lax.top_k(pool_val, kk)

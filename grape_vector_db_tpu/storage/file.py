@@ -85,6 +85,29 @@ def read_backup_file(backup_path: str) -> Tuple[Dict[str, Any], bytes]:
     return header, blob
 
 
+def encode_store_payload(docs, kv, zc: "zstandard.ZstdCompressor" = None) -> bytes:
+    """Shared snapshot/backup payload format — all backends must produce and
+    consume the same bytes so their backups stay interchangeable."""
+    zc = zc or zstandard.ZstdCompressor(level=3)
+    payload = {
+        "docs": [_enc_record(r) for r in docs],
+        "kv": dict(kv),
+        "created_at": now_ms(),
+    }
+    return _MAGIC + zc.compress(msgpack.packb(payload, use_bin_type=True))
+
+
+def decode_store_payload(blob: bytes):
+    """Returns (docs dict, kv dict) from an encode_store_payload blob."""
+    if blob[:8] != _MAGIC:
+        raise SerializationError("bad snapshot magic")
+    payload = msgpack.unpackb(
+        zstandard.ZstdDecompressor().decompress(blob[8:]), raw=False
+    )
+    docs = {d["id"]: _dec_record(d) for d in payload["docs"]}
+    return docs, dict(payload["kv"])
+
+
 class FileDocumentStore(DocumentStore):
     """In-memory map + durable WAL/snapshot on disk."""
 
@@ -120,8 +143,10 @@ class FileDocumentStore(DocumentStore):
                 while not self._stop_flusher.wait(flush_interval_ms / 1e3):
                     try:
                         self.flush()
-                    except (OSError, ValueError):
-                        return  # closed underneath us
+                    except ValueError:
+                        return  # file closed underneath us
+                    except OSError:
+                        continue  # transient I/O error: keep trying
             self._flusher = threading.Thread(target=_flush_loop, daemon=True,
                                              name="gvdb-flusher")
             self._flusher.start()
@@ -148,13 +173,14 @@ class FileDocumentStore(DocumentStore):
                     break
                 self._apply_op(op)
                 pos = start + ln
+            if pos < len(data):
+                # Truncate the torn tail: appending after unparseable bytes
+                # would make every later write unreadable on the next replay.
+                with open(self._wal_path, "r+b") as f:
+                    f.truncate(pos)
 
     def _apply_snapshot_blob(self, blob: bytes) -> None:
-        if blob[:8] != _MAGIC:
-            raise SerializationError("bad snapshot magic")
-        payload = msgpack.unpackb(self._zd.decompress(blob[8:]), raw=False)
-        self._docs = {d["id"]: _dec_record(d) for d in payload["docs"]}
-        self._kv = {k: v for k, v in payload["kv"].items()}
+        self._docs, self._kv = decode_store_payload(blob)
 
     def _apply_op(self, op: List[Any]) -> None:
         kind = op[0]
@@ -241,12 +267,7 @@ class FileDocumentStore(DocumentStore):
     # -- durability ----------------------------------------------------------------------
 
     def _snapshot_blob(self) -> bytes:
-        payload = {
-            "docs": [_enc_record(r) for r in self._docs.values()],
-            "kv": dict(self._kv),
-            "created_at": now_ms(),
-        }
-        return _MAGIC + self._zc.compress(msgpack.packb(payload, use_bin_type=True))
+        return encode_store_payload(self._docs.values(), self._kv, self._zc)
 
     def _compact_locked(self) -> None:
         blob = self._snapshot_blob()

@@ -26,7 +26,14 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 import msgpack
 
 from grape_vector_db_tpu.errors import StorageError
-from grape_vector_db_tpu.storage.file import _dec_record, _enc_record, read_backup_file, write_backup_file, _MAGIC
+from grape_vector_db_tpu.storage.file import (
+    _dec_record,
+    _enc_record,
+    decode_store_payload,
+    encode_store_payload,
+    read_backup_file,
+    write_backup_file,
+)
 from grape_vector_db_tpu.storage.store import DocumentStore, StorageStats
 from grape_vector_db_tpu.types import DocumentRecord, now_ms
 
@@ -95,7 +102,11 @@ def native_available() -> bool:
 
 
 class NativeKV:
-    """Thin pythonic wrapper over the C KV handle."""
+    """Thin pythonic wrapper over the C KV handle.
+
+    A host-side lock covers multi-call sequences (get_len + get): the C mutex
+    is per-call, so an interleaved re-put that grows a value would otherwise
+    make the reader's sized buffer too small."""
 
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -104,20 +115,23 @@ class NativeKV:
         if not self._h:
             raise StorageError(f"gvdb_open failed for {path}")
         self.path = path
+        self._lock = threading.RLock()
 
     def put(self, key: bytes, value: bytes) -> None:
-        if self._lib.gvdb_put(self._h, key, len(key), value, len(value)) != 0:
-            raise StorageError("gvdb_put failed")
+        with self._lock:
+            if self._lib.gvdb_put(self._h, key, len(key), value, len(value)) != 0:
+                raise StorageError("gvdb_put failed")
 
     def get(self, key: bytes) -> Optional[bytes]:
-        n = self._lib.gvdb_get_len(self._h, key, len(key))
-        if n < 0:
-            return None
-        buf = ctypes.create_string_buffer(int(n))
-        got = self._lib.gvdb_get(self._h, key, len(key), buf, int(n))
-        if got < 0:
-            raise StorageError(f"gvdb_get failed ({got})")
-        return buf.raw[:got]
+        with self._lock:
+            n = self._lib.gvdb_get_len(self._h, key, len(key))
+            if n < 0:
+                return None
+            buf = ctypes.create_string_buffer(int(n))
+            got = self._lib.gvdb_get(self._h, key, len(key), buf, int(n))
+            if got < 0:
+                raise StorageError(f"gvdb_get failed ({got})")
+            return buf.raw[:got]
 
     def delete(self, key: bytes) -> bool:
         return self._lib.gvdb_delete(self._h, key, len(key)) == 0
@@ -126,13 +140,22 @@ class NativeKV:
         return int(self._lib.gvdb_count(self._h))
 
     def keys(self) -> List[bytes]:
+        import struct
+
         cap = 1 << 20
         while True:
             buf = ctypes.create_string_buffer(cap)
-            n = self._lib.gvdb_keys(self._h, buf, cap)
+            with self._lock:
+                n = self._lib.gvdb_keys(self._h, buf, cap)
             if n >= 0:
                 raw = buf.raw[:n]
-                return [k for k in raw.split(b"\n") if k]
+                out: List[bytes] = []
+                pos = 0
+                while pos + 4 <= len(raw):
+                    (ln,) = struct.unpack_from("<I", raw, pos)
+                    out.append(raw[pos + 4:pos + 4 + ln])
+                    pos += 4 + ln
+                return out
             cap = -int(n) + 1024
 
     def flush(self) -> None:
@@ -226,30 +249,19 @@ class NativeDocumentStore(DocumentStore):
         self.kv.close()
 
     def create_backup(self, backup_path: str) -> Dict[str, Any]:
-        import zstandard
-
-        payload = {
-            "docs": [_enc_record(r) for r in self.iter_records()],
-            "kv": {k: v for k, v in self.iter_kv_prefix("")},
-            "created_at": now_ms(),
-        }
-        blob = _MAGIC + zstandard.ZstdCompressor(level=3).compress(
-            msgpack.packb(payload, use_bin_type=True)
+        blob = encode_store_payload(
+            list(self.iter_records()), dict(self.iter_kv_prefix(""))
         )
         info = write_backup_file(blob, backup_path, self.count())
         self._last_backup = now_ms()
         return info
 
     def restore_backup(self, backup_path: str) -> Dict[str, Any]:
-        import zstandard
-
         header, blob = read_backup_file(backup_path)
-        payload = msgpack.unpackb(
-            zstandard.ZstdDecompressor().decompress(blob[len(_MAGIC):]), raw=False
-        )
+        docs, kv = decode_store_payload(blob)
         self.clear()
-        self.batch_insert([_dec_record(d) for d in payload["docs"]])
-        for k, v in payload["kv"].items():
+        self.batch_insert(list(docs.values()))
+        for k, v in kv.items():
             self.put_kv(k, v)
         return {"restored": header.get("count", self.count())}
 

@@ -235,36 +235,17 @@ class MemoryDocumentStore(DocumentStore):
         and file deployments can restore each other's backups."""
         from grape_vector_db_tpu.storage import file as file_store
 
-        import msgpack
-        import zstandard
-
         with self._lock:
-            payload = {
-                "docs": [file_store._enc_record(r) for r in self._docs.values()],
-                "kv": dict(self._kv),
-                "created_at": __import__("time").time_ns() // 1_000_000,
-            }
+            blob = file_store.encode_store_payload(self._docs.values(), self._kv)
             count = len(self._docs)
-        blob = file_store._MAGIC + zstandard.ZstdCompressor(level=3).compress(
-            msgpack.packb(payload, use_bin_type=True)
-        )
         return file_store.write_backup_file(blob, backup_path, count)
 
     def restore_backup(self, backup_path: str) -> Dict[str, Any]:
         from grape_vector_db_tpu.storage import file as file_store
 
-        import msgpack
-        import zstandard
-
         header, blob = file_store.read_backup_file(backup_path)
-        if blob[:8] != file_store._MAGIC:
-            from grape_vector_db_tpu.errors import SerializationError
-
-            raise SerializationError("bad snapshot magic")
-        payload = msgpack.unpackb(
-            zstandard.ZstdDecompressor().decompress(blob[8:]), raw=False
-        )
+        docs, kv = file_store.decode_store_payload(blob)
         with self._lock:
-            self._docs = {d["id"]: file_store._dec_record(d) for d in payload["docs"]}
-            self._kv = dict(payload["kv"])
+            self._docs = docs
+            self._kv = kv
         return {"restored": header.get("count", len(self._docs))}

@@ -205,19 +205,22 @@ int gvdb_flush(void* hs) {
     return fsync(fileno(s->f)) == 0 ? 0 : -1;
 }
 
-// Iterate keys: fills out with \n-joined keys (for the Python layer's id scan).
-// Returns bytes written, or -needed if out_cap too small.
+// Iterate keys: fills out with length-prefixed keys ([u32 len][bytes]...) so
+// arbitrary key bytes (including newlines) round-trip. Returns bytes written,
+// or -needed if out_cap is too small.
 int64_t gvdb_keys(void* hs, uint8_t* out, uint64_t out_cap) {
     Store* s = (Store*)hs;
     std::lock_guard<std::mutex> g(s->mu);
     uint64_t need = 0;
-    for (auto& kv : s->index) need += kv.first.size() + 1;
+    for (auto& kv : s->index) need += 4 + kv.first.size();
     if (need > out_cap) return -(int64_t)need;
     uint64_t w = 0;
     for (auto& kv : s->index) {
+        uint32_t len = (uint32_t)kv.first.size();
+        memcpy(out + w, &len, 4);
+        w += 4;
         memcpy(out + w, kv.first.data(), kv.first.size());
         w += kv.first.size();
-        out[w++] = '\n';
     }
     return (int64_t)w;
 }

@@ -320,3 +320,33 @@ def test_pq_index_db_mode():
     hits = db.vector_search(SearchRequest(vector=doc.vector, limit=3))
     assert hits[0].id == "doc-77"
     assert db.stats().index_kind == "pq"
+
+
+def test_filtered_hybrid_returns_matches_beyond_global_topk():
+    """Regression: the filter must constrain channels BEFORE fusion truncation."""
+    db = VectorDatabase(config=small_config())
+    docs = make_docs(200)
+    for d in docs:
+        d.metadata["rare"] = d.id in ("doc-190", "doc-191", "doc-192")
+    db.batch_add_documents(docs)
+    req = HybridSearchRequest(
+        query="the content body of document",  # matches everything broadly
+        limit=3,
+        filter=Filter(must=[Condition("rare", "eq", True)]),
+    )
+    res = db.hybrid_search(req)
+    ids = {r.document.id for r in res}
+    assert ids == {"doc-190", "doc-191", "doc-192"}, ids
+
+
+def test_filtered_deep_pagination():
+    """Regression: filtered pages past the old 400-item cap still return data."""
+    db = VectorDatabase(config=small_config())
+    cfg = db.config
+    db.batch_add_documents(make_docs(900))
+    doc = db.get_document("doc-0")
+    f = Filter(must=[Condition("category", "eq", "even")])  # 450 matches
+    page1 = db.vector_search(SearchRequest(vector=doc.vector, limit=10, offset=0, filter=f))
+    deep = db.vector_search(SearchRequest(vector=doc.vector, limit=10, offset=420, filter=f))
+    assert len(page1) == 10
+    assert len(deep) == 10  # old cap made this empty

@@ -137,3 +137,12 @@ def test_sql_where_prefix_and_errors(engine):
     from grape_vector_db_tpu.errors import InvalidArgumentError
     with pytest.raises(InvalidArgumentError):
         parse_sql_where("price ===")
+
+
+def test_like_literal_glob_metachars(engine):
+    """Literal glob metacharacters in LIKE patterns match themselves."""
+    engine.index_document("g1", {"title": "file[1].txt"})
+    engine.index_document("g2", {"title": "file1.txt"})
+    engine.index_document("g3", {"title": "anything at all"})
+    assert q(engine, Condition("title", "like", "file[1]%")) == {"g1"}
+    assert q(engine, Condition("title", "like", "%*%")) == set()  # literal *

@@ -18,6 +18,9 @@ from grape_vector_db_tpu.ops.hamming import (
     hamming_topk,
     words_per_vector,
 )
+from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
+from grape_vector_db_tpu.ops.graph import beam_search, build_knn_graph
+from grape_vector_db_tpu.ops.pq import adc_topk, encode_pq, train_pq
 
 __all__ = [
     "l2_normalize",
@@ -30,4 +33,11 @@ __all__ = [
     "hamming_scores",
     "hamming_topk",
     "words_per_vector",
+    "kmeans",
+    "assign_clusters",
+    "build_knn_graph",
+    "beam_search",
+    "train_pq",
+    "encode_pq",
+    "adc_topk",
 ]

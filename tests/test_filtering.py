@@ -146,3 +146,59 @@ def test_like_literal_glob_metachars(engine):
     engine.index_document("g3", {"title": "anything at all"})
     assert q(engine, Condition("title", "like", "file[1]%")) == {"g1"}
     assert q(engine, Condition("title", "like", "%*%")) == set()  # literal *
+
+
+def test_sql_parser_fuzz_roundtrip(rng):
+    """Property fuzz: random filter ASTs rendered to SQL parse back to an
+    equivalent filter (same evaluation on random documents)."""
+    import random
+
+    r = random.Random(7)
+    eng = FilterEngine()
+    for i in range(200):
+        eng.index_document(f"f{i}", {
+            "a": r.randint(0, 20),
+            "b": r.choice(["x", "y", "z z", "it's"]),
+            "c": r.random() * 100,
+        })
+
+    def rand_cond():
+        kind = r.choice(["num", "str", "in", "null", "between", "like"])
+        if kind == "num":
+            op = r.choice([("gt", ">"), ("gte", ">="), ("lt", "<"),
+                           ("lte", "<="), ("eq", "="), ("ne", "!=")])
+            v = r.randint(0, 20)
+            return Condition("a", op[0], v), f"a {op[1]} {v}"
+        if kind == "str":
+            v = r.choice(["x", "y", "z z", "it's"])
+            sql_v = v.replace("'", "\\'")
+            return Condition("b", "eq", v), f"b = '{sql_v}'"
+        if kind == "in":
+            vs = r.sample([0, 1, 2, 5, 9, 13], 3)
+            return Condition("a", "in", vs), f"a IN ({', '.join(map(str, vs))})"
+        if kind == "null":
+            neg = r.random() < 0.5
+            return (Condition("missing", "is_not_null" if neg else "is_null"),
+                    f"missing IS {'NOT ' if neg else ''}NULL")
+        if kind == "between":
+            lo, hi = sorted((r.randint(0, 20), r.randint(0, 20)))
+            return (Filter(must=[Condition("c", "gte", lo), Condition("c", "lte", hi)]),
+                    f"c BETWEEN {lo} AND {hi}")
+        return Condition("b", "like", "%z%"), "b LIKE '%z%'"
+
+    def rand_tree(depth):
+        if depth == 0 or r.random() < 0.4:
+            return rand_cond()
+        left_ast, left_sql = rand_tree(depth - 1)
+        right_ast, right_sql = rand_tree(depth - 1)
+        if r.random() < 0.5:
+            return (Filter(must=[left_ast, right_ast]),
+                    f"({left_sql}) AND ({right_sql})")
+        return (Filter(should=[left_ast, right_ast]),
+                f"({left_sql}) OR ({right_sql})")
+
+    for _ in range(60):
+        ast, sql = rand_tree(2)
+        direct = set(eng.execute_filter(ast))
+        parsed = set(eng.execute_filter(parse_sql_where(sql)))
+        assert direct == parsed, (sql, direct ^ parsed)

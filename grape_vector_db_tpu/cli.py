@@ -199,15 +199,61 @@ def cmd_fusion_benchmark(args) -> None:
 
 
 def cmd_serve(args) -> None:
+    """Single-node server, or one member of a multi-process cluster when
+    --node-id/--peers are given (peers: comma list of id=host:port, including
+    this node; raft + data plane run over the gRPC Internal transport)."""
     from grape_vector_db_tpu import VectorDatabase, VectorDbConfig, load_config
     from grape_vector_db_tpu.server.grpc_server import build_grpc_server
     from grape_vector_db_tpu.server.rest import RestServer
 
     cfg = load_config(args.config) if args.config else VectorDbConfig()
-    db = VectorDatabase(path=args.data_dir, config=cfg)
-    server, gport, _ = build_grpc_server(db, port=args.grpc_port)
+
+    node = None
+    adapter = None
+    if args.node_id and args.peers:
+        from grape_vector_db_tpu.distributed.cluster import ClusterNode
+        from grape_vector_db_tpu.distributed.types import ClusterConfig
+        from grape_vector_db_tpu.server.cluster_adapter import (
+            GrpcClusterAdapter,
+            GrpcTransport,
+        )
+
+        book = dict(p.split("=", 1) for p in args.peers.split(","))
+        transport = GrpcTransport(address_book=book)
+        node = ClusterNode(
+            node_id=args.node_id,
+            address=book[args.node_id],
+            seed_nodes=sorted(book),
+            transport=transport,
+            cluster_config=ClusterConfig(
+                shard_count=args.shard_count, replica_count=args.replica_count
+            ),
+            db_config=cfg,
+            data_path=args.data_dir,
+        )
+        adapter = GrpcClusterAdapter(node)
+        db = node.db
+        grpc_port = int(book[args.node_id].rsplit(":", 1)[1])
+    else:
+        db = VectorDatabase(path=args.data_dir, config=cfg)
+        grpc_port = args.grpc_port
+
+    server, gport, _ = build_grpc_server(
+        db, port=grpc_port, node=adapter, cluster_node=node,
+        node_id=args.node_id or "standalone",
+    )
     server.start()
-    rest = RestServer(db, host=args.host, port=args.rest_port)
+    if node is not None:
+        node.start()
+        # register membership once the raft group has a leader
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                node.join_cluster()
+                break
+            except Exception:
+                time.sleep(0.25)
+    rest = RestServer(db, host=args.host, port=args.rest_port, node=node)
     host, rport = rest.start()
     print(f"grape-vector-db-tpu serving: grpc=:{gport} rest={host}:{rport}",
           flush=True)
@@ -217,7 +263,10 @@ def cmd_serve(args) -> None:
     except KeyboardInterrupt:
         rest.stop()
         server.stop(grace=1)
-        db.close()
+        if node is not None:
+            node.stop()
+        else:
+            db.close()
 
 
 def main(argv=None) -> None:
@@ -247,6 +296,12 @@ def main(argv=None) -> None:
     sp.add_argument("--rest-port", type=int, default=8080)
     sp.add_argument("--data-dir", default=None)
     sp.add_argument("--config", default=None)
+    sp.add_argument("--node-id", default=None,
+                    help="cluster mode: this node's id (requires --peers)")
+    sp.add_argument("--peers", default=None,
+                    help="cluster mode: comma list of id=host:port incl. self")
+    sp.add_argument("--shard-count", type=int, default=16)
+    sp.add_argument("--replica-count", type=int, default=2)
     sp.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

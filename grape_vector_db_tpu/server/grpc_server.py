@@ -83,9 +83,13 @@ class VectorDbServicer:
 
     def __init__(self, db: VectorDatabase, node: Optional[Any] = None,
                  node_id: str = "standalone", started_at: Optional[float] = None,
-                 use_batcher: bool = True):
+                 use_batcher: bool = True, cluster_node: Optional[Any] = None):
         self.db = db
-        self.node = node  # distributed ClusterNode when in cluster mode
+        self.node = node  # GrpcClusterAdapter when in cluster mode
+        # The raw ClusterNode: when present, data RPCs route through the
+        # cluster (shard-routed replicated writes, scatter-gather reads)
+        # instead of the local db only.
+        self.cluster_node = cluster_node
         self.node_id = node_id
         self._t0 = started_at or time.time()
         # Micro-batching executor: concurrent unfiltered SearchVectors calls
@@ -131,6 +135,9 @@ class VectorDbServicer:
                 )
                 for p in req.points
             ]
+            if self.cluster_node is not None:
+                n = self.cluster_node.upsert(docs)
+                return pb.UpsertVectorResponse(upserted=n)
             ids = self.db.batch_add_documents(docs)
             return pb.UpsertVectorResponse(upserted=len(ids))
         except Exception as e:
@@ -155,6 +162,13 @@ class VectorDbServicer:
         if err:
             return pb.SearchVectorsResponse(error=err)
         try:
+            if self.cluster_node is not None and not req.filter_sql:
+                hits = self.cluster_node.search(
+                    list(req.query.values), k=int(req.limit) or 10
+                )
+                return pb.SearchVectorsResponse(
+                    results=[pb.SearchResult(id=i, score=s) for i, s in hits]
+                )
             # Fast path: unfiltered searches ride the micro-batching executor
             # so concurrent RPCs share one device launch.
             if (self.batcher is not None and not req.filter_sql
@@ -368,10 +382,12 @@ def build_grpc_server(
     node_id: str = "standalone",
     max_workers: int = 16,
     use_batcher: bool = True,
+    cluster_node: Optional[Any] = None,
 ):
     """Create (server, bound_port). Caller starts/stops the server."""
     servicer = VectorDbServicer(db, node=node, node_id=node_id,
-                                use_batcher=use_batcher)
+                                use_batcher=use_batcher,
+                                cluster_node=cluster_node)
     handlers = {}
     for name, req_t, resp_t in _METHODS:
         fn = getattr(servicer, name)

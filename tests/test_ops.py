@@ -140,3 +140,26 @@ def test_hamming_pallas_non_multiple_block_falls_back(rng):
     ref = np.asarray(hamming_scores(ca, cb, impl="xla"))
     got = np.asarray(hamming_scores(ca, cb, impl="pallas_interpret"))
     np.testing.assert_array_equal(got, ref)  # silently used the fallback
+
+
+def test_verified_exact_topk_adversarial(rng):
+    """The verified-exact path must stay exact on near-tie data (where
+    approx_max_k alone would drop entries)."""
+    import jax
+    from grape_vector_db_tpu.ops.distance import _verified_exact_topk
+
+    b, n, k = 8, 4096, 10
+    # adversarial: many values within float eps of each other near the top
+    base = np.ones((b, n), dtype=np.float32)
+    scores = base + 1e-6 * rng.standard_normal((b, n)).astype(np.float32)
+    # plant clear winners
+    for row in range(b):
+        scores[row, rng.integers(0, n, 3)] += 0.5
+    vals, idxs = _verified_exact_topk(jnp.asarray(scores), k)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    ref = np.sort(scores, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(vals, ref, rtol=0, atol=0)  # bitwise-exact values
+    # indices actually point at those values
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, idxs, axis=1), vals, rtol=0, atol=0
+    )

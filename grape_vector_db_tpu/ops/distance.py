@@ -144,6 +144,11 @@ def _select_topk(scores: jax.Array, k: int, mode: str,
         vals, idxs = lax.approx_max_k(scores, k, recall_target=recall_target)
         return vals, idxs.astype(jnp.int32)
     if k <= 64:
+        # Both engines are exact; cost scales differently: iterative is k full
+        # passes (wins on short axes), verified-approx is ~2.3 passes (wins on
+        # long axes). Measured crossover between 131k and 1M rows on v5e.
+        if scores.shape[1] <= 262_144:
+            return _iterative_topk(scores, k)
         return _verified_exact_topk(scores, k)
     vals, idxs = lax.top_k(scores, k)
     return vals, idxs.astype(jnp.int32)

@@ -206,7 +206,14 @@ class FailoverManager:
                 if not self._queue:
                     break
                 task = heapq.heappop(self._queue)
-            self._execute(task)
+            try:
+                self._execute(task)
+            except Exception as e:
+                # A recovery step against an unreachable node must not abort
+                # the caller (these run inside the raft apply path); record the
+                # error — the next failure/reconcile cycle retries placement.
+                task.result = f"error:{type(e).__name__}"
+                task.done = True
             with self._lock:
                 self.completed.append(task)
             done.append(task)

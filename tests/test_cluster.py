@@ -198,7 +198,7 @@ def test_six_node_cluster_double_failure():
         for v in victims:
             svc.sim.fail_node(v)
         survivors = [nid for nid in svc.nodes if nid not in victims]
-        deadline = time.monotonic() + 10.0
+        deadline = time.monotonic() + 25.0
         while time.monotonic() < deadline:
             if all(
                 svc.nodes[s].members[v].state.value == "failed"

@@ -211,6 +211,22 @@ class VectorDatabase:
 
     # -- point ops ----------------------------------------------------------------
 
+    def list_documents(self, offset: int = 0, limit: int = 100,
+                       filter: Optional[Any] = None) -> List[Document]:
+        """Paginated listing, optionally filtered (the scroll/list surface the
+        reference exposes through its store pagination)."""
+        if filter is not None and not filter.is_empty():
+            allowed = sorted(self.filter_engine.execute_filter(filter))
+            ids = allowed[offset:offset + limit]
+            recs = [self.store.get(i) for i in ids]
+            return [r.to_document() for r in recs if r is not None]
+        return [r.to_document() for r in self.store.list_page(offset, limit)]
+
+    def count_documents(self, filter: Optional[Any] = None) -> int:
+        if filter is not None and not filter.is_empty():
+            return len(self.filter_engine.execute_filter(filter))
+        return self.store.count()
+
     def get_document(self, id_: str) -> Optional[Document]:
         rec = self.store.get(id_)
         return rec.to_document() if rec else None

@@ -350,3 +350,18 @@ def test_filtered_deep_pagination():
     deep = db.vector_search(SearchRequest(vector=doc.vector, limit=10, offset=420, filter=f))
     assert len(page1) == 10
     assert len(deep) == 10  # old cap made this empty
+
+
+def test_list_and_count_documents():
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(30))
+    assert db.count_documents() == 30
+    f = Filter(must=[Condition("category", "eq", "even")])
+    assert db.count_documents(f) == 15
+    page = db.list_documents(offset=0, limit=10, filter=f)
+    assert len(page) == 10 and all(d.metadata["category"] == "even" for d in page)
+    page2 = db.list_documents(offset=10, limit=10, filter=f)
+    assert len(page2) == 5
+    assert {d.id for d in page} & {d.id for d in page2} == set()
+    everything = db.list_documents(limit=1000)
+    assert len(everything) == 30

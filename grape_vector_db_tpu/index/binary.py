@@ -70,7 +70,7 @@ def _rescore_topk(queries, vectors, norms, cand_idx, cand_dist, k: int, metric: 
         preferred_element_type=jnp.float32, precision=precision,
     )
     if metric == "cosine":
-        scores = dots / jnp.maximum(cnorms, 1e-12)
+        scores = jnp.minimum(dots / jnp.maximum(cnorms, 1e-12), 1.0)
     elif metric == "dot":
         scores = dots
     else:  # euclidean

@@ -92,7 +92,7 @@ def _ivf_topk(
         preferred_element_type=jnp.float32, precision=precision,
     )
     if metric == "cosine":
-        scores = dots / jnp.maximum(cand_norms, 1e-12)
+        scores = jnp.minimum(dots / jnp.maximum(cand_norms, 1e-12), 1.0)
     elif metric == "dot":
         scores = dots
     else:

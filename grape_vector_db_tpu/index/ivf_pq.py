@@ -115,7 +115,7 @@ def _ivfpq_topk(
     rdots = jnp.einsum("bd,brd->br", q.astype(vecs.dtype), rvecs,
                        preferred_element_type=jnp.float32, precision=precision)
     if metric == "cosine":
-        rscores = rdots / jnp.maximum(rnorms, 1e-12)
+        rscores = jnp.minimum(rdots / jnp.maximum(rnorms, 1e-12), 1.0)
     elif metric == "dot":
         rscores = rdots
     else:

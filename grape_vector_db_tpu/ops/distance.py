@@ -77,7 +77,8 @@ def score_block(
         precision=precision,
     )  # [B, C]
     if metric == "cosine":
-        scores = dots / jnp.maximum(norms, 1e-12)[None, :]
+        # clamp: bf16 rounding can push a self-match epsilon above 1.0
+        scores = jnp.minimum(dots / jnp.maximum(norms, 1e-12)[None, :], 1.0)
     elif metric == "dot":
         scores = dots
     elif metric == "euclidean":

@@ -45,7 +45,7 @@ def _pairwise_scores(q, cvecs, cnorms, metric):
     dots = jnp.einsum("cd,ckd->ck", q.astype(cvecs.dtype), cvecs,
                       preferred_element_type=jnp.float32, precision=precision)
     if metric == "cosine":
-        return dots / jnp.maximum(cnorms, 1e-12)
+        return jnp.minimum(dots / jnp.maximum(cnorms, 1e-12), 1.0)
     if metric == "dot":
         return dots
     q_sq = jnp.sum(q * q, axis=-1, keepdims=True)

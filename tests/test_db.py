@@ -365,3 +365,27 @@ def test_list_and_count_documents():
     assert {d.id for d in page} & {d.id for d in page2} == set()
     everything = db.list_documents(limit=1000)
     assert len(everything) == 30
+
+
+def test_embedded_shutdown_hooks_and_drain(tmp_path):
+    cfg = EmbeddedConfig(data_dir=str(tmp_path / "hdb"), db=small_config())
+    cfg.health_check_interval_s = 0
+    ran = []
+    edb = EmbeddedVectorDB(cfg)
+    edb.lifecycle.add_shutdown_hook(lambda: ran.append("hook"))
+    edb.upsert(make_docs(5))
+    edb.close()
+    assert ran == ["hook"]
+    edb.close()  # idempotent
+    assert ran == ["hook"]
+
+
+def test_cosine_scores_never_exceed_one():
+    cfg = small_config(dim=64)
+    cfg.device.storage_dtype = "bfloat16"
+    db = VectorDatabase(config=cfg)
+    db.batch_add_documents(make_docs(50))
+    doc = db.get_document("doc-3")
+    hits = db.vector_search(SearchRequest(vector=doc.vector, limit=5))
+    assert hits[0].id == "doc-3"
+    assert all(h.score <= 1.0 for h in hits)

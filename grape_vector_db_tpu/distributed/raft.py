@@ -622,19 +622,37 @@ class RaftNode:
 
     def propose_on_leader(self, data: bytes, timeout_s: float = 2.0,
                           wait_applied: bool = False) -> int:
-        """Propose locally or forward to the known leader."""
-        try:
-            return self.propose(data, timeout_s=timeout_s,
-                                wait_applied=wait_applied)
-        except NotLeaderError as e:
-            if not e.leader_hint:
-                raise
-            resp = self.transport.call(
-                self.node_id, e.leader_hint, "client_command",
-                {"data": data, "timeout_s": timeout_s},
-                timeout_s=timeout_s + 0.5,
-            )
-            return resp["index"]
+        """Propose locally or forward to the leader, following stale hints.
+
+        Leadership can churn between resolving the hint and the forward
+        landing; a production raft client retries along the new hint chain
+        until the deadline instead of surfacing one stale NotLeaderError."""
+        deadline = time.monotonic() + timeout_s
+        last_exc: Exception = NotLeaderError(None)
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise last_exc
+            try:
+                return self.propose(data, timeout_s=remaining,
+                                    wait_applied=wait_applied)
+            except NotLeaderError as e:
+                last_exc = e
+                hint = e.leader_hint
+            if not hint or hint == self.node_id:
+                time.sleep(0.02)  # election in progress; wait for a hint
+                continue
+            try:
+                resp = self.transport.call(
+                    self.node_id, hint, "client_command",
+                    {"data": data, "timeout_s": max(remaining, 0.05)},
+                    timeout_s=remaining + 0.5,
+                )
+                return resp["index"]
+            except (NotLeaderError, TimeoutError_, ConsensusError,
+                    TransportError, OSError) as e:
+                last_exc = e  # hint was stale or target unreachable; re-resolve
+                time.sleep(0.02)
 
     # ------------------------------------------------------------------ intro
 

@@ -31,6 +31,7 @@ import numpy as np
 from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
 from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+from grape_vector_db_tpu.ops.gather_pallas import pallas_gather_supported
 from grape_vector_db_tpu.ops.graph import beam_search, build_knn_graph
 from grape_vector_db_tpu.ops.kmeans import kmeans
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
@@ -76,10 +77,21 @@ class GraphDeviceIndex(VectorIndex):
         rebuild_ratio: float = 0.25,
         search_mode: str = "exact",
         recall_target: float = 0.99,
+        use_pallas: bool = True,
         device: Optional[jax.Device] = None,
     ):
         self._dim = dimension
         self.metric = metric
+        # Candidate-gather engine for the beam. The DMA kernel is currently
+        # disproven on hardware (see ops/gather_pallas.py docstring for the
+        # measurements); pallas_gather_supported gates it off, so this
+        # resolves to the XLA gather until a Mosaic release lifts the
+        # sublane-alignment constraint on DMA slices.
+        self.gather_impl = "pallas" if (
+            use_pallas
+            and jax.default_backend() == "tpu"
+            and pallas_gather_supported(dimension, jnp.dtype(storage_dtype))
+        ) else "xla"
         self.m = m
         # Layer-0 degree is 2*m, matching HNSW's max_m0 convention — the extra
         # edges are what lets NN-descent converge to ~0.99 graph recall.
@@ -253,6 +265,7 @@ class GraphDeviceIndex(VectorIndex):
                 # (history-based dedup is approximate); the host merge dedupes
                 k=min(2 * k, self.pool), pool=self.pool, expand=self.expand,
                 iters=self.search_iters, metric=self.metric,
+                impl=self.gather_impl,
             )
             graph_hits = gs.hits_from_slots(np.asarray(vals)[:b], np.asarray(idxs)[:b])
             # Points inserted after the last build live in graph slots beyond

@@ -31,6 +31,7 @@ import numpy as np
 from jax import lax
 
 from grape_vector_db_tpu.ops.distance import prepare_queries
+from grape_vector_db_tpu.ops.gather_pallas import gather_dots
 
 __all__ = ["build_knn_graph", "beam_search"]
 
@@ -165,8 +166,19 @@ def build_knn_graph(
     return neighbors
 
 
+def _dots_to_scores(q, dots, cnorms, metric):
+    """Same similarity conventions as _pairwise_scores, from precomputed
+    dots [B, C] (so the gather kernel only has to move dot products)."""
+    if metric == "cosine":
+        return jnp.minimum(dots / jnp.maximum(cnorms, 1e-12), 1.0)
+    if metric == "dot":
+        return dots
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return -(q_sq - 2.0 * dots + cnorms * cnorms)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "pool", "expand", "iters", "metric")
+    jax.jit, static_argnames=("k", "pool", "expand", "iters", "metric", "impl")
 )
 def beam_search(
     queries: jax.Array,     # [B, D] f32
@@ -180,6 +192,7 @@ def beam_search(
     expand: int = 8,
     iters: int = 12,
     metric: str = "cosine",
+    impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched best-first graph search. Returns (scores [B,k], indices [B,k]).
 
@@ -189,7 +202,11 @@ def beam_search(
     copy of a node so it is never re-expanded).
 
     ``entries`` may be per-query ([B, E], e.g. from a centroid probe — a bare
-    kNN graph is not navigable from static entries at scale) or global ([E])."""
+    kNN graph is not navigable from static entries at scale) or global ([E]).
+
+    ``impl`` selects the candidate-row gather engine (ops/gather_pallas.py):
+    "xla" everywhere, "pallas" on real TPU (DMA-pipelined row copies),
+    "pallas_interpret" for CPU tests of the kernel."""
     b, d = queries.shape
     m = neighbors.shape[1]
     q = prepare_queries(queries, metric)
@@ -199,9 +216,9 @@ def beam_search(
     if entries.ndim == 1:
         entries = jnp.broadcast_to(entries[None, :], (b, entries.shape[0]))
     e = entries.shape[1]
-    evecs = vectors[entries]            # [B, E, D]
+    edots = gather_dots(q, vectors, entries, impl=impl)  # [B, E]
     enorms = norms[entries]             # [B, E]
-    escores = _pairwise_scores(q, evecs, enorms, metric)
+    escores = _dots_to_scores(q, edots, enorms, metric)
     escores = jnp.where(valid[entries], escores, NEG_INF)
 
     pp = min(pool, max(e, k))
@@ -225,9 +242,9 @@ def beam_search(
         expanded = expanded.at[rows, sel_pos].set(True)
 
         nbrs = neighbors[sel_idx].reshape(b, expand * m)     # [B, expand*M]
-        cvecs = vectors[nbrs]                                # [B, expand*M, D]
+        cdots = gather_dots(q, vectors, nbrs, impl=impl)     # [B, expand*M]
         cnorms = norms[nbrs]
-        cscores = _pairwise_scores(q, cvecs, cnorms, metric)
+        cscores = _dots_to_scores(q, cdots, cnorms, metric)
         cscores = jnp.where(valid[nbrs], cscores, NEG_INF)
         # Dedup without sorts (broadcast compares are VPU-cheap; variadic sort
         # is the TPU slow path). A candidate dies if it is already in the pool

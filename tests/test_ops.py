@@ -163,3 +163,52 @@ def test_verified_exact_topk_adversarial(rng):
     np.testing.assert_allclose(
         np.take_along_axis(scores, idxs, axis=1), vals, rtol=0, atol=0
     )
+
+
+def test_gather_dots_pallas_matches_xla(rng):
+    """DMA-gather kernel (interpret mode on CPU) vs the XLA gather+einsum."""
+    from grape_vector_db_tpu.ops.gather_pallas import gather_dots
+
+    n, d, b, c = 300, 128, 8, 24
+    vecs = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n, (b, c)).astype(np.int32))
+    ref = np.asarray(gather_dots(q, vecs, ids, impl="xla"))
+    got = np.asarray(gather_dots(q, vecs, ids, impl="pallas_interpret"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_dots_pallas_clamps_negative_ids(rng):
+    """Padding ids (-1) must not fault: they are clamped to row 0 and the
+    caller masks their scores."""
+    from grape_vector_db_tpu.ops.gather_pallas import gather_dots
+
+    n, d = 64, 128
+    vecs = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((2, d)).astype(np.float32))
+    ids = jnp.asarray(np.array([[0, -1, 5], [n - 1, -1, -1]], dtype=np.int32))
+    got = np.asarray(gather_dots(q, vecs, ids, impl="pallas_interpret"))
+    ref = np.asarray(gather_dots(q, vecs, jnp.clip(ids, 0, n - 1), impl="xla"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_beam_search_pallas_gather_matches_xla(rng):
+    """End-to-end beam search must return identical results under both
+    gather engines (same numerics: f32 everywhere)."""
+    from grape_vector_db_tpu.ops.graph import beam_search, build_knn_graph
+
+    n, d = 600, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs_j = jnp.asarray(vecs)
+    norms = jnp.linalg.norm(vecs_j, axis=1)
+    valid = jnp.ones(n, dtype=bool)
+    nbrs = build_knn_graph(vecs_j, norms, valid, m=8, rounds=4, seed=0)
+    q = jnp.asarray(rng.standard_normal((4, d)).astype(np.float32))
+    entries = jnp.arange(16, dtype=jnp.int32)
+    a = beam_search(q, vecs_j, norms, valid, entries, nbrs, k=10,
+                    pool=32, expand=4, iters=6, impl="xla")
+    b = beam_search(q, vecs_j, norms, valid, entries, nbrs, k=10,
+                    pool=32, expand=4, iters=6, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-5, atol=1e-6)

@@ -146,8 +146,8 @@ class ClusterNode:
         # Take over the transport slot: route raft methods to the raft node and
         # data/cluster methods to this object.
         transport.register(node_id, self._handle_rpc)
-        self._raft_methods = {"request_vote", "append_entries", "install_snapshot",
-                              "client_command"}
+        self._raft_methods = {"request_prevote", "request_vote", "append_entries",
+                              "install_snapshot", "client_command"}
         self._started = False
 
     # ------------------------------------------------------------------ rpc

@@ -6,6 +6,9 @@ RPC *sleeps 3-15ms and succeeds with 90% probability via fastrand*
 is the actual algorithm over the pluggable transport:
 
 - randomized election timeouts (150-300ms default, raft.rs:647-813 intent)
+- pre-vote (raft thesis §9.6, on by default): a majority probe at the
+  prospective term before incrementing current_term, so isolated/rejoining
+  nodes never inflate terms or depose a healthy leader
 - RequestVote with the up-to-date-log rule
 - AppendEntries with prev-log consistency check, conflict truncation
   (raft.rs:1240-1289 intent), and per-peer next/match index backtracking
@@ -69,6 +72,10 @@ class RaftConfig:
     snapshot_threshold: int = 1000
     max_entries_per_append: int = 64
     rpc_timeout_s: float = 0.5
+    # Pre-vote (raft thesis §9.6): probe for a majority with a prospective
+    # term before incrementing current_term, so a partitioned/rejoining node
+    # cannot inflate terms and depose a healthy leader.
+    prevote: bool = True
 
 
 class RaftNode:
@@ -130,6 +137,7 @@ class RaftNode:
         self._submit = _submit
         self._election_deadline = 0.0
         self._next_heartbeat = 0.0
+        self._last_leader_contact = 0.0  # monotonic time of last valid append
         # ordered state-machine application
         self._apply_queue: "queue.Queue[Optional[LogEntry]]" = queue.Queue()
         self.applied_through = 0
@@ -265,7 +273,62 @@ class RaftNode:
     # -------------------------------------------------------------- elections
 
     def _start_election(self) -> None:
+        if self.config.prevote:
+            self._start_prevote()
+        else:
+            self._start_real_election()
+
+    def _start_prevote(self) -> None:
+        """Pre-vote round (raft thesis §9.6): ask peers whether they WOULD
+        vote for us at term+1 without anyone changing persistent state. Only
+        a majority of pre-votes triggers the real (term-incrementing)
+        election — a node on the losing side of a partition retries forever
+        at its old term instead of inflating it."""
         with self._lock:
+            if self.role == RaftRole.LEADER:
+                return
+            term_at_start = self.current_term
+            prospective = self.current_term + 1
+            last_idx, last_term = self._last_log_index(), self._last_log_term()
+            self._reset_election_timer()
+        needed = (len(self.peers) + 1) // 2 + 1
+        if needed <= 1:
+            self._start_real_election(expected_term=term_at_start)
+            return
+
+        vote_lock = threading.Lock()
+        state = {"votes": 1, "done": False}
+
+        def ask(peer: str) -> None:
+            try:
+                resp = self.transport.call(
+                    self.node_id, peer, "request_prevote",
+                    {"term": prospective, "candidate_id": self.node_id,
+                     "last_log_index": last_idx, "last_log_term": last_term},
+                    timeout_s=self.config.rpc_timeout_s,
+                )
+            except TransportError:
+                return
+            with self._lock:
+                if resp["term"] > self.current_term:
+                    self._step_down(resp["term"])
+                    return
+            if resp.get("vote_granted"):
+                with vote_lock:
+                    state["votes"] += 1
+                    if not state["done"] and state["votes"] >= needed:
+                        state["done"] = True
+                        self._start_real_election(expected_term=term_at_start)
+
+        for p in self.peers:
+            self._submit(ask, p)
+
+    def _start_real_election(self, expected_term: Optional[int] = None) -> None:
+        with self._lock:
+            if self.role == RaftRole.LEADER:
+                return
+            if expected_term is not None and self.current_term != expected_term:
+                return  # stale pre-vote round (term moved under us)
             self.role = RaftRole.CANDIDATE
             self.current_term += 1
             self.voted_for = self.node_id
@@ -490,6 +553,8 @@ class RaftNode:
     # ------------------------------------------------------------------- RPCs
 
     def _handle_rpc(self, method: str, payload: Dict[str, Any]) -> Dict[str, Any]:
+        if method == "request_prevote":
+            return self.handle_request_prevote(payload)
         if method == "request_vote":
             return self.handle_request_vote(payload)
         if method == "append_entries":
@@ -501,6 +566,26 @@ class RaftNode:
             idx = self.propose(data, timeout_s=payload.get("timeout_s", 2.0))
             return {"ok": True, "index": idx}
         raise ConsensusError(f"unknown raft method {method}")
+
+    def handle_request_prevote(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Grant iff we would plausibly vote for this candidate in a real
+        election: its prospective term is not behind ours, its log is at
+        least as up-to-date, and we have not heard from a live leader within
+        the minimum election timeout. Grants change NO persistent state."""
+        with self._lock:
+            granted = False
+            if self.role != RaftRole.LEADER and p["term"] >= self.current_term:
+                up_to_date = (
+                    p["last_log_term"] > self._last_log_term()
+                    or (p["last_log_term"] == self._last_log_term()
+                        and p["last_log_index"] >= self._last_log_index())
+                )
+                quiet_s = self.config.election_timeout_ms[0] / 1e3
+                leader_quiet = (
+                    time.monotonic() - self._last_leader_contact
+                ) >= quiet_s
+                granted = up_to_date and leader_quiet
+            return {"term": self.current_term, "vote_granted": granted}
 
     def handle_request_vote(self, p: Dict[str, Any]) -> Dict[str, Any]:
         with self._lock:
@@ -528,6 +613,7 @@ class RaftNode:
                 self._step_down(p["term"])
             self.leader_id = p["leader_id"]
             self._reset_election_timer()
+            self._last_leader_contact = time.monotonic()
 
             prev_idx, prev_term = p["prev_log_index"], p["prev_log_term"]
             my_term = self._term_at(prev_idx)

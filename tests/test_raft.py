@@ -175,3 +175,44 @@ def test_leader_stability_under_packet_loss(cluster3):
     cluster3.sim.set_packet_loss(leader, 0.0)
     time.sleep(0.5)
     cluster3.verify_log_consistency()
+
+
+def test_prevote_prevents_term_inflation(cluster3):
+    """Raft thesis §9.6: a node isolated through many election timeouts must
+    NOT inflate its term (pre-vote fails without a majority), and on heal it
+    must rejoin as follower without deposing the healthy leader."""
+    leader = cluster3.wait_for_leader()
+    cluster3.nodes[leader].propose(b"stable")
+    cluster3.wait_applied(1)
+    term_before = cluster3.nodes[leader].current_term
+
+    victim = next(n for n in cluster3.node_ids if n != leader)
+    others = {n for n in cluster3.node_ids if n != victim}
+    cluster3.partition({victim}, others)
+    # several election timeouts elapse while isolated
+    time.sleep(1.0)
+    assert cluster3.nodes[victim].current_term == term_before, (
+        "isolated node inflated its term despite pre-vote"
+    )
+
+    cluster3.heal()
+    time.sleep(0.5)
+    # the healthy leader was never deposed and the term did not jump
+    assert cluster3.nodes[leader].role == RaftRole.LEADER
+    assert cluster3.nodes[leader].current_term == term_before
+    assert cluster3.nodes[victim].role == RaftRole.FOLLOWER
+    assert cluster3.nodes[victim].leader_id == leader
+
+
+def test_election_without_prevote_still_works():
+    """prevote=False keeps the classic immediate-candidate behavior."""
+    cfg = RaftConfig(election_timeout_ms=(80, 160), heartbeat_ms=25.0,
+                     tick_ms=5.0, prevote=False)
+    c = RaftTestCluster(3, config=cfg)
+    c.start()
+    try:
+        leader = c.wait_for_leader()
+        c.nodes[leader].propose(b"x")
+        c.wait_applied(1)
+    finally:
+        c.stop()

@@ -48,6 +48,7 @@ from grape_vector_db_tpu.distributed.types import (
     ConsistencyLevel,
     NodeInfo,
     NodeState,
+    SessionToken,
 )
 from grape_vector_db_tpu.errors import NotLeaderError, UnavailableError
 from grape_vector_db_tpu.types import Document, DocumentRecord
@@ -148,6 +149,13 @@ class ClusterNode:
         transport.register(node_id, self._handle_rpc)
         self._raft_methods = {"request_prevote", "request_vote", "append_entries",
                               "install_snapshot", "client_command"}
+        # Per-shard applied-write versions backing SESSION read-your-writes
+        # tokens: bumped on every locally applied write, compared (and briefly
+        # waited on) by token-carrying searches.
+        self._version_lock = threading.Lock()
+        self._version_cv = threading.Condition(self._version_lock)
+        self.shard_versions: Dict[int, int] = {}
+        self.session_wait_s = 1.0
         self._started = False
 
     # ------------------------------------------------------------------ rpc
@@ -273,8 +281,10 @@ class ClusterNode:
                     self.db.batch_add_documents(
                         [Document.from_dict(d) for d in mine]
                     )
+                    self._bump_shard_versions([d["id"] for d in mine])
             elif op == "data_delete":
                 self.db.batch_delete_documents(cmd["ids"])
+                self._bump_shard_versions(cmd["ids"])
             self._applied_commands += 1
 
     def _snapshot_state(self) -> bytes:
@@ -366,21 +376,67 @@ class ClusterNode:
         resp = self._call(node_id, "data_write", {"docs": docs}, timeout_s=5.0)
         return resp["written"]
 
+    def _bump_shard_versions(self, ids: Sequence[str]) -> Dict[int, int]:
+        """Advance the per-shard version once per affected shard; returns the
+        new versions. Every replica applies the same writes, so counters on
+        caught-up replicas agree with the primary's."""
+        shards = {self._shard_of_record(i) for i in ids}
+        with self._version_cv:
+            out = {}
+            for sid in shards:
+                self.shard_versions[sid] = self.shard_versions.get(sid, 0) + 1
+                out[sid] = self.shard_versions[sid]
+            self._version_cv.notify_all()
+            return out
+
+    def _wait_shard_versions(self, min_versions: Dict[int, int]) -> List[int]:
+        """Block (bounded) until local versions reach min_versions; returns
+        the shard ids still behind at the deadline."""
+        deadline = time.monotonic() + self.session_wait_s
+        with self._version_cv:
+            while True:
+                behind = [sid for sid, v in min_versions.items()
+                          if self.shard_versions.get(sid, 0) < v]
+                if not behind:
+                    return []
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return behind
+                self._version_cv.wait(remaining)
+
     def _rpc_data_write(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         docs = [Document.from_dict(d) for d in payload["docs"]]
         self.db.batch_add_documents(docs)
-        return {"written": len(docs), "node_id": self.node_id}
+        versions = self._bump_shard_versions([d.id for d in docs])
+        return {"written": len(docs), "node_id": self.node_id,
+                "versions": {str(s): v for s, v in versions.items()}}
 
     def _rpc_data_delete(self, payload: Dict[str, Any]) -> Dict[str, Any]:
-        return {"deleted": self.db.batch_delete_documents(payload["ids"])}
+        deleted = self.db.batch_delete_documents(payload["ids"])
+        versions = self._bump_shard_versions(payload["ids"])
+        return {"deleted": deleted,
+                "versions": {str(s): v for s, v in versions.items()}}
+
+    def _rpc_data_version(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        with self._version_lock:
+            return {"versions": {
+                str(sid): self.shard_versions.get(int(sid), 0)
+                for sid in payload["shards"]
+            }}
 
     def _rpc_data_search(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         from grape_vector_db_tpu.types import SearchRequest
 
+        stale: List[int] = []
+        min_versions = payload.get("min_versions")
+        if min_versions:
+            stale = self._wait_shard_versions(
+                {int(k): v for k, v in min_versions.items()}
+            )
         hits = self.db.vector_search(SearchRequest(
             vector=payload["vector"], limit=payload["k"], with_payload=False,
         ))
-        return {"hits": [(h.id, h.score) for h in hits]}
+        return {"hits": [(h.id, h.score) for h in hits], "stale": stale}
 
     def _rpc_data_count(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         sid = payload["shard_id"]
@@ -404,11 +460,16 @@ class ClusterNode:
 
     # -- client API -------------------------------------------------------------------
 
-    def upsert(self, docs: Sequence[Document]) -> int:
+    def upsert(self, docs: Sequence[Document],
+               session: Optional[SessionToken] = None) -> int:
         """Shard-routed replicated write (the write path of shard.rs:634-719,
         for real). Under STRONG consistency the batch goes through the raft
         log (VectorCommand semantics) so every owner applies it in the same
-        order; otherwise the replication manager writes copies directly."""
+        order; otherwise the replication manager writes copies directly.
+
+        Passing a ``session`` records the primaries' post-write shard
+        versions into it; later searches carrying the token are guaranteed
+        to observe these writes (read-your-writes)."""
         if self.config.consistency == ConsistencyLevel.STRONG:
             # Refuse before proposing if any target shard has no placement —
             # otherwise the commit applies to nobody and the write is lost
@@ -420,6 +481,13 @@ class ClusterNode:
             self._propose({
                 "op": "data_upsert", "docs": [d.to_dict() for d in docs],
             }, timeout_s=5.0, wait_applied=True)
+            if session is not None:
+                # this node applied the command (wait_applied): local
+                # versions already cover the write
+                with self._version_lock:
+                    for d in docs:
+                        sid = self._shard_of_record(d.id)
+                        session.observe(sid, self.shard_versions.get(sid, 0))
             return len(docs)
         by_shard: Dict[int, List[Document]] = {}
         for d in docs:
@@ -432,12 +500,22 @@ class ClusterNode:
             payload = [d.to_dict() for d in group]
             self.replication.replicate(payload, info.primary_node, info.replica_nodes)
             written += len(group)
+            if session is not None:
+                resp = self._call(info.primary_node, "data_version",
+                                  {"shards": [sid]}, timeout_s=2.0)
+                session.observe(sid, resp["versions"][str(sid)])
         return written
 
-    def delete(self, ids: Sequence[str]) -> int:
+    def delete(self, ids: Sequence[str],
+               session: Optional[SessionToken] = None) -> int:
         if self.config.consistency == ConsistencyLevel.STRONG:
             self._propose({"op": "data_delete", "ids": list(ids)}, timeout_s=5.0,
                           wait_applied=True)
+            if session is not None:
+                with self._version_lock:
+                    for i in ids:
+                        sid = self._shard_of_record(i)
+                        session.observe(sid, self.shard_versions.get(sid, 0))
             return len(ids)
         by_shard: Dict[int, List[str]] = {}
         for i in ids:
@@ -450,13 +528,21 @@ class ClusterNode:
                     resp = self._call(nid, "data_delete", {"ids": group}, timeout_s=5.0)
                     if nid == info.primary_node:
                         deleted += resp["deleted"]
+                        if session is not None:
+                            session.observe(sid, resp["versions"][str(sid)])
                 except TransportError:
                     pass
         return deleted
 
-    def search(self, vector: Sequence[float], k: int = 10) -> List[Tuple[str, float]]:
+    def search(self, vector: Sequence[float], k: int = 10,
+               session: Optional[SessionToken] = None) -> List[Tuple[str, float]]:
         """Scatter-gather: one owner per shard, merged global top-k
-        (shard.rs:759-901 — the real version of its mock)."""
+        (shard.rs:759-901 — the real version of its mock).
+
+        With a ``session`` token, each targeted node receives the minimum
+        shard versions it must have applied; lagging replicas wait up to
+        ``session_wait_s`` before serving, so the caller observes its own
+        earlier writes even under async replication."""
         with self._state_lock:
             owners: Dict[str, Set[int]] = {}
             healthy = set(self.healthy_node_ids())
@@ -472,8 +558,13 @@ class ClusterNode:
                 if target is not None:
                     owners.setdefault(target, set()).add(sid)
         merged: Dict[str, float] = {}
-        payload = {"vector": list(vector), "k": k}
-        for nid in owners:
+        for nid, sids in owners.items():
+            payload: Dict[str, Any] = {"vector": list(vector), "k": k}
+            if session is not None and session.versions:
+                mv = {str(sid): session.versions[sid]
+                      for sid in sids if sid in session.versions}
+                if mv:
+                    payload["min_versions"] = mv
             try:
                 resp = self._call(nid, "data_search", payload, timeout_s=5.0)
             except TransportError:

@@ -123,14 +123,14 @@ class ClusterService:
                 return n
         raise UnavailableError("no leader")
 
-    def upsert(self, docs: Sequence[Document]) -> int:
-        return self.any_node().upsert(docs)
+    def upsert(self, docs: Sequence[Document], session=None) -> int:
+        return self.any_node().upsert(docs, session=session)
 
-    def search(self, vector, k: int = 10) -> List[Tuple[str, float]]:
-        return self.any_node().search(vector, k)
+    def search(self, vector, k: int = 10, session=None) -> List[Tuple[str, float]]:
+        return self.any_node().search(vector, k, session=session)
 
-    def delete(self, ids: Sequence[str]) -> int:
-        return self.any_node().delete(ids)
+    def delete(self, ids: Sequence[str], session=None) -> int:
+        return self.any_node().delete(ids, session=session)
 
     # -- status -------------------------------------------------------------------------
 

@@ -25,6 +25,7 @@ __all__ = [
     "ClusterHealth",
     "ClusterStats",
     "HeartbeatMessage",
+    "SessionToken",
 ]
 
 
@@ -32,6 +33,36 @@ class ConsistencyLevel(str, enum.Enum):
     STRONG = "strong"
     EVENTUAL = "eventual"
     SESSION = "session"
+
+
+@dataclass
+class SessionToken:
+    """Read-your-writes token for SESSION consistency (types.rs
+    ConsistencyLevel::Session intent — the reference maps it to quorum writes
+    and stops there; here the token carries per-shard versions so reads can
+    actually enforce it).
+
+    Each replica bumps a per-shard version counter when it applies a write;
+    an upsert records the primary's post-write versions into the caller's
+    token, and a search carrying the token routes those shards to replicas
+    that have caught up (waiting briefly for lagging ones)."""
+
+    versions: Dict[int, int] = field(default_factory=dict)
+
+    def observe(self, shard_id: int, version: int) -> None:
+        if version > self.versions.get(shard_id, 0):
+            self.versions[shard_id] = version
+
+    def merge(self, other: "SessionToken") -> None:
+        for sid, v in other.versions.items():
+            self.observe(sid, v)
+
+    def to_dict(self) -> Dict[str, int]:
+        return {str(sid): v for sid, v in self.versions.items()}
+
+    @staticmethod
+    def from_dict(d: Dict[str, int]) -> "SessionToken":
+        return SessionToken(versions={int(k): v for k, v in d.items()})
 
 
 @dataclass

@@ -222,3 +222,55 @@ def test_six_node_cluster_double_failure():
         assert hits and hits[0][0] == target.id
     finally:
         svc.stop()
+
+
+def test_session_token_read_your_writes(svc):
+    """SESSION consistency with a real token: the upsert records primary
+    shard versions; a token-carrying search observes the write."""
+    from grape_vector_db_tpu.distributed.types import SessionToken
+
+    session = SessionToken()
+    docs = make_docs(10, seed=42)
+    svc.upsert(docs, session=session)
+    assert session.versions, "upsert recorded no shard versions"
+    hits = svc.search(docs[4].vector, k=3, session=session)
+    assert hits[0][0] == "doc-4"
+    # token survives wire round-trip
+    rt = SessionToken.from_dict(session.to_dict())
+    assert rt.versions == session.versions
+
+
+def test_session_search_waits_for_lagging_replica(svc):
+    """A replica behind the token's version must wait for the write to
+    arrive (bounded), then serve; if it never arrives it reports the shard
+    as stale instead of blocking forever."""
+    import threading as _threading
+
+    node = svc.any_node()
+    node.session_wait_s = 1.5
+    sid = 0
+    key = next(f"k{i}" for i in range(1000)
+               if node.shard_map.shard_for_key(f"k{i}") == sid)
+    target = node.shard_versions.get(sid, 0) + 1
+
+    def late_write():
+        time.sleep(0.3)
+        node._bump_shard_versions([key])
+
+    t = _threading.Thread(target=late_write)
+    t0 = time.monotonic()
+    t.start()
+    resp = node._rpc_data_search({
+        "vector": [0.0] * 16, "k": 1, "min_versions": {str(sid): target},
+    })
+    waited = time.monotonic() - t0
+    t.join()
+    assert resp["stale"] == [] and 0.25 <= waited < 1.4
+
+    # unreachable version: bounded wait, then reported stale
+    node.session_wait_s = 0.3
+    resp = node._rpc_data_search({
+        "vector": [0.0] * 16, "k": 1,
+        "min_versions": {str(sid): target + 100},
+    })
+    assert resp["stale"] == [sid]

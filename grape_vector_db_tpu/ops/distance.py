@@ -139,6 +139,82 @@ def _verified_exact_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Arra
     return lax.cond(proven, fast, slow, None)
 
 
+SEGMENT = 32  # segment width for the two-phase exact engine
+
+
+def _segmax_exact_topk(
+    q: jax.Array,        # [B, D] f32 (prepared)
+    vectors: jax.Array,  # [N, D]
+    norms: jax.Array,    # [N]
+    valid: jax.Array,    # [N]
+    k: int,
+    metric: str,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k in ~1 streamed pass + a tiny rescore.
+
+    Phase 1 reduces each 32-column segment of the score matrix to its max
+    while the matmul scan streams the corpus (the [B, N] scores never hit
+    HBM — only the 32x smaller segment maxima). Phase 2 takes the top-k
+    segments per query and exactly rescores their k*32 member rows.
+
+    Exactness: if a global top-k value lived outside the chosen segments,
+    then k segments would each hold a strictly larger value — contradiction.
+    Boundary ties are interchangeable by value, same convention as
+    ``_verified_exact_topk``.
+    """
+    n, d = vectors.shape
+    b = q.shape[0]
+    num_seg = n // SEGMENT
+
+    chunk = min(chunk, n)
+    num_chunks = n // chunk
+    seg_per_chunk = chunk // SEGMENT
+    vecs_c = vectors.reshape(num_chunks, chunk, d)
+    norms_c = norms.reshape(num_chunks, chunk)
+    valid_c = valid.reshape(num_chunks, chunk)
+
+    def body(carry, xs):
+        vecs_i, norms_i, valid_i = xs
+        scores = score_block(q, vecs_i, norms_i, valid_i, metric)
+        segmax = scores.reshape(b, seg_per_chunk, SEGMENT).max(axis=-1)
+        return carry, segmax
+
+    _, segs = lax.scan(body, None, (vecs_c, norms_c, valid_c))
+    segmax = jnp.moveaxis(segs, 0, 1).reshape(b, num_seg)
+
+    # top-k segments (value order only; indices come from the rescore)
+    kk = min(k, num_seg)
+    if num_seg <= 262_144:
+        _, seg_ids = _iterative_topk(segmax, kk)
+    else:
+        _, seg_ids = _verified_exact_topk(segmax, kk)
+
+    # phase 2: exact rescore of the kk*SEGMENT candidate rows
+    rows = (seg_ids[:, :, None] * SEGMENT
+            + jnp.arange(SEGMENT, dtype=jnp.int32)[None, None, :]
+            ).reshape(b, kk * SEGMENT)                        # [B, kk*32]
+    cvecs = vectors[rows]                                     # [B, C, D]
+    precision = (
+        lax.Precision.HIGHEST if vectors.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    dots = jnp.einsum("bd,bcd->bc", q.astype(vectors.dtype), cvecs,
+                      preferred_element_type=jnp.float32, precision=precision)
+    cnorms = norms[rows]
+    if metric == "cosine":
+        rs = jnp.minimum(dots / jnp.maximum(cnorms, 1e-12), 1.0)
+    elif metric == "dot":
+        rs = dots
+    else:
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        rs = -(q_sq - 2.0 * dots + cnorms * cnorms)
+    rs = jnp.where(valid[rows], rs, NEG_INF)
+    fvals, fpos = lax.top_k(rs, min(k, rs.shape[1]))
+    fidx = jnp.take_along_axis(rows, fpos, axis=1)
+    return fvals, fidx.astype(jnp.int32)
+
+
 def _select_topk(scores: jax.Array, k: int, mode: str,
                  recall_target: float) -> Tuple[jax.Array, jax.Array]:
     if mode == "approx":
@@ -179,6 +255,21 @@ def scored_topk(
     b = queries.shape[0]
     q = prepare_queries(queries, metric)
     kk = min(k, n)
+
+    # Large-corpus exact engine: segment-max two-phase (see _segmax_exact_topk)
+    # — streams the corpus once instead of running k selection passes over a
+    # materialized [B, N] score matrix. Measured crossover vs the iterative
+    # engine sits near the same 262k-row mark as the verified engine's.
+    if (
+        mode == "exact"
+        and kk <= 64
+        and n > 262_144
+        and n % SEGMENT == 0
+        and (n <= chunk or n % chunk == 0)
+    ):
+        vals, idxs = _segmax_exact_topk(q, vectors, norms, valid, kk, metric,
+                                        chunk)
+        return _pad_k(vals, idxs, k)
 
     if b * n <= MAX_SCORE_ELEMS:
         # Fast path: one matmul, full [B, N] scores, fused top-k selection.

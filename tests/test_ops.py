@@ -212,3 +212,72 @@ def test_beam_search_pallas_gather_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_segmax_exact_topk_matches_oracle(rng, metric):
+    """Two-phase segment-max engine is exact (values match a float64 oracle
+    set-wise, invalid rows excluded)."""
+    from grape_vector_db_tpu.ops.distance import (_segmax_exact_topk,
+                                                  prepare_queries)
+
+    n, d, b, k = 4096, 32, 4, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[50:80] = False
+    q = prepare_queries(jnp.asarray(qs), metric)
+    vals, idxs = _segmax_exact_topk(
+        q, jnp.asarray(vecs), jnp.asarray(np.linalg.norm(vecs, axis=1)),
+        jnp.asarray(valid), k, metric, chunk=1024,
+    )
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+
+    if metric == "cosine":
+        ref = np_cosine(qs, vecs)
+    elif metric == "dot":
+        ref = qs @ vecs.T
+    else:
+        ref = -((qs[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    ref = np.where(valid[None, :], ref, -np.inf)
+    for row in range(b):
+        expect = set(np.argsort(-ref[row])[:k])
+        assert set(idxs[row]) == expect
+        np.testing.assert_allclose(
+            vals[row], np.sort(ref[row])[::-1][:k], rtol=2e-3, atol=2e-3)
+
+
+def test_segmax_exact_topk_with_duplicate_segment_values(rng):
+    """All top-k values packed into ONE segment (worst case for the proof:
+    top-k segments must still cover them)."""
+    from grape_vector_db_tpu.ops.distance import (_segmax_exact_topk,
+                                                  prepare_queries)
+
+    n, d, k = 1024, 16, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    target = rng.standard_normal(d).astype(np.float32)
+    # rows 64..71 (one segment) are all near-duplicates of the query
+    for j in range(8):
+        vecs[64 + j] = target * (1.0 + 1e-4 * j)
+    q = prepare_queries(jnp.asarray(target[None, :]), "cosine")
+    vals, idxs = _segmax_exact_topk(
+        q, jnp.asarray(vecs), jnp.asarray(np.linalg.norm(vecs, axis=1)),
+        jnp.asarray(np.ones(n, bool)), k, "cosine", chunk=512,
+    )
+    assert set(np.asarray(idxs)[0]) == set(range(64, 72))
+
+
+def test_scored_topk_large_corpus_segmax_route(rng):
+    """scored_topk routes big exact scans through the segmax engine and
+    stays exact."""
+    n, d, b, k = 327_680, 16, 2, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = vecs[:b] + 0.001 * rng.standard_normal((b, d)).astype(np.float32)
+    vals, idxs = scored_topk(
+        jnp.asarray(qs), jnp.asarray(vecs),
+        jnp.asarray(np.linalg.norm(vecs, axis=1)),
+        jnp.asarray(np.ones(n, bool)), k=k, metric="cosine",
+    )
+    idxs = np.asarray(idxs)
+    assert idxs[0, 0] == 0 and idxs[1, 0] == 1
+    assert np.asarray(vals)[0, 0] > 0.999

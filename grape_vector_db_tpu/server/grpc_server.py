@@ -136,8 +136,13 @@ class VectorDbServicer:
                 for p in req.points
             ]
             if self.cluster_node is not None:
-                n = self.cluster_node.upsert(docs)
-                return pb.UpsertVectorResponse(upserted=n)
+                from grape_vector_db_tpu.distributed.types import SessionToken
+
+                token = SessionToken()
+                n = self.cluster_node.upsert(docs, session=token)
+                return pb.UpsertVectorResponse(
+                    upserted=n, session_versions=token.to_dict()
+                )
             ids = self.db.batch_add_documents(docs)
             return pb.UpsertVectorResponse(upserted=len(ids))
         except Exception as e:
@@ -150,6 +155,14 @@ class VectorDbServicer:
         if err:
             return pb.DeleteVectorResponse(error=err)
         try:
+            if self.cluster_node is not None:
+                from grape_vector_db_tpu.distributed.types import SessionToken
+
+                token = SessionToken()
+                n = self.cluster_node.delete(list(req.ids), session=token)
+                return pb.DeleteVectorResponse(
+                    deleted=n, session_versions=token.to_dict()
+                )
             n = self.db.batch_delete_documents(list(req.ids))
             return pb.DeleteVectorResponse(deleted=n)
         except Exception as e:
@@ -163,8 +176,14 @@ class VectorDbServicer:
             return pb.SearchVectorsResponse(error=err)
         try:
             if self.cluster_node is not None and not req.filter_sql:
+                session = None
+                if req.min_versions:
+                    from grape_vector_db_tpu.distributed.types import SessionToken
+
+                    session = SessionToken.from_dict(dict(req.min_versions))
                 hits = self.cluster_node.search(
-                    list(req.query.values), k=int(req.limit) or 10
+                    list(req.query.values), k=int(req.limit) or 10,
+                    session=session,
                 )
                 return pb.SearchVectorsResponse(
                     results=[pb.SearchResult(id=i, score=s) for i, s in hits]
@@ -432,12 +451,17 @@ class VectorDbClient:
         return self.call("UpsertVector", pb.UpsertVectorRequest(points=points))
 
     def search(self, vector: List[float], limit: int = 10,
-               filter_sql: str = "", with_payload: bool = True) -> pb.SearchVectorsResponse:
+               filter_sql: str = "", with_payload: bool = True,
+               min_versions: Optional[Dict[str, int]] = None,
+               ) -> pb.SearchVectorsResponse:
+        """``min_versions``: feed back ``session_versions`` from an earlier
+        upsert/delete response for read-your-writes (SESSION consistency)."""
         return self.call(
             "SearchVectors",
             pb.SearchVectorsRequest(
                 query=pb.Vector(values=vector), limit=limit,
                 filter_sql=filter_sql, with_payload=with_payload,
+                min_versions=min_versions or {},
             ),
         )
 

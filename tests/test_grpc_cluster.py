@@ -93,3 +93,52 @@ def test_grpc_cluster_election_and_data(grpc_cluster):
     assert total == 60  # replica_count=2
     hits = any_node.search(docs[11].vector, k=3)
     assert hits[0][0] == "d11" and hits[0][1] > 0.99
+
+
+def test_grpc_session_token_roundtrip(grpc_cluster):
+    """Session tokens over the wire: UpsertVector returns session_versions,
+    SearchVectors with min_versions observes the write (read-your-writes
+    through the public gRPC surface)."""
+    from grape_vector_db_tpu.server.grpc_server import (VectorDbClient,
+                                                        build_grpc_server)
+    from grape_vector_db_tpu.server.proto import vector_db_pb2 as pb
+
+    nodes = grpc_cluster
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        if sum(1 for n in nodes.values() if n.raft.role.value == "leader") == 1:
+            break
+        time.sleep(0.05)
+    for n in nodes.values():
+        n.join_cluster()
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        if all(len(n.members) == 3 for n in nodes.values()):
+            break
+        time.sleep(0.05)
+
+    any_node = next(iter(nodes.values()))
+    server, port, _ = build_grpc_server(any_node.db, port=0,
+                                        cluster_node=any_node)
+    server.start()
+    client = VectorDbClient(f"127.0.0.1:{port}")
+    try:
+        rng = np.random.default_rng(5)
+        pts = [pb.Point(id=f"p{i}",
+                        vector=pb.Vector(values=rng.standard_normal(16)
+                                         .astype(np.float32).tolist()))
+               for i in range(12)]
+        up = client.upsert_points(pts)
+        assert up.upserted == 12 and not up.error
+        assert dict(up.session_versions), "no session versions returned"
+        resp = client.search(list(pts[4].vector.values), limit=3,
+                             with_payload=False,
+                             min_versions=dict(up.session_versions))
+        assert not resp.error
+        assert resp.results[0].id == "p4"
+        # delete also returns versions
+        dl = client.call("DeleteVector", pb.DeleteVectorRequest(ids=["p4"]))
+        assert dl.deleted == 1 and dict(dl.session_versions)
+    finally:
+        client.close()
+        server.stop(grace=0)

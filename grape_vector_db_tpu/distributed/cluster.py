@@ -23,6 +23,7 @@ join/leave commands toggle liveness inside that set.
 
 from __future__ import annotations
 
+import concurrent.futures
 import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
@@ -557,8 +558,7 @@ class ClusterNode:
                             break
                 if target is not None:
                     owners.setdefault(target, set()).add(sid)
-        merged: Dict[str, float] = {}
-        for nid, sids in owners.items():
+        def one(nid: str, sids: Set[int]):
             payload: Dict[str, Any] = {"vector": list(vector), "k": k}
             if session is not None and session.versions:
                 mv = {str(sid): session.versions[sid]
@@ -566,8 +566,22 @@ class ClusterNode:
                 if mv:
                     payload["min_versions"] = mv
             try:
-                resp = self._call(nid, "data_search", payload, timeout_s=5.0)
+                return self._call(nid, "data_search", payload, timeout_s=5.0)
             except TransportError:
+                return None
+
+        # Fan out concurrently: scatter latency is the slowest shard, not the
+        # sum (and per-node session waits overlap instead of stacking).
+        if len(owners) > 1:
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=len(owners), thread_name_prefix="gvdb-scatter"
+            ) as pool:
+                responses = list(pool.map(lambda kv: one(*kv), owners.items()))
+        else:
+            responses = [one(nid, sids) for nid, sids in owners.items()]
+        merged: Dict[str, float] = {}
+        for resp in responses:
+            if resp is None:
                 continue
             for id_, score in resp["hits"]:
                 if id_ not in merged or score > merged[id_]:

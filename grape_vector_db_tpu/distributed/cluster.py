@@ -157,6 +157,7 @@ class ClusterNode:
         self._version_cv = threading.Condition(self._version_lock)
         self.shard_versions: Dict[int, int] = {}
         self.session_wait_s = 1.0
+        self._recovery_wake = threading.Event()
         self._started = False
 
     # ------------------------------------------------------------------ rpc
@@ -187,12 +188,19 @@ class ClusterNode:
             name=f"gvdb-reconcile-{self.node_id}",
         )
         self._reconcile_thread.start()
+        self._recovery_thread = threading.Thread(
+            target=self._recovery_loop, daemon=True,
+            name=f"gvdb-recovery-{self.node_id}",
+        )
+        self._recovery_thread.start()
         self._started = True
 
     def stop(self) -> None:
         self._started = False
         self._stop_reconcile.set()
+        self._recovery_wake.set()
         self._reconcile_thread.join(timeout=2.0)
+        self._recovery_thread.join(timeout=2.0)
         self.detector.stop()
         self.raft.stop()
         self.replication.close()
@@ -227,6 +235,28 @@ class ClusterNode:
                 except Exception:
                     pass
 
+    def _recovery_loop(self) -> None:
+        """Leader-only executor for queued data-movement recovery tasks
+        (replica resync after placement repair). Runs outside the raft apply
+        worker and outside _state_lock so shard transfers never stall applies
+        or searches. Non-leaders keep their queues; whoever is leader when the
+        work surfaces executes it (transfers are idempotent upserts)."""
+        from grape_vector_db_tpu.distributed.raft import RaftRole
+
+        while not self._stop_reconcile.is_set():
+            woke = self._recovery_wake.wait(self.config.heartbeat_interval_s)
+            if self._stop_reconcile.is_set():
+                return
+            if woke:
+                self._recovery_wake.clear()
+            if self.raft.role != RaftRole.LEADER:
+                continue
+            if self.failover.queue_depth():
+                try:
+                    self.failover.run_pending()
+                except Exception:
+                    pass  # unreachable peer etc.; next wake retries
+
     # ------------------------------------------------------- metadata plane
 
     def _propose(self, command: Dict[str, Any], timeout_s: float = 3.0,
@@ -256,8 +286,22 @@ class ClusterNode:
                 if cmd["node_id"] in self.members:
                     self.members[cmd["node_id"]].state = NodeState.FAILED
                     self.load_balancer.set_node_state(cmd["node_id"], NodeState.FAILED)
-                    self.failover.enqueue_failure(cmd["node_id"])
-                    self.failover.run_pending()
+                    # Placement repair runs deterministically on every applier
+                    # (pure function of replicated state — all maps converge);
+                    # the returned data-resync tasks are executed by the
+                    # LEADER's background recovery worker only, outside this
+                    # apply path — running blocking shard transfers here would
+                    # stall every subsequent apply on every node and move the
+                    # same data N times.
+                    healthy = sorted(
+                        nid for nid, m in self.members.items()
+                        if m.state in (NodeState.HEALTHY, NodeState.RECOVERING)
+                    )
+                    resync = self.failover.apply_placement_for_failure(
+                        cmd["node_id"], healthy
+                    )
+                    self.failover.enqueue_tasks(resync)
+                    self._recovery_wake.set()
             elif op == "node_recovered":
                 if cmd["node_id"] in self.members:
                     self.members[cmd["node_id"]].state = NodeState.HEALTHY
@@ -282,7 +326,12 @@ class ClusterNode:
                     self.db.batch_add_documents(
                         [Document.from_dict(d) for d in mine]
                     )
-                    self._bump_shard_versions([d["id"] for d in mine])
+                # Version counters are a pure function of the raft log: every
+                # applier bumps every affected shard (not just its own), so
+                # the counters are identical cluster-wide and a coordinator's
+                # local read after wait_applied yields a token that covers
+                # shards it does not own.
+                self._bump_shard_versions([d["id"] for d in cmd["docs"]])
             elif op == "data_delete":
                 self.db.batch_delete_documents(cmd["ids"])
                 self._bump_shard_versions(cmd["ids"])
@@ -536,17 +585,23 @@ class ClusterNode:
         return deleted
 
     def search(self, vector: Sequence[float], k: int = 10,
-               session: Optional[SessionToken] = None) -> List[Tuple[str, float]]:
+               session: Optional[SessionToken] = None,
+               stale_out: Optional[List[int]] = None) -> List[Tuple[str, float]]:
         """Scatter-gather: one owner per shard, merged global top-k
         (shard.rs:759-901 — the real version of its mock).
 
         With a ``session`` token, each targeted node receives the minimum
         shard versions it must have applied; lagging replicas wait up to
-        ``session_wait_s`` before serving, so the caller observes its own
-        earlier writes even under async replication."""
+        ``session_wait_s`` before serving. A replica still behind at its
+        deadline is retried once against the shard's primary; shards that
+        remain stale after that are appended to ``stale_out`` (and surfaced
+        on the wire) instead of silently breaking the read-your-writes
+        promise."""
         with self._state_lock:
             owners: Dict[str, Set[int]] = {}
             healthy = set(self.healthy_node_ids())
+            primaries = {sid: info.primary_node
+                         for sid, info in self.shard_map.shards.items()}
             for sid, info in self.shard_map.shards.items():
                 target = None
                 if info.primary_node in healthy:
@@ -572,20 +627,40 @@ class ClusterNode:
 
         # Fan out concurrently: scatter latency is the slowest shard, not the
         # sum (and per-node session waits overlap instead of stacking).
-        if len(owners) > 1:
+        items = list(owners.items())
+        if len(items) > 1:
             with concurrent.futures.ThreadPoolExecutor(
-                max_workers=len(owners), thread_name_prefix="gvdb-scatter"
+                max_workers=len(items), thread_name_prefix="gvdb-scatter"
             ) as pool:
-                responses = list(pool.map(lambda kv: one(*kv), owners.items()))
+                responses = list(pool.map(lambda kv: one(*kv), items))
         else:
-            responses = [one(nid, sids) for nid, sids in owners.items()]
+            responses = [one(nid, sids) for nid, sids in items]
+
         merged: Dict[str, float] = {}
-        for resp in responses:
-            if resp is None:
-                continue
+        still_stale: List[int] = []
+
+        def merge(resp) -> None:
             for id_, score in resp["hits"]:
                 if id_ not in merged or score > merged[id_]:
                     merged[id_] = score
+
+        for (nid, _sids), resp in zip(items, responses):
+            if resp is None:
+                continue
+            merge(resp)
+            for sid in resp.get("stale", []):
+                # A lagging replica served anyway; the primary has the write
+                # by definition of the session token — retry there once.
+                primary = primaries.get(sid)
+                if primary and primary != nid and primary in healthy:
+                    retry = one(primary, {sid})
+                    if retry is not None:
+                        merge(retry)
+                        if sid not in retry.get("stale", []):
+                            continue
+                still_stale.append(sid)
+        if stale_out is not None:
+            stale_out.extend(still_stale)
         ranked = sorted(merged.items(), key=lambda kv: -kv[1])[:k]
         return [(i, float(s)) for i, s in ranked]
 

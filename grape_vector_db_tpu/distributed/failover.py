@@ -156,6 +156,9 @@ class RecoveryTask:
     kind: str = field(compare=False, default="")
     node_id: str = field(compare=False, default="")
     shard_id: int = field(compare=False, default=-1)
+    # For DATA_RESYNC: only these nodes need the shard pushed (freshly added
+    # replicas); empty = all replicas.
+    targets: List[str] = field(compare=False, default_factory=list)
     done: bool = field(compare=False, default=False)
     result: str = field(compare=False, default="")
 
@@ -195,6 +198,51 @@ class FailoverManager:
                     priority=1, created_at=now,
                     kind=RecoveryKind.REPLICA_REPLACEMENT, node_id=node_id, shard_id=sid,
                 ))
+
+    def enqueue_tasks(self, tasks: List[RecoveryTask]) -> None:
+        with self._lock:
+            for t in tasks:
+                heapq.heappush(self._queue, t)
+
+    # -- deterministic placement repair (raft apply path) --------------------------
+
+    def apply_placement_for_failure(
+        self, node_id: str, healthy: List[str]
+    ) -> List[RecoveryTask]:
+        """Placement-only failure repair, safe to run inside the raft apply
+        path on EVERY node: promote a replica over each failed primary and top
+        replica lists back up from the replicated-healthy member set. Pure
+        function of replicated state (``healthy`` must come from the raft-
+        applied member states, pre-sorted) — no RPCs, no data movement — so
+        all appliers converge on the same map.
+
+        Returns the DATA_RESYNC tasks (one per shard that gained replicas,
+        targeted at exactly the added nodes) for a leader-side background
+        worker to execute OUTSIDE the apply path; the reference ran its whole
+        RecoveryCoordinator inline (failover.rs:801-1249, largely stubs),
+        which on a real cluster would stall every subsequent apply."""
+        now = time.time()
+        resync: List[RecoveryTask] = []
+        for sid in self.shards.map.shards_on_node(node_id, primary_only=True):
+            self.shards.map.promote_replica(sid, node_id)
+        for sid in self.shards.map.shards_on_node(node_id):
+            info = self.shards.map.shards[sid]
+            if node_id in info.replica_nodes:
+                info.replica_nodes.remove(node_id)
+            current = set(info.all_nodes())
+            candidates = sorted(
+                n for n in healthy if n not in current and n != node_id
+            )
+            want = self.replica_count - len(info.all_nodes())
+            added = candidates[: max(0, want)]
+            if added:
+                info.replica_nodes.extend(added)
+                info.version += 1
+                resync.append(RecoveryTask(
+                    priority=1, created_at=now, kind=RecoveryKind.DATA_RESYNC,
+                    node_id=node_id, shard_id=sid, targets=list(added),
+                ))
+        return resync
 
     # -- execution -----------------------------------------------------------------
 
@@ -248,7 +296,8 @@ class FailoverManager:
                 task.result = "no-candidate"
         elif task.kind == RecoveryKind.DATA_RESYNC:
             docs = self.shards.data.pull_shard(info.primary_node, task.shard_id)
-            for n in info.replica_nodes:
+            targets = task.targets or info.replica_nodes
+            for n in targets:
                 self.shards.data.push_docs(n, docs)
             task.result = f"resynced:{len(docs)}"
         elif task.kind == RecoveryKind.SHARD_REALLOCATION:

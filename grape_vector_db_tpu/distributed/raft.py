@@ -563,7 +563,8 @@ class RaftNode:
             return self.handle_install_snapshot(payload)
         if method == "client_command":
             data = payload["data"]
-            idx = self.propose(data, timeout_s=payload.get("timeout_s", 2.0))
+            idx = self.propose(data, timeout_s=payload.get("timeout_s", 2.0),
+                               wait_applied=payload.get("wait_applied", False))
             return {"ok": True, "index": idx}
         raise ConsensusError(f"unknown raft method {method}")
 
@@ -643,12 +644,22 @@ class RaftNode:
                     new_entries.append(e)
             if new_entries:
                 self._persist_entries(new_entries)
+            # The highest index this RPC actually verified is
+            # prev_log_index + len(entries); the local log may extend further
+            # with stale uncommitted tail entries from an earlier term (e.g. a
+            # follower longer than the new leader passing the prev check on an
+            # empty heartbeat). Reporting _last_log_index() as match would let
+            # the leader count this follower toward commit majorities for
+            # entries it does not hold — a Raft safety violation.
+            verified = prev_idx + len(entries)
             if p["leader_commit"] > self.commit_index:
-                self.commit_index = min(p["leader_commit"], self._last_log_index())
+                self.commit_index = max(
+                    self.commit_index, min(p["leader_commit"], verified)
+                )
                 self._commit_cv.notify_all()
                 self._apply_committed()
             return {"term": self.current_term, "success": True,
-                    "match_index": self._last_log_index()}
+                    "match_index": verified}
 
     def handle_install_snapshot(self, p: Dict[str, Any]) -> Dict[str, Any]:
         with self._lock:
@@ -702,7 +713,11 @@ class RaftNode:
                     raise TimeoutError_(f"commit of index {idx} timed out")
                 self._commit_cv.wait(remaining)
             committed_term = self._term_at(idx)
-        if committed_term != term:
+            # If snapshot compaction advanced past idx while we waited, the
+            # entry was committed, applied, and compacted — that is success,
+            # not overwrite.
+            compacted = committed_term is None and idx <= self.snapshot_last_index
+        if not compacted and committed_term != term:
             raise ConsensusError("entry was overwritten by a new leader")
         return idx
 
@@ -731,14 +746,35 @@ class RaftNode:
             try:
                 resp = self.transport.call(
                     self.node_id, hint, "client_command",
-                    {"data": data, "timeout_s": max(remaining, 0.05)},
+                    {"data": data, "timeout_s": max(remaining, 0.05),
+                     "wait_applied": wait_applied},
                     timeout_s=remaining + 0.5,
                 )
-                return resp["index"]
+                idx = resp["index"]
+                if wait_applied:
+                    # The leader committed (and applied locally); for
+                    # read-your-writes the CALLER's state machine must also
+                    # have applied it before local version reads are valid.
+                    self.wait_applied_through(
+                        idx, timeout_s=max(deadline - time.monotonic(), 0.05)
+                    )
+                return idx
             except (NotLeaderError, TimeoutError_, ConsensusError,
                     TransportError, OSError) as e:
                 last_exc = e  # hint was stale or target unreachable; re-resolve
                 time.sleep(0.02)
+
+    def wait_applied_through(self, idx: int, timeout_s: float = 2.0) -> None:
+        """Block until this node's state machine has applied log index idx
+        (or it was compacted into a snapshot covering idx)."""
+        deadline = time.monotonic() + timeout_s
+        with self._commit_cv:
+            while (self.applied_through < idx
+                   and self.snapshot_last_index < idx):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError_(f"apply of index {idx} timed out")
+                self._commit_cv.wait(remaining)
 
     # ------------------------------------------------------------------ intro
 

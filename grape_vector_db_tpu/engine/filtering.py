@@ -265,11 +265,24 @@ class FilterEngine:
 
     # -- device mask compilation -----------------------------------------------------
 
-    def mask_for_slots(self, filt: Union[Filter, Condition],
-                       slot_to_id: Sequence[Optional[str]]) -> np.ndarray:
+    def mask_for_slots(self, filt: Union[Filter, Condition, Set[str]],
+                       slot_to_id: Sequence[Optional[str]],
+                       id_to_slot: Optional[Dict[str, int]] = None) -> np.ndarray:
         """Compile a filter to a slot-aligned boolean mask for masked device top-k
-        (SURVEY.md §2.1 filter row: 'filters compile to boolean masks')."""
-        allowed = self._eval(filt)
+        (SURVEY.md §2.1 filter row: 'filters compile to boolean masks').
+
+        ``filt`` may be a Filter/Condition (evaluated here) or an already
+        evaluated allowed-id set. With ``id_to_slot`` the mask is built in
+        O(|allowed|) — the production planner path for selective filters over
+        large corpora; without it, the O(capacity) slot scan is used."""
+        allowed = filt if isinstance(filt, (set, frozenset)) else self._eval(filt)
+        if id_to_slot is not None:
+            mask = np.zeros(len(slot_to_id), dtype=bool)
+            for id_ in allowed:
+                slot = id_to_slot.get(id_)
+                if slot is not None:
+                    mask[slot] = True
+            return mask
         return np.asarray([(i is not None and i in allowed) for i in slot_to_id], dtype=bool)
 
     def get_stats(self) -> FilterStatistics:

@@ -39,6 +39,11 @@ SearchHit = Tuple[str, float]  # (id, score)
 class VectorIndex(abc.ABC):
     """Abstract index over (id, vector) pairs with batched device search."""
 
+    #: True when search_batch accepts a ``mask`` compiled by ``compile_mask``
+    #: — masked top-k inside the search kernel (filtering.rs:374-488 done
+    #: device-side; SURVEY §7.1 step 6).
+    supports_mask: bool = False
+
     @property
     @abc.abstractmethod
     def dimension(self) -> int: ...
@@ -61,12 +66,23 @@ class VectorIndex(abc.ABC):
 
     @abc.abstractmethod
     def search_batch(
-        self, queries: np.ndarray, k: int
+        self, queries: np.ndarray, k: int, mask=None
     ) -> List[List[SearchHit]]:
-        """Batched search: [B, dim] -> per-query descending (id, score) lists."""
+        """Batched search: [B, dim] -> per-query descending (id, score) lists.
 
-    def search(self, query: np.ndarray, k: int) -> List[SearchHit]:
-        return self.search_batch(np.asarray(query, dtype=np.float32)[None, :], k)[0]
+        ``mask`` (only when ``supports_mask``): an index-layout-specific
+        allowed-slot mask from ``compile_mask`` — the search kernel folds it
+        into its validity predicate, so results are the exact top-k over the
+        allowed rows (no over-fetch heuristics)."""
+
+    def compile_mask(self, allowed_ids):
+        """Compile an allowed-id set to this index's slot-mask layout."""
+        raise NotImplementedError(f"{self.kind} index does not support masks")
+
+    def search(self, query: np.ndarray, k: int, mask=None) -> List[SearchHit]:
+        return self.search_batch(
+            np.asarray(query, dtype=np.float32)[None, :], k, mask=mask
+        )[0]
 
     @abc.abstractmethod
     def __len__(self) -> int: ...

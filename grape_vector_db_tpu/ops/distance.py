@@ -244,15 +244,24 @@ def scored_topk(
     chunk: int = 65536,
     mode: str = "exact",
     recall_target: float = 0.99,
+    mask: jax.Array | None = None,  # [N] bool filter mask (True = allowed)
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k scan over the whole shard.
 
     Returns (scores [B, k] f32, indices [B, k] int32). Invalid / padding rows
     can only appear in the tail of results when fewer than k valid rows exist;
     their score is -inf.
+
+    ``mask`` implements masked filtered search (filtering.rs:374-488 semantics,
+    done inside the kernel instead of execute-then-intersect): it is fused into
+    the same validity predicate the scan already applies, so a 0.1%-selective
+    filter still returns the exact top-k over the allowed rows — the host
+    over-fetch fallback provably cannot guarantee that.
     """
     n, d = vectors.shape
     b = queries.shape[0]
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
     q = prepare_queries(queries, metric)
     kk = min(k, n)
 

@@ -181,12 +181,14 @@ class VectorDbServicer:
                     from grape_vector_db_tpu.distributed.types import SessionToken
 
                     session = SessionToken.from_dict(dict(req.min_versions))
+                stale: list = []
                 hits = self.cluster_node.search(
                     list(req.query.values), k=int(req.limit) or 10,
-                    session=session,
+                    session=session, stale_out=stale,
                 )
                 return pb.SearchVectorsResponse(
-                    results=[pb.SearchResult(id=i, score=s) for i, s in hits]
+                    results=[pb.SearchResult(id=i, score=s) for i, s in hits],
+                    stale_shards=sorted(set(stale)),
                 )
             # Fast path: unfiltered searches ride the micro-batching executor
             # so concurrent RPCs share one device launch.

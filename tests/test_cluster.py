@@ -274,3 +274,57 @@ def test_session_search_waits_for_lagging_replica(svc):
         "min_versions": {str(sid): target + 100},
     })
     assert resp["stale"] == [sid]
+
+
+def test_follower_strong_write_is_locally_applied_on_return():
+    """ADVICE r1 (medium): a STRONG write coordinated by a NON-leader node
+    forwards through client_command; on return the write must already be
+    applied on the COORDINATOR (read-your-writes), and a session token built
+    from its local versions must cover the write."""
+    from grape_vector_db_tpu.distributed.types import SessionToken
+
+    svc = make_service(consistency=ConsistencyLevel.STRONG)
+    try:
+        leader = svc.leader_node().node_id
+        follower = next(n for n in svc.nodes.values() if n.node_id != leader)
+        session = SessionToken()
+        docs = make_docs(12, seed=9)
+        follower.upsert(docs, session=session)
+        # every doc whose shard this follower owns is already in its store
+        for d in docs:
+            info = follower.shard_map.shards[follower.shard_map.shard_for_key(d.id)]
+            if follower.node_id in info.all_nodes():
+                assert follower.db.store.get(d.id) is not None, d.id
+        # the token covers every affected shard with a version >= 1
+        affected = {follower.shard_map.shard_for_key(d.id) for d in docs}
+        assert set(session.versions) == affected
+        assert all(v >= 1 for v in session.versions.values())
+        # and a token-carrying search from the follower observes the write
+        hits = follower.search(docs[3].vector, k=3, session=session)
+        assert hits[0][0] == docs[3].id
+    finally:
+        svc.stop()
+
+
+def test_search_surfaces_unsatisfiable_stale_shards():
+    """ADVICE r1 (low): when a session demands versions no replica (nor the
+    primary, after the retry) can satisfy, the search must report those
+    shards stale instead of silently dropping the guarantee."""
+    from grape_vector_db_tpu.distributed.types import SessionToken
+
+    svc = make_service()
+    try:
+        docs = make_docs(20, seed=5)
+        svc.upsert(docs)
+        node = svc.any_node()
+        for n in svc.nodes.values():
+            n.session_wait_s = 0.2
+        session = SessionToken()
+        # demand an impossible future version on shard 0
+        session.observe(0, 10_000)
+        stale: list = []
+        hits = node.search(docs[2].vector, k=3, session=session, stale_out=stale)
+        assert hits, "search must still return best-effort results"
+        assert 0 in stale, f"unsatisfiable shard not surfaced: {stale}"
+    finally:
+        svc.stop()

@@ -334,3 +334,37 @@ def test_router_cache_and_all_fail():
     with pytest.raises(UnavailableError):
         router2.execute("req")
     assert router2.get_metrics().failed == 1
+
+
+def test_apply_placement_for_failure_deterministic_and_targeted():
+    """ADVICE r1 (medium): placement repair must be a pure function of
+    replicated state (safe on every raft applier) and hand back targeted
+    resync tasks for the leader's background worker — no RPCs inline."""
+    m = ShardMap(shard_count=4, replica_count=2)
+    m.assign_all(["a", "b", "c"])
+    data = DictDataAccess(m)
+    mgr = ShardManager(m, data)
+    fo = FailoverManager(mgr, healthy_nodes_fn=lambda: ["b", "c"], replica_count=2)
+
+    m2 = ShardMap(shard_count=4, replica_count=2)
+    m2.assign_all(["a", "b", "c"])
+
+    tasks = fo.apply_placement_for_failure("a", healthy=["b", "c"])
+    # no shard references the failed node anywhere
+    for info in m.shards.values():
+        assert "a" not in info.all_nodes()
+        assert info.primary_node in ("b", "c")
+    # resync tasks target exactly the freshly added replicas
+    for t in tasks:
+        assert t.kind == RecoveryKind.DATA_RESYNC and t.targets
+        info = m.shards[t.shard_id]
+        for tgt in t.targets:
+            assert tgt in info.all_nodes()
+    # determinism: a second applier with identical replicated state converges
+    # on the identical map
+    mgr2 = ShardManager(m2, DictDataAccess(m2))
+    fo2 = FailoverManager(mgr2, healthy_nodes_fn=lambda: ["b", "c"], replica_count=2)
+    fo2.apply_placement_for_failure("a", healthy=["b", "c"])
+    for sid in m.shards:
+        assert m.shards[sid].primary_node == m2.shards[sid].primary_node
+        assert m.shards[sid].replica_nodes == m2.shards[sid].replica_nodes

@@ -216,3 +216,59 @@ def test_election_without_prevote_still_works():
         c.wait_applied(1)
     finally:
         c.stop()
+
+
+def test_match_index_excludes_stale_uncommitted_tail():
+    """Raft safety regression (ADVICE r1, high): a follower whose log carries
+    a stale uncommitted tail from an earlier term passes the prev check on an
+    empty heartbeat — it must report match_index = prev_log_index +
+    len(entries), NOT its own last_log_index, or the leader counts it toward
+    commit majorities for entries it does not hold."""
+    from grape_vector_db_tpu.distributed.raft import LogEntry, RaftNode
+    from grape_vector_db_tpu.distributed.transport import InProcessTransport
+
+    applied = []
+    tp = InProcessTransport()
+    node = RaftNode("f1", ["f1", "l1"], tp, apply_fn=lambda e: applied.append(e))
+    # term-1 log: entry 1 was committed; 2-3 are a stale uncommitted tail the
+    # new term-2 leader (which only has entry 1) never saw.
+    node.current_term = 1
+    node.log = [
+        LogEntry(index=1, term=1, entry_type="command", data=b"a"),
+        LogEntry(index=2, term=1, entry_type="command", data=b"lost-b"),
+        LogEntry(index=3, term=1, entry_type="command", data=b"lost-c"),
+    ]
+    resp = node.handle_append_entries({
+        "term": 2, "leader_id": "l1",
+        "prev_log_index": 1, "prev_log_term": 1,
+        "entries": [], "leader_commit": 3,
+    })
+    assert resp["success"] is True
+    assert resp["match_index"] == 1, resp
+    # commit_index must also stop at the verified prefix: the leader's 2-3
+    # differ from this follower's stale 2-3.
+    assert node.commit_index == 1
+
+
+def test_propose_success_when_entry_compacted_during_wait():
+    """ADVICE r1 (low): if snapshot compaction advances past the proposed
+    index while propose() waits, the entry committed+applied — that's
+    success, not 'overwritten by a new leader'."""
+    c = RaftTestCluster(3, config=FAST)
+    c.start()
+    try:
+        leader = c.wait_for_leader()
+        node = c.nodes[leader]
+        idx = node.propose(b"x", wait_applied=True)
+        node.propose(b"y", wait_applied=True)
+        # simulate compaction having advanced PAST idx (covers idx and later)
+        with node._lock:
+            node.snapshot_last_index = idx + 1
+            node.snapshot_last_term = node.current_term
+            node.log = [e for e in node.log if e.index > idx + 1]
+        # the old index's term is gone from the log and the snapshot boundary
+        assert node._term_at(idx) is None
+        # wait_applied_through on a compacted index returns immediately
+        node.wait_applied_through(idx, timeout_s=0.5)
+    finally:
+        c.stop()

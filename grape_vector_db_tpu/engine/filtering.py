@@ -276,14 +276,7 @@ class FilterEngine:
         O(|allowed|) — the production planner path for selective filters over
         large corpora; without it, the O(capacity) slot scan is used."""
         allowed = filt if isinstance(filt, (set, frozenset)) else self._eval(filt)
-        if id_to_slot is not None:
-            mask = np.zeros(len(slot_to_id), dtype=bool)
-            for id_ in allowed:
-                slot = id_to_slot.get(id_)
-                if slot is not None:
-                    mask[slot] = True
-            return mask
-        return np.asarray([(i is not None and i in allowed) for i in slot_to_id], dtype=bool)
+        return mask_from_allowed(allowed, slot_to_id, id_to_slot)
 
     def get_stats(self) -> FilterStatistics:
         return self._stats
@@ -292,6 +285,21 @@ class FilterEngine:
 
     def parse_sql(self, where_clause: str) -> Filter:
         return parse_sql_where(where_clause)
+
+
+def mask_from_allowed(allowed: Set[str],
+                      slot_to_id: Sequence[Optional[str]],
+                      id_to_slot: Optional[Dict[str, int]] = None) -> np.ndarray:
+    """Slot-aligned boolean mask from an allowed-id set. With ``id_to_slot``
+    the build is O(|allowed|) (the hot path for selective filters)."""
+    if id_to_slot is not None:
+        mask = np.zeros(len(slot_to_id), dtype=bool)
+        for id_ in allowed:
+            slot = id_to_slot.get(id_)
+            if slot is not None:
+                mask[slot] = True
+        return mask
+    return np.asarray([(i is not None and i in allowed) for i in slot_to_id], dtype=bool)
 
 
 # ---------------------------------------------------------------------------------

@@ -136,14 +136,25 @@ class QueryEngine:
                 return cached
         with QueryTimer(self.metrics):
             allowed = self._allowed_ids(req)
-            # Over-fetch when filtering so post-filter still fills the page —
-            # scaled by the requested offset so deep filtered pagination works
-            # (a fixed cap silently truncated pages past it).
             fetch = req.limit + req.offset
-            if allowed is not None:
-                fetch = min(max(fetch * 4, 64), 8192)
-            hits = self.index.search(np.asarray(req.vector, dtype=np.float32), fetch)
-            hits = self._apply_filter(hits, allowed)
+            if allowed is not None and self.index.supports_mask:
+                # Masked top-k inside the search kernel (SURVEY §7.1 step 6;
+                # filtering.rs:374-488 semantics done device-side): the filter
+                # compiles to a slot mask fused into the scan's validity
+                # predicate, so even a 0.1%-selective filter returns the exact
+                # top-k over allowed rows — no over-fetch heuristics.
+                mask = self.index.compile_mask(allowed)
+                hits = self.index.search(
+                    np.asarray(req.vector, dtype=np.float32), fetch, mask=mask
+                )
+            else:
+                # Fallback (indexes without masked search): over-fetch so the
+                # host post-filter still fills the page — scaled by the
+                # requested offset so deep filtered pagination works.
+                if allowed is not None:
+                    fetch = min(max(fetch * 4, 64), 8192)
+                hits = self.index.search(np.asarray(req.vector, dtype=np.float32), fetch)
+                hits = self._apply_filter(hits, allowed)
             if req.score_threshold is not None:
                 hits = [(i, s) for i, s in hits if s >= req.score_threshold]
             hits = hits[req.offset:req.offset + req.limit]
@@ -211,10 +222,16 @@ class QueryEngine:
             allowed = self._allowed_ids(req)
             merged: Dict[str, float] = {}
             if req.vector is not None:
-                dense = self.index.search(
-                    np.asarray(req.vector, dtype=np.float32), req.limit * 2
-                )
-                dense = self._apply_filter(dense, allowed)
+                if allowed is not None and self.index.supports_mask:
+                    dense = self.index.search(
+                        np.asarray(req.vector, dtype=np.float32), req.limit * 2,
+                        mask=self.index.compile_mask(allowed),
+                    )
+                else:
+                    dense = self.index.search(
+                        np.asarray(req.vector, dtype=np.float32), req.limit * 2
+                    )
+                    dense = self._apply_filter(dense, allowed)
                 for rank, (id_, score) in enumerate(dense):
                     # rank-decay weighting (query.rs:90-96)
                     merged[id_] = merged.get(id_, 0.0) + score * (1.0 / (1.0 + 0.1 * rank))

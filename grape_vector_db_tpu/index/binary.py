@@ -141,13 +141,19 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         want = min(want, self.max_rescore, max(self.capacity, 1))
         return next_bucket(max(want, k), base=64)
 
-    def raw_topk(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def raw_topk(self, queries: np.ndarray, k: int,
+                 mask: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray]:
         with self._lock:  # updates donate buffers; see FlatDeviceIndex.raw_topk
             r = self._rescore_count(k)
             q = jnp.asarray(queries)
             qcodes = pack_bits(q.astype(jnp.float32), self.threshold)
             chunk = min(16384, self.capacity)
-            dists, cand = hamming_topk(qcodes, self.codes, self.valid, k=r,
+            # Filter mask folds into the Hamming PRE-scan validity, so both
+            # stages only ever consider allowed rows (two-stage filtered
+            # search; quantization.rs:151-193 had no filter support at all).
+            valid = self.valid if mask is None else jnp.logical_and(
+                self.valid, jnp.asarray(mask))
+            dists, cand = hamming_topk(qcodes, self.codes, valid, k=r,
                                        chunk=chunk, impl=self.hamming_impl)
             vals, idxs = _rescore_topk(
                 q, self.vectors, self.norms, cand, dists, k=k, metric=self.metric

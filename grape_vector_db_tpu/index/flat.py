@@ -59,6 +59,7 @@ class FlatDeviceIndex(VectorIndex):
     """Exact device-scan index (recall = 1.0 by construction)."""
 
     kind = "flat"
+    supports_mask = True
 
     def __init__(
         self,
@@ -200,7 +201,16 @@ class FlatDeviceIndex(VectorIndex):
 
     # -- search ---------------------------------------------------------------
 
-    def raw_topk(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def compile_mask(self, allowed_ids) -> np.ndarray:
+        """Allowed-id set -> capacity-aligned slot mask for masked top-k."""
+        from grape_vector_db_tpu.engine.filtering import mask_from_allowed
+
+        with self._lock:
+            return mask_from_allowed(set(allowed_ids), self._slot_to_id,
+                                     self._id_to_slot)
+
+    def raw_topk(self, queries: np.ndarray, k: int,
+                 mask: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray]:
         """Device top-k: returns (scores [B, k], slot indices [B, k]) as numpy.
         Rows beyond the true query count must be stripped by the caller.
 
@@ -212,10 +222,12 @@ class FlatDeviceIndex(VectorIndex):
                 jnp.asarray(queries), self.vectors, self.norms, self.valid,
                 k=k, metric=self.metric, chunk=chunk,
                 mode=self.search_mode, recall_target=self.recall_target,
+                mask=None if mask is None else jnp.asarray(mask),
             )
             return np.asarray(vals), np.asarray(idxs)
 
-    def search_batch(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
+    def search_batch(self, queries: np.ndarray, k: int,
+                     mask: Optional[np.ndarray] = None) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             raise ValueError("queries must be [B, dim]")
@@ -225,7 +237,7 @@ class FlatDeviceIndex(VectorIndex):
         if b == 0 or not self._id_to_slot:
             return [[] for _ in range(b)]
         bb = next_bucket(b, base=8)
-        vals, idxs = self.raw_topk(pad_rows(queries, bb), k)
+        vals, idxs = self.raw_topk(pad_rows(queries, bb), k, mask=mask)
         return self.hits_from_slots(vals[:b], idxs[:b])
 
     def hits_from_slots(self, vals: np.ndarray, idxs: np.ndarray) -> List[List[SearchHit]]:

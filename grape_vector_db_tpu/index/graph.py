@@ -234,7 +234,13 @@ class GraphDeviceIndex(VectorIndex):
 
     # -- search -----------------------------------------------------------------------
 
-    def search_batch(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
+    def search_batch(self, queries: np.ndarray, k: int,
+                     mask=None) -> List[List[SearchHit]]:
+        if mask is not None:
+            raise NotImplementedError(
+                "graph index has no masked search; the planner falls back to "
+                "over-fetch + host post-filter (supports_mask=False)"
+            )
         queries = np.asarray(queries, dtype=np.float32)
         if queries.shape[1] != self._dim:
             raise DimensionMismatchError(self._dim, queries.shape[1])

@@ -115,6 +115,7 @@ def _ivf_topk(
 
 class IvfDeviceIndex(VectorIndex):
     kind = "ivf"
+    supports_mask = True
 
     def __init__(
         self,
@@ -292,7 +293,18 @@ class IvfDeviceIndex(VectorIndex):
 
     # -- search -------------------------------------------------------------------
 
-    def search_batch(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
+    def compile_mask(self, allowed_ids):
+        """Allowed ids -> ([nlist, list_cap] cell mask, overflow slot mask)."""
+        with self._lock:
+            main = np.zeros((self.nlist, self.list_cap), dtype=bool)
+            for id_ in allowed_ids:
+                cell = self._id_to_cell.get(id_)
+                if cell is not None:
+                    main[cell[0], cell[1]] = True
+            return main, self._overflow.compile_mask(allowed_ids)
+
+    def search_batch(self, queries: np.ndarray, k: int,
+                     mask=None) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
         if queries.shape[1] != self._dim:
             raise DimensionMismatchError(self._dim, queries.shape[1])
@@ -301,16 +313,23 @@ class IvfDeviceIndex(VectorIndex):
             return [[] for _ in range(b)]
         with self._lock:
             if self.centroids is None:
-                return self._overflow.search_batch(queries, k)
+                return self._overflow.search_batch(
+                    queries, k, mask=None if mask is None else mask[1])
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
+            # Filter mask ANDs into cell validity so probed lists score only
+            # allowed rows (masked top-k in-kernel). Caveat inherent to IVF:
+            # allowed rows in unprobed lists are still not visited.
+            valid = self.valid if mask is None else jnp.logical_and(
+                self.valid, jnp.asarray(mask[0]))
             vals, slots = _ivf_topk(
-                jnp.asarray(qp), self.centroids, self.vecs, self.norms, self.valid,
+                jnp.asarray(qp), self.centroids, self.vecs, self.norms, valid,
                 k=k, nprobe=self.nprobe, metric=self.metric,
             )
             vals, slots = np.asarray(vals)[:b], np.asarray(slots)[:b]
             if len(self._overflow):
-                o_vals, o_idx = self._overflow.raw_topk(qp, k)
+                o_vals, o_idx = self._overflow.raw_topk(
+                    qp, k, mask=None if mask is None else mask[1])
                 o_hits = self._overflow.hits_from_slots(o_vals[:b], o_idx[:b])
             else:
                 o_hits = [[] for _ in range(b)]

@@ -169,25 +169,31 @@ class IvfPqDeviceIndex(IvfDeviceIndex):
             self.codes, list_ids, positions, encode_pq(vecs, self.codebooks)
         )
 
-    def search_batch(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
+    def search_batch(self, queries: np.ndarray, k: int,
+                     mask=None) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
         b = queries.shape[0]
         if b == 0 or len(self) == 0:
             return [[] for _ in range(b)]
         with self._lock:
             if self.centroids is None or self.codebooks is None:
-                return super().search_batch(queries, k)  # exact fallback
+                return super().search_batch(queries, k, mask=mask)  # exact fallback
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
             rk = next_bucket(max(self.rescore_k, k), base=64)
+            # Filter mask ANDs into cell validity before the ADC scan — both
+            # the code pre-scan and the exact rescore see only allowed rows.
+            valid = self.valid if mask is None else jnp.logical_and(
+                self.valid, jnp.asarray(mask[0]))
             vals, slots = _ivfpq_topk(
                 jnp.asarray(qp), self.centroids, self.codebooks, self.codes,
-                self.vecs, self.norms, self.valid,
+                self.vecs, self.norms, valid,
                 nprobe=self.nprobe, rescore_k=rk, k=k, metric=self.metric,
             )
             vals, slots = np.asarray(vals)[:b], np.asarray(slots)[:b]
             if len(self._overflow):
-                o_vals, o_idx = self._overflow.raw_topk(qp, k)
+                o_vals, o_idx = self._overflow.raw_topk(
+                    qp, k, mask=None if mask is None else mask[1])
                 o_hits = self._overflow.hits_from_slots(o_vals[:b], o_idx[:b])
             else:
                 o_hits = [[] for _ in range(b)]

@@ -132,15 +132,20 @@ class PqDeviceIndex(FlatDeviceIndex):
         want = min(want, self.max_rescore, max(self.capacity, 1))
         return next_bucket(max(want, k), base=64)
 
-    def raw_topk(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def raw_topk(self, queries: np.ndarray, k: int,
+                 mask: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray]:
         if self.codebooks is None:
-            return super().raw_topk(queries, k)  # exact until trained
+            return super().raw_topk(queries, k, mask=mask)  # exact until trained
         with self._lock:
             r = self._rescore_count(k)
             q = jnp.asarray(queries, dtype=jnp.float32)
             chunk = min(65536, self.capacity)
+            # Filter mask folds into the ADC pre-scan validity (two-stage
+            # filtered search, same contract as BinaryDeviceIndex).
+            valid = self.valid if mask is None else jnp.logical_and(
+                self.valid, jnp.asarray(mask))
             vals, cand = adc_topk(q, self.codebooks, self.codes, self.norms,
-                                  self.valid, k=r, chunk=chunk)
+                                  valid, k=r, chunk=chunk)
             from grape_vector_db_tpu.index.binary import _rescore_topk
 
             dist_proxy = jnp.where(jnp.isfinite(vals), 0, 2**30).astype(jnp.int32)

@@ -213,6 +213,7 @@ class ShardedFlatIndex(VectorIndex):
     """
 
     kind = "sharded_flat"
+    supports_mask = True
 
     def __init__(
         self,
@@ -335,7 +336,14 @@ class ShardedFlatIndex(VectorIndex):
 
     # -- search ---------------------------------------------------------------------
 
-    def search_batch(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
+    def compile_mask(self, allowed_ids) -> np.ndarray:
+        from grape_vector_db_tpu.engine.filtering import mask_from_allowed
+
+        return mask_from_allowed(set(allowed_ids), self._slot_to_id,
+                                 self._id_to_slot)
+
+    def search_batch(self, queries: np.ndarray, k: int,
+                     mask: Optional[np.ndarray] = None) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
         if queries.shape[1] != self._dim:
             raise DimensionMismatchError(self._dim, queries.shape[1])
@@ -345,8 +353,17 @@ class ShardedFlatIndex(VectorIndex):
         bb = next_bucket(b, base=8)
         q = jax.device_put(jnp.asarray(pad_rows(queries, bb)), self._repl)
         chunk = min(self.search_chunk, self.shard_capacity)
+        valid = self.valid
+        if mask is not None:
+            # Mask rows are global-slot-aligned, i.e. already laid out per
+            # shard — device_put with the same row sharding and AND in place;
+            # the per-shard top-k then only scores allowed rows.
+            valid = jnp.logical_and(
+                valid,
+                jax.device_put(jnp.asarray(mask), self._vec_sharding),
+            )
         vals, idxs = sharded_scored_topk(
-            q, self.vectors, self.norms, self.valid,
+            q, self.vectors, self.norms, valid,
             k=k, metric=self.metric, chunk=chunk, mesh=self.mesh,
             shard_axis=self.shard_axis, mode=self.search_mode,
             recall_target=self.recall_target,

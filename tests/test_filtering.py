@@ -202,3 +202,130 @@ def test_sql_parser_fuzz_roundtrip(rng):
         direct = set(eng.execute_filter(ast))
         parsed = set(eng.execute_filter(parse_sql_where(sql)))
         assert direct == parsed, (sql, direct ^ parsed)
+
+
+# -- masked device search (the production mask_for_slots path) ---------------------
+
+
+def _masked_oracle(vectors, allowed_rows, query, k):
+    """Exact top-k over only the allowed rows (numpy, cosine)."""
+    q = query / np.linalg.norm(query)
+    v = vectors[allowed_rows]
+    sims = (v @ q) / np.linalg.norm(v, axis=1)
+    order = np.argsort(-sims)[:k]
+    return [allowed_rows[i] for i in order]
+
+
+def test_masked_search_exact_under_selective_filter():
+    """VERDICT r1 item 3 'done' criterion: a ~0.1%-selective filter returns
+    exactly the oracle's top-k. The allowed rows are engineered to rank BELOW
+    every over-fetch horizon (all other rows score higher), so the old
+    over-fetch + host post-filter path provably cannot find them."""
+    from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+
+    rng = np.random.default_rng(7)
+    dim, n = 32, 4096
+    query = rng.standard_normal(dim).astype(np.float32)
+    qn = query / np.linalg.norm(query)
+    # Most rows: strongly aligned with the query (score ~0.9+).
+    vectors = (0.95 * qn[None, :]
+               + 0.05 * rng.standard_normal((n, dim))).astype(np.float32)
+    # 4 allowed rows (0.1%): pushed orthogonal so they rank dead last.
+    allowed_rows = [17, 901, 2048, 4000]
+    orth = rng.standard_normal((len(allowed_rows), dim)).astype(np.float32)
+    orth -= np.outer(orth @ qn, qn)  # remove the query component
+    orth /= np.linalg.norm(orth, axis=1, keepdims=True)
+    for j, (r, v) in enumerate(zip(allowed_rows, orth)):
+        # distinct small alignments (0.05, 0.10, ...) so the within-filter
+        # ordering is well-separated, while still ranking dead last globally
+        vectors[r] = v + (0.05 * (j + 1)) * qn
+    ids = [f"r{i}" for i in range(n)]
+
+    idx = FlatDeviceIndex(dim, storage_dtype="float32", initial_capacity=n)
+    idx.add_batch(ids, vectors)
+
+    allowed_ids = {f"r{i}" for i in allowed_rows}
+    mask = idx.compile_mask(allowed_ids)
+    assert mask.sum() == len(allowed_rows)
+
+    hits = idx.search_batch(query[None, :], 4, mask=mask)[0]
+    got = [h[0] for h in hits]
+    want = [f"r{i}" for i in _masked_oracle(vectors, allowed_rows, query, 4)]
+    assert got == want, (got, want)
+
+    # sanity: the unmasked over-fetch path at any plausible horizon (< n)
+    # contains none of the allowed rows in its top-1024
+    unfiltered = idx.search_batch(query[None, :], 1024)[0]
+    assert not ({h[0] for h in unfiltered} & allowed_ids)
+
+
+@pytest.mark.parametrize("kind", ["binary", "ivf", "ivf_pq", "pq", "sharded"])
+def test_masked_search_all_engines(kind):
+    """Every mask-capable engine returns only allowed ids under a selective
+    filter, and the exact engines return the oracle exactly."""
+    rng = np.random.default_rng(3)
+    dim, n, k = 32, 2048, 5
+    vectors = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"r{i}" for i in range(n)]
+    query = vectors[100] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    allowed_rows = sorted(rng.choice(n, 40, replace=False).tolist())
+    allowed_ids = {f"r{i}" for i in allowed_rows}
+
+    if kind == "binary":
+        from grape_vector_db_tpu.index.binary import BinaryDeviceIndex
+        idx = BinaryDeviceIndex(dim, storage_dtype="float32",
+                                initial_capacity=n, max_rescore=n)
+    elif kind == "ivf":
+        from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+        idx = IvfDeviceIndex(dim, storage_dtype="float32", nlist=8, nprobe=8)
+    elif kind == "ivf_pq":
+        from grape_vector_db_tpu.index.ivf_pq import IvfPqDeviceIndex
+        idx = IvfPqDeviceIndex(dim, storage_dtype="float32", nlist=8, nprobe=8,
+                               n_sub=4, rescore_k=256)
+    elif kind == "pq":
+        from grape_vector_db_tpu.index.pq import PqDeviceIndex
+        idx = PqDeviceIndex(dim, storage_dtype="float32", initial_capacity=n,
+                            n_sub=4, max_rescore=n)
+    else:
+        from grape_vector_db_tpu.parallel.mesh import ShardedFlatIndex
+        idx = ShardedFlatIndex(dim, storage_dtype="float32",
+                               shard_capacity=n // 4)
+    idx.add_batch(ids, vectors)
+    if hasattr(idx, "train") and getattr(idx, "codebooks", 1) is None:
+        idx.train(vectors)
+
+    mask = idx.compile_mask(allowed_ids)
+    hits = idx.search_batch(query[None, :], k, mask=mask)[0]
+    got = [h[0] for h in hits]
+    assert got and set(got) <= allowed_ids, (kind, got[:5])
+    if kind in ("sharded",):  # exact engines must match the oracle exactly
+        want = [f"r{i}" for i in _masked_oracle(vectors, allowed_rows, query, k)]
+        assert got == want, (kind, got, want)
+
+
+def test_planner_uses_masked_search(tmp_path):
+    """End-to-end: a selective metadata filter through the public search API
+    returns the exact allowed-only results (the planner's masked path)."""
+    from grape_vector_db_tpu import (Document, SearchRequest, VectorDatabase,
+                                     VectorDbConfig)
+
+    cfg = VectorDbConfig(vector_dimension=16)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.initial_capacity = 256
+    cfg.cache.enabled = False
+    db = VectorDatabase(config=cfg)
+    rng = np.random.default_rng(0)
+    docs = [
+        Document(id=f"d{i}", content=f"body {i}",
+                 vector=rng.standard_normal(16).astype(np.float32).tolist(),
+                 metadata={"vip": i < 3, "rank": i})
+        for i in range(200)
+    ]
+    db.batch_add_documents(docs)
+    assert db.index.supports_mask
+    got = db.vector_search(SearchRequest(
+        vector=docs[150].vector, limit=10,
+        filter=Filter(must=[Condition("vip", "eq", True)]),
+    ))
+    assert {p.id for p in got} == {"d0", "d1", "d2"}
+    db.close()

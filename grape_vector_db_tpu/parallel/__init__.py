@@ -8,11 +8,13 @@ the ``shard`` mesh axis, every device computes its local top-k, and one
 
 from grape_vector_db_tpu.parallel.mesh import (
     ShardedFlatIndex,
+    ShardedIvfIndex,
     make_mesh,
     make_mesh_2d,
     replicated_sharded_topk,
+    sharded_ivf_topk,
     sharded_scored_topk,
 )
 
-__all__ = ["ShardedFlatIndex", "make_mesh", "make_mesh_2d",
-           "replicated_sharded_topk", "sharded_scored_topk"]
+__all__ = ["ShardedFlatIndex", "ShardedIvfIndex", "make_mesh", "make_mesh_2d",
+           "replicated_sharded_topk", "sharded_ivf_topk", "sharded_scored_topk"]

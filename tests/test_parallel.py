@@ -107,3 +107,73 @@ def test_2d_mesh_replica_sharded(rng):
     want = single.search_batch(qs, k)
     for row_i, w in zip(idxs, want):
         assert [str(i) for i in row_i] == [h[0] for h in w]
+
+
+# -- sharded IVF (VERDICT r1 item 6) -------------------------------------------------
+
+
+def test_sharded_ivf_matches_single_device_full_probe(rng, mesh):
+    """With nprobe == nlist the sharded IVF probe is exhaustive, so it must
+    agree with the single-device flat oracle exactly."""
+    from grape_vector_db_tpu.parallel import ShardedIvfIndex
+
+    dim, n, k = 24, 800, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    flat = FlatDeviceIndex(dim, storage_dtype="float32", initial_capacity=1024)
+    flat.add_batch(ids, vecs)
+    ivf = ShardedIvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                          nlist=8, nprobe=8, initial_capacity=2048)
+    ivf.add_batch(ids, vecs)
+    assert len(ivf._overflow) == 0, "lists spilled; enlarge initial_capacity"
+    queries = vecs[:16] + 0.001 * rng.standard_normal((16, dim)).astype(np.float32)
+    want = flat.search_batch(queries, k)
+    got = ivf.search_batch(queries, k)
+    for w, g in zip(want, got):
+        assert [x[0] for x in w] == [x[0] for x in g]
+
+
+def test_sharded_ivf_recall_with_partial_probe(rng, mesh):
+    """Clustered data + nprobe < nlist: high recall at a fraction of the scan."""
+    from grape_vector_db_tpu.parallel import ShardedIvfIndex
+
+    dim, k = 24, 10
+    centers = rng.standard_normal((16, dim)).astype(np.float32) * 4
+    rows = np.concatenate([
+        c + 0.3 * rng.standard_normal((200, dim)).astype(np.float32)
+        for c in centers
+    ])
+    ids = [f"d{i}" for i in range(len(rows))]
+    ivf = ShardedIvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                          nlist=16, nprobe=4, initial_capacity=8192)
+    ivf.add_batch(ids, rows)
+    flat = FlatDeviceIndex(dim, storage_dtype="float32", initial_capacity=4096)
+    flat.add_batch(ids, rows)
+    queries = rows[::37][:32]
+    want = flat.search_batch(queries, k)
+    got = ivf.search_batch(queries, k)
+    overlap = np.mean([
+        len({x[0] for x in w} & {x[0] for x in g}) / k
+        for w, g in zip(want, got)
+    ])
+    assert overlap >= 0.9, overlap
+
+
+def test_sharded_ivf_upsert_delete_mask(rng, mesh):
+    from grape_vector_db_tpu.parallel import ShardedIvfIndex
+
+    dim = 16
+    vecs = rng.standard_normal((300, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(300)]
+    ivf = ShardedIvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                          nlist=4, nprobe=4, initial_capacity=2048)
+    ivf.add_batch(ids, vecs)
+    # delete then re-add with a new vector (slot reuse across shards)
+    ivf.remove_batch(["d7"])
+    assert ivf.search_batch(vecs[7:8], 1)[0][0][0] != "d7"
+    ivf.add_batch(["d7"], vecs[7:8])
+    assert ivf.search_batch(vecs[7:8], 1)[0][0][0] == "d7"
+    # masked search returns only allowed ids
+    allowed = {"d3", "d9", "d250"}
+    hits = ivf.search_batch(vecs[3:4], 3, mask=ivf.compile_mask(allowed))[0]
+    assert {h[0] for h in hits} == allowed

@@ -1,0 +1,327 @@
+"""Round-2 TPU sweep: the 1M x 768 recall-QPS frontier (VERDICT r1 items 2/4/5/10).
+
+Measures on one real chip, everything generated ON DEVICE (no multi-GB host
+staging through the relay):
+
+  S1  1M random   : flat bf16 exact(segmax)/approx A/B, int8+rescore scan,
+                    IVF(nlist=4096) nprobe sweep (recall@10 + QPS)
+  S2  1M clustered: IVF nprobe sweep on 1024-center data (the representative
+                    real-embedding case)
+  S3  4M clustered: IVF capacity configuration (>=4M rows/chip, measured)
+
+Timing: chained data-dependent dispatches (CLAUDE.md: fori-wrapping the 1M
+segmax engine hangs the relay's AOT compile; chained dispatches pipeline
+through the relay while the data dependence forces sequential device
+execution). Per-batch time = (T_chain(m) - T_chain(1)) / (m - 1), which
+cancels the constant relay/dispatch overhead.
+
+Appends one JSON line per measurement to bench/SWEEP_R2.jsonl.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+OUT = os.environ.get("SWEEP_OUT", "bench/SWEEP_R2.jsonl")
+DIM, K, B = 768, 10, 128
+# CPU smoke mode: scale every corpus down by this factor (sizes stay
+# multiples of the generator chunk)
+SCALE = int(os.environ.get("SWEEP_SCALE", "1"))
+
+
+def log(stage: str, **kv) -> None:
+    rec = {"stage": stage, **kv}
+    print(json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax, random
+
+    from grape_vector_db_tpu.ops.distance import scored_topk
+    from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
+
+    print("backend:", jax.default_backend(), flush=True)
+
+    # ---------------------------------------------------------------- helpers
+
+    def gen_corpus(n: int, kind: str, seed: int, n_centers: int = 1024,
+                   noise: float = 0.25):
+        """[N, D] bf16 corpus + [N] f32 norms, generated on device in chunks."""
+        chunk = min(131_072 // SCALE, n)
+        key = random.PRNGKey(seed)
+        centers = None
+        if kind == "clustered":
+            kc, key = random.split(key)
+            centers = random.normal(kc, (n_centers, DIM), jnp.float32)
+
+        @jax.jit
+        def one_random(k1):
+            x = random.normal(k1, (chunk, DIM), jnp.float32)
+            return x.astype(jnp.bfloat16), jnp.linalg.norm(x, axis=1)
+
+        @jax.jit
+        def one_clustered(k1, k2, cents):
+            cid = random.randint(k2, (chunk,), 0, cents.shape[0])
+            x = cents[cid] + noise * random.normal(k1, (chunk, DIM), jnp.float32)
+            return x.astype(jnp.bfloat16), jnp.linalg.norm(x, axis=1)
+
+        vparts, nparts = [], []
+        for _ in range(n // chunk):
+            k1, k2, key = random.split(key, 3)
+            if kind == "random":
+                v, nn = one_random(k1)
+            else:
+                v, nn = one_clustered(k1, k2, centers)
+            vparts.append(v)
+            nparts.append(nn)
+        return jnp.concatenate(vparts), jnp.concatenate(nparts)
+
+    def build_ivf(vecs, norms, nlist: int, sample: int = 65_536 // SCALE, seed: int = 0):
+        """Device-side IVF layout build: kmeans -> assign -> sort -> bucketed
+        [L, C, D]. Returns (centroids, ivf_vecs, ivf_norms, ivf_valid)."""
+        n = vecs.shape[0]
+        key = random.PRNGKey(seed)
+        sel = random.choice(key, n, shape=(sample,), replace=False)
+        t0 = time.perf_counter()
+        cents, _ = kmeans(vecs[sel].astype(jnp.float32), k=nlist, iters=8,
+                          seed=seed, mode="spherical")
+        cents.block_until_ready()
+        t_kmeans = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        chunk = min(131_072 // SCALE, n)
+        assign = jnp.concatenate([
+            assign_clusters(
+                lax.dynamic_slice_in_dim(vecs, i * chunk, chunk).astype(jnp.float32),
+                cents, mode="spherical")
+            for i in range(n // chunk)
+        ])
+        counts = jnp.bincount(assign, length=nlist)
+        cmax = int(np.asarray(counts.max()))
+        cap = ((cmax + 63) // 64) * 64
+
+        @functools.partial(jax.jit, static_argnames=("cap_",))
+        def layout(vecs, norms, assign, counts, cap_):
+            order = jnp.argsort(assign)
+            a_sorted = assign[order]
+            starts = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+            pos = jnp.arange(n, dtype=jnp.int32) - starts[a_sorted]
+            iv = jnp.zeros((nlist, cap_, DIM), jnp.bfloat16)
+            inr = jnp.zeros((nlist, cap_), jnp.float32)
+            ival = jnp.zeros((nlist, cap_), jnp.bool_)
+            iv = iv.at[a_sorted, pos].set(vecs[order])
+            inr = inr.at[a_sorted, pos].set(norms[order])
+            ival = ival.at[a_sorted, pos].set(True)
+            return iv, inr, ival
+
+        iv, inr, ival = layout(vecs, norms, assign, counts, cap)
+        iv.block_until_ready()
+        t_layout = time.perf_counter() - t0
+        log("ivf_build", nlist=nlist, n=n, list_cap=cap,
+            kmeans_s=round(t_kmeans, 1), layout_s=round(t_layout, 1))
+        return cents, iv, inr, ival
+
+    def timed_chain(fn, q0, m: int = 24) -> float:
+        """Per-call ms via chained data-dependent dispatches: run chains of
+        length 1 and m; slope cancels constant dispatch/relay overhead.
+        fn(q) must return (vals, idxs); queries perturb on the result."""
+        def chain(length: int) -> float:
+            q = q0
+            t0 = time.perf_counter()
+            v = None
+            for _ in range(length):
+                v, _ = fn(q)
+                q = q0 * (1.0 + v[0, 0] * 1e-9)
+            float(np.asarray(v[0, 0]))
+            return time.perf_counter() - t0
+
+        chain(2)  # warm every shape in the chain
+        t1 = min(chain(1) for _ in range(3))
+        tm = min(chain(m) for _ in range(2))
+        return (tm - t1) * 1e3 / (m - 1)
+
+    def recall_at_k(got_idx: np.ndarray, want_idx: np.ndarray) -> float:
+        hits = 0
+        for g, w in zip(got_idx, want_idx):
+            hits += len(set(g.tolist()) & set(w.tolist()))
+        return hits / want_idx.size
+
+    # ---------------------------------------------------------------- S1: 1M random
+
+    def flat_and_int8(vecs, norms, tag: str):
+        n = vecs.shape[0]
+        valid = jnp.ones((n,), jnp.bool_)
+        kq = random.PRNGKey(99)
+        q0 = random.normal(kq, (B, DIM), jnp.float32)
+
+        chunk = n // 8
+
+        def run_mode(mode):
+            @jax.jit
+            def f(q):
+                return scored_topk(q, vecs, norms, valid, k=K, metric="cosine",
+                                   chunk=chunk, mode=mode)
+            return f
+
+        f_exact, f_approx = run_mode("exact"), run_mode("approx")
+        oracle_v, oracle_i = f_exact(q0)
+        oracle_i = np.asarray(oracle_i)
+
+        ms_exact = timed_chain(f_exact, q0)
+        ms_approx = timed_chain(f_approx, q0)
+        av, ai = f_approx(q0)
+        rec_approx = recall_at_k(np.asarray(ai), oracle_i)
+        log(f"flat_{tag}", n=n, exact_ms=round(ms_exact, 3),
+            exact_qps=round(B / ms_exact * 1e3, 0),
+            approx_ms=round(ms_approx, 3),
+            approx_qps=round(B / ms_approx * 1e3, 0),
+            approx_recall=round(rec_approx, 4))
+
+        # int8 symmetric per-row quantized scan + bf16 rescore
+        @jax.jit
+        def quantize(v):
+            vf = v.astype(jnp.float32)
+            s = jnp.max(jnp.abs(vf), axis=1, keepdims=True) / 127.0
+            vi = jnp.clip(jnp.round(vf / jnp.maximum(s, 1e-12)), -127, 127
+                          ).astype(jnp.int8)
+            return vi, s[:, 0]
+
+        parts_i, parts_s = [], []
+        step = n // 8
+        for i in range(8):
+            vi, s = quantize(lax.dynamic_slice_in_dim(vecs, i * step, step))
+            parts_i.append(vi)
+            parts_s.append(s)
+        vecs_i8 = jnp.concatenate(parts_i)
+        scales = jnp.concatenate(parts_s)
+        # per-row factor folds dequant scale and the cosine norm division
+        factor = scales / jnp.maximum(norms, 1e-12)
+
+        RESCORE = 64
+
+        @jax.jit
+        def f_int8(q):
+            qf = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+            qs = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0
+            qi = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+            dots = lax.dot_general(qi, vecs_i8, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+            scores = dots.astype(jnp.float32) * factor[None, :] * qs
+            cv, ci = lax.approx_max_k(scores, RESCORE, recall_target=0.95)
+            # exact bf16 rescore of the candidates
+            cvecs = vecs[ci]
+            cn = norms[ci]
+            d2 = jnp.einsum("bd,brd->br", qf.astype(jnp.bfloat16), cvecs,
+                            preferred_element_type=jnp.float32)
+            rs = jnp.minimum(d2 / jnp.maximum(cn, 1e-12), 1.0)
+            tv, tp = lax.top_k(rs, K)
+            return tv, jnp.take_along_axis(ci, tp, axis=1)
+
+        ms_i8 = timed_chain(f_int8, q0)
+        _, ii = f_int8(q0)
+        rec_i8 = recall_at_k(np.asarray(ii), oracle_i)
+        log(f"int8_{tag}", n=n, int8_ms=round(ms_i8, 3),
+            int8_qps=round(B / ms_i8 * 1e3, 0), recall=round(rec_i8, 4))
+        return q0
+
+    def ivf_sweep(vecs, norms, tag: str, nlist: int, probes):
+        n = vecs.shape[0]
+        cents, iv, inr, ival = build_ivf(vecs, norms, nlist)
+        cap = iv.shape[1]
+        flatv = iv.reshape(nlist * cap, DIM)
+        flatn = inr.reshape(nlist * cap)
+        flatm = ival.reshape(nlist * cap)
+        kq = random.PRNGKey(7)
+        q0 = random.normal(kq, (B, DIM), jnp.float32)
+
+        nn = nlist * cap
+        chunk = nn // 8 if (nn // 8) % 32 == 0 and nn % 8 == 0 else nn
+
+        @jax.jit
+        def f_oracle(q):
+            return scored_topk(q, flatv, flatn, flatm, k=K, metric="cosine",
+                               chunk=chunk, mode="exact")
+
+        _, oi = f_oracle(q0)
+        oracle_i = np.asarray(oi)
+
+        from grape_vector_db_tpu.index.ivf import _ivf_topk
+
+        for nprobe in probes:
+            @jax.jit
+            def f_ivf(q, nprobe=nprobe):
+                return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=nprobe,
+                                 metric="cosine")
+            ms = timed_chain(f_ivf, q0)
+            _, si = f_ivf(q0)
+            rec = recall_at_k(np.asarray(si), oracle_i)
+            log(f"ivf_{tag}", n=n, nlist=nlist, list_cap=cap, nprobe=nprobe,
+                ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
+                recall=round(rec, 4))
+        return cents, iv, inr, ival
+
+    # S1 --------------------------------------------------------------------
+    print("=== S1: 1M random ===", flush=True)
+    vecs, norms = gen_corpus(1_048_576 // SCALE, "random", seed=1)
+    flat_and_int8(vecs, norms, "1M_random")
+    ivf_sweep(vecs, norms, "1M_random", nlist=4096 // SCALE, probes=(1, 2, 4, 8, 16, 32, 64))
+    del vecs, norms
+
+    # S2 --------------------------------------------------------------------
+    print("=== S2: 1M clustered ===", flush=True)
+    vecs, norms = gen_corpus(1_048_576 // SCALE, "clustered", seed=2)
+    ivf_sweep(vecs, norms, "1M_clustered", nlist=4096 // SCALE, probes=(1, 2, 4, 8, 16))
+    del vecs, norms
+
+    # S3 --------------------------------------------------------------------
+    print("=== S3: 4M clustered capacity ===", flush=True)
+    vecs, norms = gen_corpus(4_194_304 // SCALE, "clustered", seed=3, n_centers=4096)
+    cents, iv, inr, ival = build_ivf(vecs, norms, nlist=8192 // SCALE)
+    del vecs, norms
+    kq = random.PRNGKey(11)
+    q0 = random.normal(kq, (B, DIM), jnp.float32)
+    cap = iv.shape[1]
+    nlist = iv.shape[0]
+    flatv = iv.reshape(nlist * cap, DIM)
+    flatn = inr.reshape(nlist * cap)
+    flatm = ival.reshape(nlist * cap)
+    nn = nlist * cap
+    chunk = nn // 16 if nn % 16 == 0 and (nn // 16) % 32 == 0 else nn
+
+    import jax.numpy as jnp2  # noqa: F401
+
+    @jax.jit
+    def f_oracle4(q):
+        return scored_topk(q, flatv, flatn, flatm, k=K, metric="cosine",
+                           chunk=chunk, mode="exact")
+
+    _, oi = f_oracle4(q0)
+    oracle_i = np.asarray(oi)
+    from grape_vector_db_tpu.index.ivf import _ivf_topk
+    for nprobe in (4, 8, 16):
+        @jax.jit
+        def f_ivf4(q, nprobe=nprobe):
+            return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=nprobe,
+                             metric="cosine")
+        ms = timed_chain(f_ivf4, q0)
+        _, si = f_ivf4(q0)
+        rec = recall_at_k(np.asarray(si), oracle_i)
+        log("ivf_4M_clustered", n=4_194_304 // SCALE, nlist=nlist, list_cap=cap,
+            nprobe=nprobe, ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
+            recall=round(rec, 4))
+
+    print("sweep done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -219,7 +219,7 @@ def cmd_serve(args) -> None:
         )
 
         book = dict(p.split("=", 1) for p in args.peers.split(","))
-        transport = GrpcTransport(address_book=book)
+        transport = GrpcTransport(address_book=book, tls=cfg.tls)
         node = ClusterNode(
             node_id=args.node_id,
             address=book[args.node_id],
@@ -240,7 +240,7 @@ def cmd_serve(args) -> None:
 
     server, gport, _ = build_grpc_server(
         db, port=grpc_port, node=adapter, cluster_node=node,
-        node_id=args.node_id or "standalone",
+        node_id=args.node_id or "standalone", tls=cfg.tls,
     )
     server.start()
     if node is not None:
@@ -253,7 +253,8 @@ def cmd_serve(args) -> None:
                 break
             except Exception:
                 time.sleep(0.25)
-    rest = RestServer(db, host=args.host, port=args.rest_port, node=node)
+    rest = RestServer(db, host=args.host, port=args.rest_port, node=node,
+                      tls=cfg.tls)
     host, rport = rest.start()
     print(f"grape-vector-db-tpu serving: grpc=:{gport} rest={host}:{rport}",
           flush=True)

@@ -169,6 +169,21 @@ class DeviceConfig:
 
 
 @dataclass
+class TlsConfig:
+    """Transport security for the gRPC + REST surfaces (reference
+    EnterpriseConfig.tls, enterprise.rs:786,874 — there it was config-only;
+    here it actually wires into the listeners and channels)."""
+
+    enabled: bool = False
+    cert_path: Optional[str] = None   # PEM server certificate (chain)
+    key_path: Optional[str] = None    # PEM private key
+    ca_path: Optional[str] = None     # root CA clients/peers verify against
+    require_client_auth: bool = False  # mTLS: verify client certs against ca
+    # Client-side: override the expected server name (self-signed/test certs).
+    target_name_override: Optional[str] = None
+
+
+@dataclass
 class VectorDbConfig:
     """Top-level database config (unifies reference config.rs:167-192 and
     types.rs:949-998)."""
@@ -184,6 +199,7 @@ class VectorDbConfig:
     sparse: SparseVectorConfig = field(default_factory=SparseVectorConfig)
     embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
     device: DeviceConfig = field(default_factory=DeviceConfig)
+    tls: TlsConfig = field(default_factory=TlsConfig)
 
 
 @dataclass

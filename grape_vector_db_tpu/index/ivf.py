@@ -175,6 +175,14 @@ class IvfDeviceIndex(VectorIndex):
 
     # -- training ---------------------------------------------------------------
 
+    @property
+    def _kmeans_mode(self) -> str:
+        # Spherical k-means for angular metrics: L2 Lloyd's on near-isotropic
+        # high-dim data collapses onto the smallest-norm centroid (one list
+        # can swallow ~half the corpus), killing IVF pruning. Unit-norm
+        # centroids also make the stage-1 dot probe a true cosine affinity.
+        return "spherical" if self.metric in ("cosine", "dot") else "l2"
+
     def train(self, sample: np.ndarray, seed: int = 0) -> None:
         """Fit centroids (index.rs train -> kmeans_clustering, but on device)."""
         sample = np.asarray(sample, dtype=np.float32)
@@ -186,7 +194,7 @@ class IvfDeviceIndex(VectorIndex):
             )
             sample = sample[sel]
         cents, _ = kmeans(jnp.asarray(sample), k=self.nlist, iters=self.kmeans_iters,
-                          seed=seed)
+                          seed=seed, mode=self._kmeans_mode)
         self.centroids = cents
 
     # -- mutation -----------------------------------------------------------------
@@ -217,7 +225,8 @@ class IvfDeviceIndex(VectorIndex):
             self._place(list(ids), vectors)
 
     def _place(self, ids: List[str], vectors: np.ndarray) -> None:
-        assign = np.asarray(assign_clusters(jnp.asarray(vectors), self.centroids))
+        assign = np.asarray(assign_clusters(jnp.asarray(vectors), self.centroids,
+                                            mode=self._kmeans_mode))
         list_ids = np.empty(len(ids), dtype=np.int32)
         positions = np.empty(len(ids), dtype=np.int32)
         spill_idx: List[int] = []
@@ -369,7 +378,8 @@ class IvfDeviceIndex(VectorIndex):
             # Size lists to the retrained cluster histogram (with 25% headroom)
             # so the repack absorbs the whole corpus without re-spilling.
             counts = np.bincount(
-                np.asarray(assign_clusters(jnp.asarray(vecs), self.centroids)),
+                np.asarray(assign_clusters(jnp.asarray(vecs), self.centroids,
+                                           mode=self._kmeans_mode)),
                 minlength=self.nlist,
             )
             need = int(counts.max())

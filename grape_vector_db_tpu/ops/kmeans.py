@@ -29,26 +29,48 @@ def _pairwise_sq_dist(x: jax.Array, c: jax.Array) -> jax.Array:
     return x2 - 2.0 * xc + c2
 
 
-def assign_clusters(x: jax.Array, centroids: jax.Array) -> jax.Array:
-    """[N, D] -> [N] int32 nearest-centroid ids."""
+def _l2n(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def assign_clusters(x: jax.Array, centroids: jax.Array,
+                    mode: str = "l2") -> jax.Array:
+    """[N, D] -> [N] int32 nearest-centroid ids.
+
+    mode="spherical": assign by max cosine (centroids assumed unit-norm; x is
+    normalized here). REQUIRED for cosine-metric IVF on near-isotropic
+    high-dim data: under L2, |x - c|^2 = |x|^2 - 2x.c + |c|^2 and with x.c ~ 0
+    the smallest-norm centroid captures almost every point (measured: one list
+    held 43% of a random 768-d corpus), which destroys IVF pruning."""
+    if mode == "spherical":
+        sims = lax.dot_general(
+            _l2n(x), centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.argmax(sims, axis=-1).astype(jnp.int32)
     return jnp.argmin(_pairwise_sq_dist(x, centroids), axis=-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
+@functools.partial(jax.jit, static_argnames=("k", "iters", "mode"))
 def kmeans(
-    x: jax.Array, k: int, iters: int = 10, seed: int = 0
+    x: jax.Array, k: int, iters: int = 10, seed: int = 0, mode: str = "l2"
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd's algorithm on device. Returns (centroids [k, D], assignment [N]).
 
-    x must be f32 [N, D] with N >= k.
+    x must be f32 [N, D] with N >= k. mode="spherical" runs spherical k-means
+    (unit-norm centroids, cosine assignment) — the correct variant for
+    cosine/dot metrics.
     """
     n, d = x.shape
     key = jax.random.PRNGKey(seed)
     init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
     centroids = x[init_idx]
+    if mode == "spherical":
+        x = _l2n(x)
+        centroids = _l2n(centroids)
 
     def step(centroids, _):
-        assign = assign_clusters(x, centroids)
+        assign = assign_clusters(x, centroids, mode=mode)
         one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)      # [N, K]
         counts = jnp.sum(one_hot, axis=0)                           # [K]
         sums = lax.dot_general(
@@ -56,9 +78,11 @@ def kmeans(
             preferred_element_type=jnp.float32,
         )                                                           # [K, D]
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        if mode == "spherical":
+            new_c = _l2n(new_c)
         # Empty clusters keep their previous centroid.
         new_c = jnp.where((counts > 0)[:, None], new_c, centroids)
         return new_c, None
 
     centroids, _ = lax.scan(step, centroids, None, length=iters)
-    return centroids, assign_clusters(x, centroids)
+    return centroids, assign_clusters(x, centroids, mode=mode)

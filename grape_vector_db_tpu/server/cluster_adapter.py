@@ -159,9 +159,10 @@ class GrpcTransport(Transport):
     address book."""
 
     def __init__(self, address_book: Optional[Dict[str, str]] = None,
-                 timeout_s: float = 2.0):
+                 timeout_s: float = 2.0, tls=None):
         self.addresses: Dict[str, str] = dict(address_book or {})
         self.timeout_s = timeout_s
+        self.tls = tls  # TlsConfig: node-to-node channels go TLS/mTLS
         self._lock = threading.Lock()
         self._local: Dict[str, Callable[[str, Dict[str, Any]], Dict[str, Any]]] = {}
         self._stubs: Dict[str, Callable] = {}
@@ -192,7 +193,12 @@ class GrpcTransport(Transport):
             addr = os.environ.get(env_key) or self.addresses.get(node_id)
             if addr is None:
                 raise TransportError(f"no address for node {node_id}")
-            channel = grpc.insecure_channel(addr)
+            if self.tls is not None and self.tls.enabled:
+                from grape_vector_db_tpu.server.grpc_server import secure_channel
+
+                channel = secure_channel(addr, self.tls)
+            else:
+                channel = grpc.insecure_channel(addr)
             stub = channel.unary_unary(
                 f"/{SERVICE_NAME}/Internal",
                 request_serializer=pb.InternalRequest.SerializeToString,

@@ -396,6 +396,47 @@ class VectorDbServicer:
         return pb.InternalResponse(error="not running in cluster mode")
 
 
+def server_credentials(tls) -> "grpc.ServerCredentials":
+    """grpc.ssl_server_credentials from a TlsConfig (enterprise.rs:786 tls,
+    actually enforced here)."""
+    with open(tls.key_path, "rb") as f:
+        key = f.read()
+    with open(tls.cert_path, "rb") as f:
+        cert = f.read()
+    root = None
+    if tls.ca_path:
+        with open(tls.ca_path, "rb") as f:
+            root = f.read()
+    return grpc.ssl_server_credentials(
+        [(key, cert)],
+        root_certificates=root,
+        require_client_auth=bool(tls.require_client_auth and root),
+    )
+
+
+def channel_credentials(tls) -> "grpc.ChannelCredentials":
+    root = None
+    if tls.ca_path:
+        with open(tls.ca_path, "rb") as f:
+            root = f.read()
+    key = cert = None
+    if tls.require_client_auth and tls.key_path and tls.cert_path:
+        with open(tls.key_path, "rb") as f:
+            key = f.read()
+        with open(tls.cert_path, "rb") as f:
+            cert = f.read()
+    return grpc.ssl_channel_credentials(
+        root_certificates=root, private_key=key, certificate_chain=cert
+    )
+
+
+def secure_channel(address: str, tls) -> "grpc.Channel":
+    opts = []
+    if tls.target_name_override:
+        opts.append(("grpc.ssl_target_name_override", tls.target_name_override))
+    return grpc.secure_channel(address, channel_credentials(tls), options=opts)
+
+
 def build_grpc_server(
     db: VectorDatabase,
     port: int = 0,
@@ -404,8 +445,11 @@ def build_grpc_server(
     max_workers: int = 16,
     use_batcher: bool = True,
     cluster_node: Optional[Any] = None,
+    tls=None,
 ):
-    """Create (server, bound_port). Caller starts/stops the server."""
+    """Create (server, bound_port). Caller starts/stops the server.
+    With ``tls`` (an enabled TlsConfig) the port is TLS-terminated; with
+    ``require_client_auth`` + ``ca_path`` it enforces mTLS."""
     servicer = VectorDbServicer(db, node=node, node_id=node_id,
                                 use_batcher=use_batcher,
                                 cluster_node=cluster_node)
@@ -421,15 +465,21 @@ def build_grpc_server(
     server.add_generic_rpc_handlers(
         (grpc.method_handlers_generic_handler(SERVICE_NAME, handlers),)
     )
-    bound = server.add_insecure_port(f"[::]:{port}")
+    if tls is not None and tls.enabled:
+        bound = server.add_secure_port(f"[::]:{port}", server_credentials(tls))
+    else:
+        bound = server.add_insecure_port(f"[::]:{port}")
     return server, bound, servicer
 
 
 class VectorDbClient:
     """Thin typed client (reference grpc/client.rs:11-119)."""
 
-    def __init__(self, address: str, timeout_s: float = 10.0):
-        self.channel = grpc.insecure_channel(address)
+    def __init__(self, address: str, timeout_s: float = 10.0, tls=None):
+        if tls is not None and tls.enabled:
+            self.channel = secure_channel(address, tls)
+        else:
+            self.channel = grpc.insecure_channel(address)
         self.timeout_s = timeout_s
         self._stubs: Dict[str, Callable] = {}
         for name, req_t, resp_t in _METHODS:

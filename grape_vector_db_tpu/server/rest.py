@@ -30,9 +30,10 @@ class RestServer:
     """Threaded REST server over a VectorDatabase (+ optional cluster node)."""
 
     def __init__(self, db: VectorDatabase, host: str = "127.0.0.1", port: int = 0,
-                 node: Optional[Any] = None):
+                 node: Optional[Any] = None, tls=None):
         self.db = db
         self.node = node
+        self.tls = tls
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -119,8 +120,23 @@ class RestServer:
                                      vector=p["vector"], metadata=p.get("metadata", {}))
                             for p in body.get("points", [body] if "id" in body else [])
                         ]
-                        ids = outer.db.batch_add_documents(docs)
-                        self._json(200, {"upserted": len(ids), "ids": ids})
+                        if outer.node is not None:
+                            # Cluster mode: shard-routed replicated write;
+                            # session_versions feed back into search
+                            # min_versions for read-your-writes.
+                            from grape_vector_db_tpu.distributed.types import (
+                                SessionToken,
+                            )
+
+                            session = SessionToken()
+                            n = outer.node.upsert(docs, session=session)
+                            self._json(200, {
+                                "upserted": n, "ids": [d.id for d in docs],
+                                "session_versions": session.to_dict(),
+                            })
+                        else:
+                            ids = outer.db.batch_add_documents(docs)
+                            self._json(200, {"upserted": len(ids), "ids": ids})
                     elif path == "/api/v1/documents":
                         doc = Document.from_dict(body)
                         outer.db.add_document(doc)
@@ -161,6 +177,31 @@ class RestServer:
                 limit = int(body.get("limit", 10))
                 filt = parse_sql_where(body["filter_sql"]) if body.get("filter_sql") else None
                 if mode == "vector":
+                    # Cluster path with SESSION read-your-writes: feed back
+                    # the session_versions of an earlier write as
+                    # min_versions (parity with the gRPC surface).
+                    if outer.node is not None and filt is None:
+                        from grape_vector_db_tpu.distributed.types import (
+                            SessionToken,
+                        )
+
+                        session = None
+                        if body.get("min_versions"):
+                            session = SessionToken.from_dict(
+                                {str(k): int(v)
+                                 for k, v in body["min_versions"].items()})
+                        stale: list = []
+                        hits = outer.node.search(
+                            body["vector"], k=limit, session=session,
+                            stale_out=stale,
+                        )
+                        self._json(200, {
+                            "results": [
+                                {"id": i, "score": s} for i, s in hits
+                            ],
+                            "stale_shards": sorted(set(stale)),
+                        })
+                        return
                     req = SearchRequest(
                         vector=body["vector"], limit=limit, filter=filt,
                         score_threshold=body.get("score_threshold"),
@@ -203,6 +244,16 @@ class RestServer:
                     self._json(500, {"error": str(e)})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if tls is not None and tls.enabled:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls.cert_path, tls.key_path)
+            if tls.ca_path and tls.require_client_auth:
+                ctx.load_verify_locations(tls.ca_path)
+                ctx.verify_mode = ssl.CERT_REQUIRED
+            self._httpd.socket = ctx.wrap_socket(self._httpd.socket,
+                                                 server_side=True)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: Optional[threading.Thread] = None
 

@@ -305,3 +305,104 @@ def test_grpc_api_key_enforcement(rng):
     finally:
         channel.close()
         server.stop(grace=0)
+
+
+# -- TLS (reference enterprise.rs:786,874 TlsConfig — enforced here) -----------------
+
+
+@pytest.fixture(scope="module")
+def certs(tmp_path_factory):
+    from grape_vector_db_tpu.testing.certs import make_test_certs
+
+    return make_test_certs(str(tmp_path_factory.mktemp("certs")),
+                           with_client=True)
+
+
+def test_grpc_tls_roundtrip_and_insecure_rejected(certs, rng):
+    import grpc
+
+    from grape_vector_db_tpu.config import TlsConfig
+
+    db = small_db()
+    srv_tls = TlsConfig(enabled=True, cert_path=certs["cert"],
+                        key_path=certs["key"])
+    server, port, _ = build_grpc_server(db, port=0, tls=srv_tls)
+    server.start()
+    try:
+        cli_tls = TlsConfig(enabled=True, ca_path=certs["ca"],
+                            target_name_override="localhost")
+        client = VectorDbClient(f"127.0.0.1:{port}", tls=cli_tls)
+        pts = [pb.Point(id="t1", vector=pb.Vector(
+            values=rng.standard_normal(16).astype(float)))]
+        resp = client.upsert_points(pts)
+        assert resp.upserted == 1 and not resp.error
+        sr = client.search(list(pts[0].vector.values), limit=1)
+        assert sr.results[0].id == "t1"
+        client.close()
+
+        # plaintext client against the TLS port must fail, not silently work
+        bad = VectorDbClient(f"127.0.0.1:{port}", timeout_s=2.0)
+        with pytest.raises(grpc.RpcError):
+            bad.search([0.0] * 16, limit=1)
+        bad.close()
+    finally:
+        server.stop(grace=0)
+        db.close()
+
+
+def test_grpc_mtls_requires_client_cert(certs, rng):
+    import grpc
+
+    from grape_vector_db_tpu.config import TlsConfig
+
+    db = small_db()
+    srv_tls = TlsConfig(enabled=True, cert_path=certs["cert"],
+                        key_path=certs["key"], ca_path=certs["ca"],
+                        require_client_auth=True)
+    server, port, _ = build_grpc_server(db, port=0, tls=srv_tls)
+    server.start()
+    try:
+        # with a client cert: accepted
+        good = VectorDbClient(f"127.0.0.1:{port}", tls=TlsConfig(
+            enabled=True, ca_path=certs["ca"],
+            cert_path=certs["client_cert"], key_path=certs["client_key"],
+            require_client_auth=True, target_name_override="localhost"))
+        assert not good.search([0.0] * 16, limit=1).error
+        good.close()
+        # without: handshake refused
+        anon = VectorDbClient(f"127.0.0.1:{port}", timeout_s=2.0, tls=TlsConfig(
+            enabled=True, ca_path=certs["ca"],
+            target_name_override="localhost"))
+        with pytest.raises(grpc.RpcError):
+            anon.search([0.0] * 16, limit=1)
+        anon.close()
+    finally:
+        server.stop(grace=0)
+        db.close()
+
+
+def test_rest_tls(certs, rng):
+    import ssl
+
+    from grape_vector_db_tpu.config import TlsConfig
+
+    db = small_db()
+    db.batch_add_documents([
+        Document(id="r1", content="hello tls",
+                 vector=rng.standard_normal(16).astype(np.float32).tolist())
+    ])
+    srv = RestServer(db, port=0, tls=TlsConfig(
+        enabled=True, cert_path=certs["cert"], key_path=certs["key"]))
+    host, port = srv.start()
+    try:
+        ctx = ssl.create_default_context(cafile=certs["ca"])
+        # cert SAN covers localhost/127.0.0.1
+        with urllib.request.urlopen(f"https://127.0.0.1:{port}/health",
+                                    context=ctx, timeout=5) as r:
+            assert json.loads(r.read())["status"] in ("healthy", "ok")
+        # plain http against the TLS port fails
+        with pytest.raises(Exception):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=2)
+    finally:
+        srv.stop()
+        db.close()

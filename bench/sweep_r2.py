@@ -9,11 +9,11 @@ staging through the relay):
                     real-embedding case)
   S3  4M clustered: IVF capacity configuration (>=4M rows/chip, measured)
 
-Timing: chained data-dependent dispatches (CLAUDE.md: fori-wrapping the 1M
-segmax engine hangs the relay's AOT compile; chained dispatches pipeline
-through the relay while the data dependence forces sequential device
-execution). Per-batch time = (T_chain(m) - T_chain(1)) / (m - 1), which
-cancels the constant relay/dispatch overhead.
+Timing: ITERS iterations inside ONE jitted lax.fori_loop with loop-carried
+data dependence (the CLAUDE.md honest-timing pattern) for every engine except
+the 1M segmax exact scan — fori-wrapping that engine hangs the relay AOT
+compile (round-1 finding), so exact@1M is timed by chained data-dependent
+dispatches with the slope method and carries a dispatch-floor caveat.
 
 Appends one JSON line per measurement to bench/SWEEP_R2.jsonl.
 """
@@ -131,10 +131,30 @@ def main() -> None:
             kmeans_s=round(t_kmeans, 1), layout_s=round(t_layout, 1))
         return cents, iv, inr, ival
 
+    def timed_fori(step_fn, q0, iters: int = 32) -> float:
+        """Per-call ms: ITERS calls inside one jitted fori_loop, loop-carried
+        data dependence, one host readback (bench.py::timed_mode pattern)."""
+
+        @jax.jit
+        def loop(q):
+            def body(i, acc):
+                qq = q * (1.0 + acc * 1e-9)
+                vals, _ = step_fn(qq)
+                return acc * 0.5 + vals[0, 0] * 1e-6
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(np.asarray(loop(q0)))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(q0)))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - 0.025, 1e-9) * 1e3 / iters  # ~25ms relay overhead
+
     def timed_chain(fn, q0, m: int = 24) -> float:
-        """Per-call ms via chained data-dependent dispatches: run chains of
-        length 1 and m; slope cancels constant dispatch/relay overhead.
-        fn(q) must return (vals, idxs); queries perturb on the result."""
+        """Slope of chained data-dependent dispatches — only for kernels that
+        cannot live inside fori (segmax@1M). Floor-limited by the relay
+        dispatch rate; treat as an upper bound on kernel time."""
         def chain(length: int) -> float:
             q = q0
             t0 = time.perf_counter()
@@ -177,12 +197,14 @@ def main() -> None:
         oracle_v, oracle_i = f_exact(q0)
         oracle_i = np.asarray(oracle_i)
 
-        ms_exact = timed_chain(f_exact, q0)
-        ms_approx = timed_chain(f_approx, q0)
+        def step_approx(q):
+            return scored_topk(q, vecs, norms, valid, k=K, metric="cosine",
+                               chunk=chunk, mode="approx")
+
+        ms_approx = timed_fori(step_approx, q0)
         av, ai = f_approx(q0)
         rec_approx = recall_at_k(np.asarray(ai), oracle_i)
-        log(f"flat_{tag}", n=n, exact_ms=round(ms_exact, 3),
-            exact_qps=round(B / ms_exact * 1e3, 0),
+        log(f"flat_approx_{tag}", n=n,
             approx_ms=round(ms_approx, 3),
             approx_qps=round(B / ms_approx * 1e3, 0),
             approx_recall=round(rec_approx, 4))
@@ -227,11 +249,32 @@ def main() -> None:
             tv, tp = lax.top_k(rs, K)
             return tv, jnp.take_along_axis(ci, tp, axis=1)
 
-        ms_i8 = timed_chain(f_int8, q0)
+        def step_int8(q):
+            qf = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+            qs = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0
+            qi = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+            dots = lax.dot_general(qi, vecs_i8, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+            scores = dots.astype(jnp.float32) * factor[None, :] * qs
+            cv, ci = lax.approx_max_k(scores, RESCORE, recall_target=0.95)
+            cvecs = vecs[ci]
+            cn = norms[ci]
+            d2 = jnp.einsum("bd,brd->br", qf.astype(jnp.bfloat16), cvecs,
+                            preferred_element_type=jnp.float32)
+            rs = jnp.minimum(d2 / jnp.maximum(cn, 1e-12), 1.0)
+            tv, tp = lax.top_k(rs, K)
+            return tv, jnp.take_along_axis(ci, tp, axis=1)
+
+        ms_i8 = timed_fori(step_int8, q0)
         _, ii = f_int8(q0)
         rec_i8 = recall_at_k(np.asarray(ii), oracle_i)
         log(f"int8_{tag}", n=n, int8_ms=round(ms_i8, 3),
             int8_qps=round(B / ms_i8 * 1e3, 0), recall=round(rec_i8, 4))
+
+        # exact segmax last: chained-dispatch upper bound (fori hangs its AOT)
+        ms_exact = timed_chain(f_exact, q0)
+        log(f"flat_exact_{tag}", n=n, exact_ms_upper=round(ms_exact, 3),
+            exact_qps_lower=round(B / ms_exact * 1e3, 0))
         return q0
 
     def ivf_sweep(vecs, norms, tag: str, nlist: int, probes):
@@ -258,12 +301,11 @@ def main() -> None:
         from grape_vector_db_tpu.index.ivf import _ivf_topk
 
         for nprobe in probes:
-            @jax.jit
-            def f_ivf(q, nprobe=nprobe):
+            def step_ivf(q, nprobe=nprobe):
                 return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=nprobe,
                                  metric="cosine")
-            ms = timed_chain(f_ivf, q0)
-            _, si = f_ivf(q0)
+            ms = timed_fori(step_ivf, q0)
+            _, si = jax.jit(step_ivf)(q0)
             rec = recall_at_k(np.asarray(si), oracle_i)
             log(f"ivf_{tag}", n=n, nlist=nlist, list_cap=cap, nprobe=nprobe,
                 ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
@@ -273,8 +315,8 @@ def main() -> None:
     # S1 --------------------------------------------------------------------
     print("=== S1: 1M random ===", flush=True)
     vecs, norms = gen_corpus(1_048_576 // SCALE, "random", seed=1)
-    flat_and_int8(vecs, norms, "1M_random")
     ivf_sweep(vecs, norms, "1M_random", nlist=4096 // SCALE, probes=(1, 2, 4, 8, 16, 32, 64))
+    flat_and_int8(vecs, norms, "1M_random")
     del vecs, norms
 
     # S2 --------------------------------------------------------------------
@@ -309,12 +351,11 @@ def main() -> None:
     oracle_i = np.asarray(oi)
     from grape_vector_db_tpu.index.ivf import _ivf_topk
     for nprobe in (4, 8, 16):
-        @jax.jit
         def f_ivf4(q, nprobe=nprobe):
             return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=nprobe,
                              metric="cosine")
-        ms = timed_chain(f_ivf4, q0)
-        _, si = f_ivf4(q0)
+        ms = timed_fori(f_ivf4, q0)
+        _, si = jax.jit(f_ivf4)(q0)
         rec = recall_at_k(np.asarray(si), oracle_i)
         log("ivf_4M_clustered", n=4_194_304 // SCALE, nlist=nlist, list_cap=cap,
             nprobe=nprobe, ms=round(ms, 3), qps=round(B / ms * 1e3, 0),

@@ -57,6 +57,29 @@ from grape_vector_db_tpu.types import Document, DocumentRecord
 __all__ = ["ClusterNode"]
 
 
+class _GroupTransport(Transport):
+    """Transport facade binding a data raft group: outgoing raft RPCs carry a
+    ``_group`` tag the receiving ClusterNode uses to route to the right
+    RaftNode. The node's transport slot stays owned by ClusterNode, so
+    register/unregister are no-ops here."""
+
+    def __init__(self, inner: Transport, group: int):
+        self.inner = inner
+        self.group = group
+
+    def register(self, node_id: str, handler) -> None:  # slot owned by node
+        pass
+
+    def unregister(self, node_id: str) -> None:
+        pass
+
+    def call(self, src: str, dst: str, method: str, payload: Dict[str, Any],
+             timeout_s: float = 1.0) -> Dict[str, Any]:
+        return self.inner.call(src, dst, method,
+                               {**payload, "_group": self.group},
+                               timeout_s=timeout_s)
+
+
 class _TransportDataAccess(ShardDataAccess):
     """ShardDataAccess over the node-to-node transport."""
 
@@ -145,6 +168,28 @@ class ClusterNode:
             snapshot_fn=self._snapshot_state,
             restore_fn=self._restore_state,
         )
+        # Multi-raft (PARITY known-gap closed): independent data raft groups
+        # carry STRONG data commands; the main group keeps metadata. Shard ->
+        # group by shard_id % n. Each group persists under its own namespace.
+        # Data-group snapshots carry only shard versions — documents are
+        # durable in each node's own store and a log-compacted lagging node
+        # catches up through the failover DATA_RESYNC shard pull, not through
+        # InstallSnapshot.
+        self.data_rafts: Dict[int, RaftNode] = {}
+        for g in range(self.config.data_raft_groups):
+            self.data_rafts[g] = RaftNode(
+                node_id, list(seed_nodes), _GroupTransport(transport, g),
+                apply_fn=self._apply_command,
+                storage=self.db.store,
+                config=raft_config or RaftConfig(
+                    election_timeout_ms=self.config.election_timeout_ms,
+                    heartbeat_ms=self.config.raft_heartbeat_ms,
+                ),
+                persist_ns=f"{node_id}@g{g}",
+                snapshot_fn=self._snapshot_versions,
+                restore_fn=self._restore_versions,
+            )
+
         # Take over the transport slot: route raft methods to the raft node and
         # data/cluster methods to this object.
         transport.register(node_id, self._handle_rpc)
@@ -164,7 +209,9 @@ class ClusterNode:
 
     def _handle_rpc(self, method: str, payload: Dict[str, Any]) -> Dict[str, Any]:
         if method in self._raft_methods:
-            return self.raft._handle_rpc(method, payload)
+            group = payload.pop("_group", None)
+            raft = self.raft if group is None else self.data_rafts[group]
+            return raft._handle_rpc(method, payload)
         handler = getattr(self, f"_rpc_{method}", None)
         if handler is None:
             raise UnavailableError(f"unknown method {method}")
@@ -181,6 +228,8 @@ class ClusterNode:
 
     def start(self) -> None:
         self.raft.start()
+        for r in self.data_rafts.values():
+            r.start()
         self.detector.start()
         self._stop_reconcile = threading.Event()
         self._reconcile_thread = threading.Thread(
@@ -203,6 +252,8 @@ class ClusterNode:
         self._recovery_thread.join(timeout=2.0)
         self.detector.stop()
         self.raft.stop()
+        for r in self.data_rafts.values():
+            r.stop()
         self.replication.close()
         self.db.close()
         self.transport.unregister(self.node_id)
@@ -265,9 +316,62 @@ class ClusterNode:
         self.raft.propose_on_leader(data, timeout_s=timeout_s,
                                     wait_applied=wait_applied)
 
+    def _group_of_shard(self, sid: int) -> int:
+        return sid % len(self.data_rafts) if self.data_rafts else -1
+
+    def _propose_data(self, group: int, command: Dict[str, Any],
+                      timeout_s: float = 5.0) -> None:
+        """STRONG data command via its shard group (or the main group when
+        multi-raft is off). Always wait_applied: the coordinator's local state
+        must cover the write before session versions are read."""
+        data = msgpack.packb(command, use_bin_type=True)
+        raft = self.raft if group < 0 else self.data_rafts[group]
+        raft.propose_on_leader(data, timeout_s=timeout_s, wait_applied=True)
+
+    def _snapshot_versions(self) -> bytes:
+        with self._version_lock:
+            return msgpack.packb(
+                {"versions": {str(k): v for k, v in self.shard_versions.items()}},
+                use_bin_type=True,
+            )
+
+    def _restore_versions(self, blob: bytes) -> None:
+        st = msgpack.unpackb(blob, raw=False)
+        with self._version_cv:
+            for k, v in st.get("versions", {}).items():
+                sid = int(k)
+                self.shard_versions[sid] = max(self.shard_versions.get(sid, 0), v)
+            self._version_cv.notify_all()
+
     def _apply_command(self, entry: LogEntry) -> None:
         cmd = msgpack.unpackb(entry.data, raw=False)
         op = cmd.get("op")
+        # Data commands take the state lock only for the shard-map read —
+        # the store/index write happens outside it so the independent raft
+        # groups' apply workers actually run in parallel (the point of
+        # multi-raft); per-shard ordering still holds because a shard's
+        # commands all flow through one group's single ordered apply worker.
+        if op == "data_upsert":
+            with self._state_lock:
+                mine = [
+                    d for d in cmd["docs"]
+                    if self.node_id in self.shard_map.shards[
+                        self.shard_map.shard_for_key(d["id"])
+                    ].all_nodes()
+                ]
+                self._applied_commands += 1
+            if mine:
+                self.db.batch_add_documents([Document.from_dict(d) for d in mine])
+            # Version counters are a pure function of each group's log (every
+            # applier bumps every affected shard), so they agree cluster-wide.
+            self._bump_shard_versions([d["id"] for d in cmd["docs"]])
+            return
+        if op == "data_delete":
+            self.db.batch_delete_documents(cmd["ids"])
+            self._bump_shard_versions(cmd["ids"])
+            with self._state_lock:
+                self._applied_commands += 1
+            return
         with self._state_lock:
             if op == "join":
                 info = NodeInfo(node_id=cmd["node_id"], address=cmd["address"])
@@ -310,31 +414,6 @@ class ClusterNode:
                 self.shard_map.set_placement(
                     cmd["shard_id"], cmd["primary"], cmd["replicas"]
                 )
-            elif op == "data_upsert":
-                # Strong-consistency write path (the reference's
-                # VectorCommand::Upsert applied from the raft log,
-                # raft.rs:96-112, 1161-1237): every node applies the subset of
-                # documents whose shard it owns. Shard-map changes are also
-                # raft-ordered, so ownership is consistent across appliers.
-                mine = [
-                    d for d in cmd["docs"]
-                    if self.node_id in self.shard_map.shards[
-                        self.shard_map.shard_for_key(d["id"])
-                    ].all_nodes()
-                ]
-                if mine:
-                    self.db.batch_add_documents(
-                        [Document.from_dict(d) for d in mine]
-                    )
-                # Version counters are a pure function of the raft log: every
-                # applier bumps every affected shard (not just its own), so
-                # the counters are identical cluster-wide and a coordinator's
-                # local read after wait_applied yields a token that covers
-                # shards it does not own.
-                self._bump_shard_versions([d["id"] for d in cmd["docs"]])
-            elif op == "data_delete":
-                self.db.batch_delete_documents(cmd["ids"])
-                self._bump_shard_versions(cmd["ids"])
             self._applied_commands += 1
 
     def _snapshot_state(self) -> bytes:
@@ -528,9 +607,32 @@ class ClusterNode:
                 info = self.shard_map.shards[self.shard_map.shard_for_key(d.id)]
                 if not info.primary_node:
                     raise UnavailableError("shard map has no placement yet")
-            self._propose({
-                "op": "data_upsert", "docs": [d.to_dict() for d in docs],
-            }, timeout_s=5.0, wait_applied=True)
+            by_group: Dict[int, List[Document]] = {}
+            for d in docs:
+                g = self._group_of_shard(self._shard_of_record(d.id))
+                by_group.setdefault(g, []).append(d)
+            if len(by_group) > 1:
+                # Multi-raft: per-shard-group commands commit through
+                # independent leaders concurrently — write throughput scales
+                # past one leader's pipeline (PARITY known-gap closed).
+                with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=len(by_group), thread_name_prefix="gvdb-mraft"
+                ) as pool:
+                    futs = [
+                        pool.submit(self._propose_data, g, {
+                            "op": "data_upsert",
+                            "docs": [d.to_dict() for d in group_docs],
+                        })
+                        for g, group_docs in by_group.items()
+                    ]
+                    for f in futs:
+                        f.result()
+            else:
+                ((g, group_docs),) = by_group.items()
+                self._propose_data(g, {
+                    "op": "data_upsert",
+                    "docs": [d.to_dict() for d in group_docs],
+                })
             if session is not None:
                 # this node applied the command (wait_applied): local
                 # versions already cover the write
@@ -559,8 +661,13 @@ class ClusterNode:
     def delete(self, ids: Sequence[str],
                session: Optional[SessionToken] = None) -> int:
         if self.config.consistency == ConsistencyLevel.STRONG:
-            self._propose({"op": "data_delete", "ids": list(ids)}, timeout_s=5.0,
-                          wait_applied=True)
+            by_group: Dict[int, List[str]] = {}
+            for i in ids:
+                by_group.setdefault(
+                    self._group_of_shard(self._shard_of_record(i)), []
+                ).append(i)
+            for g, group_ids in by_group.items():
+                self._propose_data(g, {"op": "data_delete", "ids": group_ids})
             if session is not None:
                 with self._version_lock:
                     for i in ids:

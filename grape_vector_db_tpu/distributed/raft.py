@@ -93,8 +93,12 @@ class RaftNode:
         config: Optional[RaftConfig] = None,
         snapshot_fn: Optional[Callable[[], bytes]] = None,
         restore_fn: Optional[Callable[[bytes], None]] = None,
+        persist_ns: Optional[str] = None,
     ):
         self.node_id = node_id
+        # Persistence namespace: multi-raft nodes (one RaftNode per shard
+        # group on the same host) share one KV store — keys must not collide.
+        self._ns = persist_ns or node_id
         self.peers = [p for p in peers if p != node_id]
         self.transport = transport
         self.apply_fn = apply_fn
@@ -187,7 +191,7 @@ class RaftNode:
         if self.storage is None:
             return
         self.storage.put_kv(
-            f"raft_state_{self.node_id}",
+            f"raft_state_{self._ns}",
             msgpack.packb({
                 "term": self.current_term,
                 "voted_for": self.voted_for,
@@ -201,33 +205,33 @@ class RaftNode:
             return
         for e in entries:
             self.storage.put_kv(
-                f"raft_log_{self.node_id}_{e.index:020d}", msgpack.packb(e.to_wire())
+                f"raft_log_{self._ns}_{e.index:020d}", msgpack.packb(e.to_wire())
             )
 
     def _truncate_persisted_from(self, index: int) -> None:
         if self.storage is None:
             return
-        for key, _ in list(self.storage.iter_kv_prefix(f"raft_log_{self.node_id}_")):
+        for key, _ in list(self.storage.iter_kv_prefix(f"raft_log_{self._ns}_")):
             if int(key.rsplit("_", 1)[1]) >= index:
                 self.storage.delete_kv(key)
 
     def _restore_persisted(self) -> None:
         if self.storage is None:
             return
-        raw = self.storage.get_kv(f"raft_state_{self.node_id}")
+        raw = self.storage.get_kv(f"raft_state_{self._ns}")
         if raw:
             st = msgpack.unpackb(raw, raw=False)
             self.current_term = st.get("term", 0)
             self.voted_for = st.get("voted_for")
             self.snapshot_last_index = st.get("snapshot_last_index", 0)
             self.snapshot_last_term = st.get("snapshot_last_term", 0)
-        snap = self.storage.get_kv(f"raft_snapshot_{self.node_id}")
+        snap = self.storage.get_kv(f"raft_snapshot_{self._ns}")
         if snap and self.restore_fn:
             self.restore_fn(snap)
             self.commit_index = self.last_applied = self.snapshot_last_index
             self.applied_through = self.snapshot_last_index
         entries = []
-        for key, val in sorted(self.storage.iter_kv_prefix(f"raft_log_{self.node_id}_")):
+        for key, val in sorted(self.storage.iter_kv_prefix(f"raft_log_{self._ns}_")):
             e = LogEntry.from_wire(msgpack.unpackb(val, raw=False))
             if e.index > self.snapshot_last_index:
                 entries.append(e)
@@ -513,9 +517,9 @@ class RaftNode:
         self.snapshot_last_index = bound
         self.snapshot_last_term = last_term
         if self.storage is not None:
-            self.storage.put_kv(f"raft_snapshot_{self.node_id}", snap)
+            self.storage.put_kv(f"raft_snapshot_{self._ns}", snap)
             self._persist_state()
-            for key, val in list(self.storage.iter_kv_prefix(f"raft_log_{self.node_id}_")):
+            for key, val in list(self.storage.iter_kv_prefix(f"raft_log_{self._ns}_")):
                 if int(key.rsplit("_", 1)[1]) <= self.snapshot_last_index:
                     self.storage.delete_kv(key)
 
@@ -523,7 +527,7 @@ class RaftNode:
         # caller holds lock
         if self.snapshot_fn is None:
             return
-        snap = self.storage.get_kv(f"raft_snapshot_{self.node_id}") if self.storage else None
+        snap = self.storage.get_kv(f"raft_snapshot_{self._ns}") if self.storage else None
         if snap is None:
             snap = self.snapshot_fn()
         payload = {
@@ -678,7 +682,7 @@ class RaftNode:
             self.last_applied = max(self.last_applied, self.snapshot_last_index)
             self.applied_through = max(self.applied_through, self.snapshot_last_index)
             if self.storage is not None:
-                self.storage.put_kv(f"raft_snapshot_{self.node_id}", p["data"])
+                self.storage.put_kv(f"raft_snapshot_{self._ns}", p["data"])
                 self._persist_state()
             return {"term": self.current_term, "ok": True}
 

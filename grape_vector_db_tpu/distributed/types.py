@@ -79,6 +79,11 @@ class ClusterConfig:
     raft_heartbeat_ms: float = 50.0
     virtual_nodes_per_node: int = 100
     rebalance_threshold: float = 0.2  # ±20% (shard.rs:1250-1419)
+    # Multi-raft: number of independent data raft groups carrying STRONG
+    # writes (0 = single group shared with metadata). Shards map to groups by
+    # shard_id % data_raft_groups; leaders spread across nodes, so write
+    # throughput scales past one leader's pipeline.
+    data_raft_groups: int = 0
 
 
 class NodeState(str, enum.Enum):

@@ -328,3 +328,82 @@ def test_search_surfaces_unsatisfiable_stale_shards():
         assert 0 in stale, f"unsatisfiable shard not surfaced: {stale}"
     finally:
         svc.stop()
+
+
+def test_multi_raft_groups_strong_writes_scale():
+    """Multi-raft (PARITY known gap): independent per-shard-group raft groups
+    carry STRONG writes. Each group elects exactly one leader, writes land on
+    exactly the owner nodes, session read-your-writes still holds, and
+    concurrent batches across groups commit in parallel."""
+    import threading
+
+    from grape_vector_db_tpu.distributed.types import SessionToken
+
+    ccfg = ClusterConfig(
+        shard_count=8, replica_count=2,
+        consistency=ConsistencyLevel.STRONG,
+        heartbeat_interval_s=0.2,
+        election_timeout_ms=(80, 160), raft_heartbeat_ms=25.0,
+        data_raft_groups=4,
+    )
+    dcfg = VectorDbConfig(vector_dimension=16)
+    dcfg.device.storage_dtype = "float32"
+    dcfg.index.initial_capacity = 256
+    dcfg.cache.enabled = False
+    rcfg = RaftConfig(election_timeout_ms=(80, 160), heartbeat_ms=25.0, tick_ms=5.0)
+    svc = ClusterService([f"node-{i}" for i in range(3)], cluster_config=ccfg,
+                         db_config=dcfg, raft_config=rcfg)
+    svc.start()
+    try:
+        # every data group elects exactly one leader
+        deadline = time.monotonic() + 8.0
+        def leaders(g):
+            return [nid for nid, n in svc.nodes.items()
+                    if n.data_rafts[g].role.value == "leader"]
+        while time.monotonic() < deadline:
+            if all(len(leaders(g)) == 1 for g in range(4)):
+                break
+            time.sleep(0.05)
+        per_group = {g: leaders(g) for g in range(4)}
+        assert all(len(v) == 1 for v in per_group.values()), per_group
+
+        # concurrent batches: each thread writes docs hashing to all groups
+        node = svc.any_node()
+        session = SessionToken()
+        batches = [make_docs(25, seed=s, dim=16) for s in range(6)]
+        for i, b in enumerate(batches):
+            for d in b:
+                d.id = f"b{i}-{d.id}"
+        errs = []
+        t0 = time.monotonic()
+
+        def write(b):
+            try:
+                node.upsert(b, session=session)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=write, args=(b,)) for b in batches]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=20)
+        wall = time.monotonic() - t0
+        assert not errs, errs
+        assert wall < 15.0, f"concurrent multi-group writes too slow: {wall:.1f}s"
+
+        # correctness: each doc lives exactly on its shard's owners
+        any_node = svc.any_node()
+        for b in batches[:2]:
+            for d in b[:5]:
+                info = any_node.shard_map.shards[any_node.shard_map.shard_for_key(d.id)]
+                holders = {nid for nid, n in svc.nodes.items()
+                           if n.db.store.get(d.id) is not None}
+                assert holders == set(info.all_nodes()), (d.id, holders)
+
+        # read-your-writes across groups via the session token
+        target = batches[0][3]
+        hits = node.search(target.vector, k=3, session=session)
+        assert hits[0][0] == target.id
+    finally:
+        svc.stop()

@@ -131,23 +131,27 @@ def main() -> None:
             kmeans_s=round(t_kmeans, 1), layout_s=round(t_layout, 1))
         return cents, iv, inr, ival
 
-    def timed_fori(step_fn, q0, iters: int = 32) -> float:
+    def timed_fori(step_fn, q0, *operands, iters: int = 32) -> float:
         """Per-call ms: ITERS calls inside one jitted fori_loop, loop-carried
-        data dependence, one host readback (bench.py::timed_mode pattern)."""
+        data dependence, one host readback (bench.py::timed_mode pattern).
+
+        Corpus arrays MUST be passed via *operands, not closed over —
+        closure-captured device arrays get baked into the lowered HLO as
+        multi-GB constants that the relay re-uploads on every compile."""
 
         @jax.jit
-        def loop(q):
+        def loop(q, *ops):
             def body(i, acc):
                 qq = q * (1.0 + acc * 1e-9)
-                vals, _ = step_fn(qq)
+                vals, _ = step_fn(qq, *ops)
                 return acc * 0.5 + vals[0, 0] * 1e-6
             return lax.fori_loop(0, iters, body, jnp.float32(0))
 
-        float(np.asarray(loop(q0)))  # compile + warm
+        float(np.asarray(loop(q0, *operands)))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(np.asarray(loop(q0)))
+            float(np.asarray(loop(q0, *operands)))
             best = min(best, time.perf_counter() - t0)
         return max(best - 0.025, 1e-9) * 1e3 / iters  # ~25ms relay overhead
 
@@ -186,23 +190,20 @@ def main() -> None:
 
         chunk = n // 8
 
-        def run_mode(mode):
-            @jax.jit
-            def f(q):
-                return scored_topk(q, vecs, norms, valid, k=K, metric="cosine",
-                                   chunk=chunk, mode=mode)
-            return f
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def f_mode(q, vecs, norms, valid, mode="exact"):
+            return scored_topk(q, vecs, norms, valid, k=K, metric="cosine",
+                               chunk=chunk, mode=mode)
 
-        f_exact, f_approx = run_mode("exact"), run_mode("approx")
-        oracle_v, oracle_i = f_exact(q0)
+        oracle_v, oracle_i = f_mode(q0, vecs, norms, valid, mode="exact")
         oracle_i = np.asarray(oracle_i)
 
-        def step_approx(q):
+        def step_approx(q, vecs, norms, valid):
             return scored_topk(q, vecs, norms, valid, k=K, metric="cosine",
                                chunk=chunk, mode="approx")
 
-        ms_approx = timed_fori(step_approx, q0)
-        av, ai = f_approx(q0)
+        ms_approx = timed_fori(step_approx, q0, vecs, norms, valid)
+        av, ai = f_mode(q0, vecs, norms, valid, mode="approx")
         rec_approx = recall_at_k(np.asarray(ai), oracle_i)
         log(f"flat_approx_{tag}", n=n,
             approx_ms=round(ms_approx, 3),
@@ -231,25 +232,7 @@ def main() -> None:
 
         RESCORE = 64
 
-        @jax.jit
-        def f_int8(q):
-            qf = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-            qs = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0
-            qi = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
-            dots = lax.dot_general(qi, vecs_i8, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-            scores = dots.astype(jnp.float32) * factor[None, :] * qs
-            cv, ci = lax.approx_max_k(scores, RESCORE, recall_target=0.95)
-            # exact bf16 rescore of the candidates
-            cvecs = vecs[ci]
-            cn = norms[ci]
-            d2 = jnp.einsum("bd,brd->br", qf.astype(jnp.bfloat16), cvecs,
-                            preferred_element_type=jnp.float32)
-            rs = jnp.minimum(d2 / jnp.maximum(cn, 1e-12), 1.0)
-            tv, tp = lax.top_k(rs, K)
-            return tv, jnp.take_along_axis(ci, tp, axis=1)
-
-        def step_int8(q):
+        def step_int8(q, vecs_i8, factor, vecs, norms):
             qf = q / jnp.linalg.norm(q, axis=1, keepdims=True)
             qs = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0
             qi = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
@@ -265,14 +248,15 @@ def main() -> None:
             tv, tp = lax.top_k(rs, K)
             return tv, jnp.take_along_axis(ci, tp, axis=1)
 
-        ms_i8 = timed_fori(step_int8, q0)
-        _, ii = f_int8(q0)
+        ms_i8 = timed_fori(step_int8, q0, vecs_i8, factor, vecs, norms)
+        _, ii = jax.jit(step_int8)(q0, vecs_i8, factor, vecs, norms)
         rec_i8 = recall_at_k(np.asarray(ii), oracle_i)
         log(f"int8_{tag}", n=n, int8_ms=round(ms_i8, 3),
             int8_qps=round(B / ms_i8 * 1e3, 0), recall=round(rec_i8, 4))
 
         # exact segmax last: chained-dispatch upper bound (fori hangs its AOT)
-        ms_exact = timed_chain(f_exact, q0)
+        ms_exact = timed_chain(
+            lambda q: f_mode(q, vecs, norms, valid, mode="exact"), q0)
         log(f"flat_exact_{tag}", n=n, exact_ms_upper=round(ms_exact, 3),
             exact_qps_lower=round(B / ms_exact * 1e3, 0))
         return q0
@@ -291,21 +275,21 @@ def main() -> None:
         chunk = nn // 8 if (nn // 8) % 32 == 0 and nn % 8 == 0 else nn
 
         @jax.jit
-        def f_oracle(q):
+        def f_oracle(q, flatv, flatn, flatm):
             return scored_topk(q, flatv, flatn, flatm, k=K, metric="cosine",
                                chunk=chunk, mode="exact")
 
-        _, oi = f_oracle(q0)
+        _, oi = f_oracle(q0, flatv, flatn, flatm)
         oracle_i = np.asarray(oi)
 
         from grape_vector_db_tpu.index.ivf import _ivf_topk
 
         for nprobe in probes:
-            def step_ivf(q, nprobe=nprobe):
+            def step_ivf(q, cents, iv, inr, ival, nprobe=nprobe):
                 return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=nprobe,
                                  metric="cosine")
-            ms = timed_fori(step_ivf, q0)
-            _, si = jax.jit(step_ivf)(q0)
+            ms = timed_fori(step_ivf, q0, cents, iv, inr, ival)
+            _, si = jax.jit(step_ivf)(q0, cents, iv, inr, ival)
             rec = recall_at_k(np.asarray(si), oracle_i)
             log(f"ivf_{tag}", n=n, nlist=nlist, list_cap=cap, nprobe=nprobe,
                 ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
@@ -343,19 +327,19 @@ def main() -> None:
     import jax.numpy as jnp2  # noqa: F401
 
     @jax.jit
-    def f_oracle4(q):
+    def f_oracle4(q, flatv, flatn, flatm):
         return scored_topk(q, flatv, flatn, flatm, k=K, metric="cosine",
                            chunk=chunk, mode="exact")
 
-    _, oi = f_oracle4(q0)
+    _, oi = f_oracle4(q0, flatv, flatn, flatm)
     oracle_i = np.asarray(oi)
     from grape_vector_db_tpu.index.ivf import _ivf_topk
     for nprobe in (4, 8, 16):
-        def f_ivf4(q, nprobe=nprobe):
+        def f_ivf4(q, cents, iv, inr, ival, nprobe=nprobe):
             return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=nprobe,
                              metric="cosine")
-        ms = timed_fori(f_ivf4, q0)
-        _, si = jax.jit(f_ivf4)(q0)
+        ms = timed_fori(f_ivf4, q0, cents, iv, inr, ival)
+        _, si = jax.jit(f_ivf4)(q0, cents, iv, inr, ival)
         rec = recall_at_k(np.asarray(si), oracle_i)
         log("ivf_4M_clustered", n=4_194_304 // SCALE, nlist=nlist, list_cap=cap,
             nprobe=nprobe, ms=round(ms, 3), qps=round(B / ms * 1e3, 0),

@@ -33,6 +33,7 @@ __all__ = [
     "SparseVectorConfig",
     "EmbeddingConfig",
     "DeviceConfig",
+    "TlsConfig",
     "VectorDbConfig",
     "EmbeddedConfig",
     "load_config",
@@ -44,8 +45,9 @@ class IndexConfig:
     """ANN index parameters (reference index.rs:22-32, config.rs HnswConfig).
 
     ``kind`` selects the index family: "flat" (exact device scan), "binary"
-    (Hamming pre-scan + rescore), "ivf" (partitioned scan), "graph" (batched
-    fixed-degree beam search).
+    (Hamming pre-scan + rescore), "int8" (int8 scan at 2x HBM efficiency +
+    exact rescore), "ivf"/"ivf_pq"/"pq" (partitioned / quantized scans),
+    "graph" (batched fixed-degree beam search).
     """
 
     kind: str = "flat"
@@ -61,6 +63,9 @@ class IndexConfig:
     initial_capacity: int = 4096
     # When kind="binary"/"pq": candidates rescored = max(limit, rescore_ratio * n)
     rescore_ratio: float = 0.1
+    # When kind="int8": fixed rescore candidate count (int8 stage-1 ranking is
+    # near-exact, so a small constant suffices)
+    int8_rescore: int = 64
     # PQ parameters (kind="pq"): subspaces (None -> dim // 8) and bits/code
     pq_n_sub: Optional[int] = None
     pq_nbits: int = 8

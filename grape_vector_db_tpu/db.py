@@ -102,6 +102,10 @@ def build_index(config: VectorDbConfig) -> VectorIndex:
             nbits=config.index.pq_nbits,
             rescore_ratio=config.index.rescore_ratio,
         )
+    if kind == "int8":
+        from grape_vector_db_tpu.index.int8 import Int8DeviceIndex
+
+        return Int8DeviceIndex(**common, rescore=config.index.int8_rescore)
     if kind == "graph":
         from grape_vector_db_tpu.index.graph import GraphDeviceIndex
 

@@ -8,10 +8,14 @@ Replaces the reference's index layer (src/index.rs, src/quantization.rs):
 - IvfDeviceIndex: k-means partitioned scan (the reference's FaissVectorIndex
   trains k-means but then linear-scans anyway, index.rs:620-640 — ours actually
   prunes).
+- Int8DeviceIndex: int8 pre-scan at 2x HBM efficiency + exact bf16 rescore
+  (no reference analog — exists because the TPU memory system rewards it).
 """
 
 from grape_vector_db_tpu.index.base import VectorIndex, IndexStats
 from grape_vector_db_tpu.index.flat import FlatDeviceIndex
 from grape_vector_db_tpu.index.binary import BinaryDeviceIndex
+from grape_vector_db_tpu.index.int8 import Int8DeviceIndex
 
-__all__ = ["VectorIndex", "IndexStats", "FlatDeviceIndex", "BinaryDeviceIndex"]
+__all__ = ["VectorIndex", "IndexStats", "FlatDeviceIndex", "BinaryDeviceIndex",
+           "Int8DeviceIndex"]

@@ -1,0 +1,102 @@
+"""Int8DeviceIndex — two-stage int8-prescan + exact-bf16-rescore flat index.
+
+The bandwidth play for HBM-resident corpora: the bf16 full scan is
+roofline-bound, so halving bytes/row with per-row symmetric int8 doubles scan
+throughput; the exact rescore of the top candidates (from the bf16 copy the
+parent class already keeps) restores near-perfect ranking. Memory cost is
+1.5x the bf16 index (bf16 vectors + int8 codes).
+
+Same two-stage structure as BinaryDeviceIndex (and the reference's
+multi_stage_search, quantization.rs:151-193) with a far stronger stage 1:
+int8 cosine correlates ~0.9999 with f32 cosine on 768-d data vs Hamming's
+coarse ordering.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grape_vector_db_tpu.index.binary import _rescore_topk
+from grape_vector_db_tpu.index.flat import FlatDeviceIndex, _scatter_set
+from grape_vector_db_tpu.ops.int8 import int8_topk, quantize_int8
+from grape_vector_db_tpu.utils.buckets import next_bucket
+
+import functools
+
+__all__ = ["Int8DeviceIndex"]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_int8(codes, scales, slots, new_vecs):
+    vi, s = quantize_int8(new_vecs)
+    codes = codes.at[slots].set(vi, mode="drop")
+    scales = scales.at[slots].set(s, mode="drop")
+    return codes, scales
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("new_cap",))
+def _grow_int8(codes, scales, new_cap: int):
+    pad = new_cap - codes.shape[0]
+    return (jnp.pad(codes, ((0, pad), (0, 0))), jnp.pad(scales, ((0, pad),)))
+
+
+class Int8DeviceIndex(FlatDeviceIndex):
+    """Drop-in VectorIndex: int8 scan + exact rescore."""
+
+    kind = "int8"
+
+    def __init__(self, *args, rescore: int = 64, **kwargs):
+        self.rescore = int(rescore)
+        super().__init__(*args, **kwargs)
+
+    # -- storage hooks ---------------------------------------------------------
+
+    def _alloc_extra(self, capacity: int) -> None:
+        self.codes = self._put(jnp.zeros((capacity, self._dim), dtype=jnp.int8))
+        self.scales = self._put(jnp.zeros((capacity,), dtype=jnp.float32))
+
+    def _grow_extra(self, new_cap: int) -> None:
+        self.codes, self.scales = _grow_int8(self.codes, self.scales,
+                                             new_cap=new_cap)
+
+    def _write(self, slots, vecs, norms) -> None:
+        self.vectors, self.norms, self.valid = _scatter_set(
+            self.vectors, self.norms, self.valid, slots, vecs, norms
+        )
+        self.codes, self.scales = _scatter_int8(self.codes, self.scales,
+                                                slots, vecs)
+
+    # -- search ------------------------------------------------------------------
+
+    def _rescore_count(self, k: int) -> int:
+        return next_bucket(min(max(self.rescore, k), max(self.capacity, 1)),
+                           base=64)
+
+    def raw_topk(self, queries: np.ndarray, k: int,
+                 mask: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray]:
+        with self._lock:  # updates donate buffers; see FlatDeviceIndex.raw_topk
+            r = self._rescore_count(k)
+            q = jnp.asarray(queries, dtype=jnp.float32)
+            # factor folds dequant scale and the cosine norm division
+            factor = self.scales / jnp.maximum(self.norms, 1e-12)
+            valid = self.valid if mask is None else jnp.logical_and(
+                self.valid, jnp.asarray(mask))
+            chunk = min(131_072, self.capacity)
+            cvals, cand = int8_topk(q, self.codes, factor, valid, k=r,
+                                    chunk=chunk)
+            dist_proxy = jnp.where(jnp.isfinite(cvals), 0, 2**30
+                                   ).astype(jnp.int32)
+            vals, idxs = _rescore_topk(q, self.vectors, self.norms, cand,
+                                       dist_proxy, k=k, metric=self.metric)
+            return np.asarray(vals), np.asarray(idxs)
+
+    def get_stats(self):
+        stats = super().get_stats()
+        stats.kind = self.kind
+        stats.extra["int8_mb"] = self.capacity * (self._dim + 4) / 1e6
+        stats.extra["rescore_k"] = float(self._rescore_count(10))
+        return stats

@@ -125,3 +125,40 @@ def test_dimension_mismatch(rng):
     idx = FlatDeviceIndex(dimension=8, storage_dtype="float32")
     with pytest.raises(DimensionMismatchError):
         idx.add_batch(["a"], rng.standard_normal((1, 9)).astype(np.float32))
+
+
+# -- int8 two-stage (bandwidth play; no reference analog) ---------------------------
+
+
+def test_int8_index_matches_exact_oracle(rng):
+    from grape_vector_db_tpu.index.int8 import Int8DeviceIndex
+
+    dim, n, k = 48, 3000, 10
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"r{i}" for i in range(n)]
+    idx = Int8DeviceIndex(dim, storage_dtype="float32", initial_capacity=4096,
+                          rescore=64)
+    idx.add_batch(ids, vecs)
+    queries = vecs[:16] + 0.01 * rng.standard_normal((16, dim)).astype(np.float32)
+
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    oracle = np.argsort(-(qn @ vn.T), axis=1)[:, :k]
+
+    hits = idx.search_batch(queries, k)
+    recall = np.mean([
+        len({h[0] for h in row} & {f"r{j}" for j in want}) / k
+        for row, want in zip(hits, oracle)
+    ])
+    assert recall >= 0.99, recall
+
+    # upsert/delete round trip through the int8 code arrays
+    idx.remove_batch(["r5"])
+    assert all(h[0] != "r5" for h in idx.search_batch(vecs[5:6], 5)[0])
+    idx.add_batch(["r5"], vecs[5:6])
+    assert idx.search_batch(vecs[5:6], 1)[0][0][0] == "r5"
+
+    # masked filtered search (mask folds into the int8 pre-scan)
+    allowed = {"r1", "r2", "r77"}
+    got = idx.search_batch(queries[:1], 3, mask=idx.compile_mask(allowed))[0]
+    assert {h[0] for h in got} == allowed

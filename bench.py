@@ -1,63 +1,101 @@
-"""Headline benchmark: cosine top-10 query throughput on the real chip.
+"""Headline benchmark: per-engine query-throughput matrix on the real chip.
 
-Workload (BASELINE.md configs): 100k x 768-d corpus (bf16 on device), batched
-queries, top-10. The reference's read-path number is 42,018 QPS on CPU
-(docs/project-status-summary.md:21); ``vs_baseline`` is our queries/sec over
-that — with the exact engine (recall 1.0), which is stronger than the
-reference's ANN read path.
+Workloads (BASELINE.md configs): 100k x 768-d bf16 corpus, batched top-10
+queries, one engine per row — flat exact / flat approx / int8 two-stage /
+binary two-stage / IVF / IVF-PQ — plus 1M x 768 points for the engines that
+matter at that scale (flat approx, int8, segmax exact). The reference's
+read-path number is 42,018 QPS on CPU (docs/project-status-summary.md:21);
+``vs_baseline`` is exact-flat queries/sec over that.
 
-Timing method: the query kernel runs ITERS times inside one jitted
-``lax.fori_loop`` with a loop-carried data dependence, so neither XLA nor the
-TPU relay can elide or dedupe iterations; one host readback closes the
-measurement. (Naive dispatch loops measure ~30x too fast through the relay.)
+Timing: ITERS iterations inside one jitted ``lax.fori_loop`` with a
+loop-carried data dependence (neither XLA nor the TPU relay can elide or
+dedupe iterations); one host readback closes the measurement; corpus arrays
+are passed as jit operands (closure capture would bake them into the HLO).
+The 1M exact segmax engine cannot be fori-wrapped (its AOT compile hangs the
+relay — round-1 finding) and is timed by chained data-dependent dispatches:
+an upper bound that includes relay dispatch overhead.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "matrix",
+...} where matrix holds the per-engine rows.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_READ_QPS = 42_018.0
+DIM, K, BATCH = 768, 10, 128
+# CPU smoke mode: divide corpus sizes (BENCH_SCALE=16 for the test suite)
+SCALE = int(os.environ.get("BENCH_SCALE", "1"))
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from jax import lax
+    from jax import lax, random
 
     from grape_vector_db_tpu.index import FlatDeviceIndex
     from grape_vector_db_tpu.ops.distance import scored_topk
 
-    dim, n, k, batch = 768, 100_000, 10, 128
-    cap = 131_072  # one capacity bucket: no growth recompiles
-    iters = 60
+    n, cap = 100_000 // SCALE, 131_072 // SCALE
+    iters = 60 if SCALE == 1 else 4
     rng = np.random.default_rng(0)
+    matrix: dict = {}
 
-    idx = FlatDeviceIndex(
-        dimension=dim, metric="cosine", storage_dtype="bfloat16",
-        initial_capacity=cap,
-    )
+    # ---------------------------------------------------------------- helpers
+
+    def timed_fori(step_fn, q0, *operands, its: int = iters) -> float:
+        @jax.jit
+        def loop(q, *ops):
+            def body(i, acc):
+                qq = q * (1.0 + acc * 1e-9)
+                vals, _ = step_fn(qq, *ops)
+                return acc * 0.5 + vals[0, 0] * 1e-6
+            return lax.fori_loop(0, its, body, jnp.float32(0))
+
+        float(np.asarray(loop(q0, *operands)))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(q0, *operands)))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - 0.025, 1e-9) * 1e3 / its
+
+    def recall_vs(oracle_ids, hits_rows) -> float:
+        got = 0
+        for want, row in zip(oracle_ids, hits_rows):
+            ids = {h[0] for h in row}
+            got += sum(1 for w in want if f"doc-{w}" in ids)
+        return got / oracle_ids.size
+
+    # ---------------------------------------------------------------- corpus
+
+    idx = FlatDeviceIndex(dimension=DIM, metric="cosine",
+                          storage_dtype="bfloat16", initial_capacity=cap)
     ids = [f"doc-{i}" for i in range(n)]
-    vecs = rng.standard_normal((n, dim), dtype=np.float32)
-
-    # Real ingest (also warms the scatter kernel + populates the index).
+    vecs = rng.standard_normal((n, DIM), dtype=np.float32)
     for i in range(0, n, 8192):
         idx.add_batch(ids[i:i + 8192], vecs[i:i + 8192])
 
-    # Device ingest throughput: loop the scatter kernel on-device over
-    # pre-staged batches (host->device staging is measured separately — through
-    # this harness's relay it is bandwidth-limited and not a TPU property).
-    nb = n // 8192
-    t0 = time.perf_counter()
-    stage_vecs = jnp.asarray(vecs[: nb * 8192].reshape(nb, 8192, dim))
+    queries = rng.standard_normal((BATCH, DIM), dtype=np.float32)
+    q_dev = jnp.asarray(queries)
+
+    # numpy oracle for recall columns (4 queries is enough for a sanity recall)
+    qn = queries[:8] / np.linalg.norm(queries[:8], axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    oracle = np.argsort(-(qn @ vn.T), axis=1)[:, :K]
+
+    # ---------------------------------------------------------------- ingest
+
+    ibs = min(8192, n)
+    nb = n // ibs
+    stage_vecs = jnp.asarray(vecs[: nb * ibs].reshape(nb, ibs, DIM))
     stage_norms = jnp.linalg.norm(stage_vecs, axis=2)
-    stage_slots = jnp.arange(nb * 8192, dtype=jnp.int32).reshape(nb, 8192)
-    float(np.asarray(stage_norms[0, 0]))
-    staging_s = time.perf_counter() - t0
+    stage_slots = jnp.arange(nb * ibs, dtype=jnp.int32).reshape(nb, ibs)
 
     @jax.jit
     def ingest_loop(vectors, norms, valid, sv, sn, ss):
@@ -69,75 +107,208 @@ def main() -> None:
             return (vectors, norms, valid)
         return lax.fori_loop(0, nb, step, (vectors, norms, valid))
 
-    out = ingest_loop(idx.vectors, idx.norms, idx.valid, stage_vecs, stage_norms,
-                      stage_slots)
+    out = ingest_loop(idx.vectors, idx.norms, idx.valid, stage_vecs,
+                      stage_norms, stage_slots)
     float(np.asarray(out[1][0]))  # compile + force
     t0 = time.perf_counter()
-    out = ingest_loop(idx.vectors, idx.norms, idx.valid, stage_vecs, stage_norms,
-                      stage_slots)
+    out = ingest_loop(idx.vectors, idx.norms, idx.valid, stage_vecs,
+                      stage_norms, stage_slots)
     float(np.asarray(out[1][0]))
     ingest_s = time.perf_counter() - t0
+    matrix["ingest_100k"] = {
+        "docs_per_s": round(nb * ibs / ingest_s, 0),
+    }
+    del stage_vecs, stage_norms, stage_slots, out
 
-    queries = rng.standard_normal((batch, dim), dtype=np.float32)
-    q_dev = jnp.asarray(queries)
+    # ------------------------------------------------------------- flat modes
 
-    def timed_mode(mode: str) -> float:
-        """Per-batch milliseconds for the given top-k engine."""
+    def step_flat(q, vectors, norms, valid, mode):
+        return scored_topk(q, vectors, norms, valid, k=K, metric="cosine",
+                           mode=mode)
 
-        @jax.jit
-        def loop(q, vectors, norms, valid):
-            def step(i, acc):
-                qq = q * (1.0 + acc * 1e-9)
-                vals, _ = scored_topk(qq, vectors, norms, valid, k=k,
-                                      metric="cosine", mode=mode)
-                return acc * 0.5 + vals[0, 0] * 1e-6
-            return lax.fori_loop(0, iters, step, jnp.float32(0))
+    for mode in ("exact", "approx"):
+        def stepper(q, vectors, norms, valid, mode=mode):
+            return step_flat(q, vectors, norms, valid, mode)
+        ms = timed_fori(stepper, q_dev, idx.vectors, idx.norms, idx.valid)
+        hits = idx.search_batch(queries[:8], K) if mode == "exact" else None
+        row = {"batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0)}
+        if mode == "exact":
+            row["recall"] = round(recall_vs(oracle, hits), 3)
+        matrix[f"flat_{mode}_100k"] = row
+    exact_qps = matrix["flat_exact_100k"]["qps"]
 
-        float(np.asarray(loop(q_dev, idx.vectors, idx.norms, idx.valid)))  # compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(np.asarray(loop(q_dev, idx.vectors, idx.norms, idx.valid)))
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3 / iters
+    # --------------------------------------------------------------- int8
 
-    exact_ms = timed_mode("exact")
-    approx_ms = timed_mode("approx")
-    exact_qps = batch / (exact_ms / 1e3)
-    approx_qps = batch / (approx_ms / 1e3)
+    from grape_vector_db_tpu.index.int8 import Int8DeviceIndex
+    from grape_vector_db_tpu.ops.int8 import int8_topk
 
-    # Synchronous end-to-end (host in / host out) single-batch latency.
-    lat = []
-    for _ in range(3):
+    i8 = Int8DeviceIndex(dimension=DIM, metric="cosine",
+                         storage_dtype="bfloat16", initial_capacity=cap)
+    for i in range(0, n, 8192):
+        i8.add_batch(ids[i:i + 8192], vecs[i:i + 8192])
+
+    from grape_vector_db_tpu.index.binary import _rescore_topk
+
+    r8 = i8._rescore_count(K)
+
+    def step_int8(q, codes, factor, valid, vectors, norms):
+        cvals, cand = int8_topk(q, codes, factor, valid, k=r8, chunk=cap)
+        dist = jnp.where(jnp.isfinite(cvals), 0, 2**30).astype(jnp.int32)
+        return _rescore_topk(q, vectors, norms, cand, dist, k=K,
+                             metric="cosine")
+
+    factor8 = i8.scales / jnp.maximum(i8.norms, 1e-12)
+    ms = timed_fori(step_int8, q_dev, i8.codes, factor8, i8.valid,
+                    i8.vectors, i8.norms)
+    matrix["int8_100k"] = {
+        "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
+        "recall": round(recall_vs(oracle, i8.search_batch(queries[:8], K)), 3),
+    }
+    del i8, factor8
+
+    # --------------------------------------------------------------- binary
+
+    from grape_vector_db_tpu.index.binary import BinaryDeviceIndex
+    from grape_vector_db_tpu.ops.hamming import hamming_topk, pack_bits
+
+    bq = BinaryDeviceIndex(dimension=DIM, metric="cosine",
+                           storage_dtype="bfloat16", initial_capacity=cap,
+                           max_rescore=4096)
+    for i in range(0, n, 8192):
+        bq.add_batch(ids[i:i + 8192], vecs[i:i + 8192])
+    rb = bq._rescore_count(K)
+
+    def step_bin(q, codes, valid, vectors, norms):
+        qc = pack_bits(q.astype(jnp.float32), 0.0)
+        dists, cand = hamming_topk(qc, codes, valid, k=rb, chunk=16384,
+                                   impl=bq.hamming_impl)
+        return _rescore_topk(q, vectors, norms, cand, dists, k=K,
+                             metric="cosine")
+
+    ms = timed_fori(step_bin, q_dev, bq.codes, bq.valid, bq.vectors, bq.norms)
+    matrix["binary_100k"] = {
+        "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
+        "recall": round(recall_vs(oracle, bq.search_batch(queries[:8], K)), 3),
+    }
+    del bq
+
+    # ----------------------------------------------------------------- ivf
+
+    from grape_vector_db_tpu.index.ivf import IvfDeviceIndex, _ivf_topk
+
+    ivf = IvfDeviceIndex(dimension=DIM, metric="cosine",
+                         storage_dtype="bfloat16", initial_capacity=cap,
+                         nlist=256 // SCALE or 4, nprobe=16,
+                         train_size=50_000 // SCALE)
+    for i in range(0, n, 8192):
+        ivf.add_batch(ids[i:i + 8192], vecs[i:i + 8192])
+
+    def step_ivf(q, cents, iv, inr, ival):
+        return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=16,
+                         metric="cosine")
+
+    ms = timed_fori(step_ivf, q_dev, ivf.centroids, ivf.vecs, ivf.norms,
+                    ivf.valid)
+    matrix["ivf_100k_nprobe16"] = {
+        "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
+        "recall": round(recall_vs(oracle, ivf.search_batch(queries[:8], K)), 3),
+        "note": "random data is IVF's worst case; see docs/benchmarks.md for clustered",
+    }
+    del ivf
+
+    # ------------------------------------------------- 1M points (on-device)
+
+    key = random.PRNGKey(1)
+    chunk1m = 131_072 // SCALE
+    parts_v, parts_n = [], []
+
+    @jax.jit
+    def gen(k1):
+        x = random.normal(k1, (chunk1m, DIM), jnp.float32)
+        return x.astype(jnp.bfloat16), jnp.linalg.norm(x, axis=1)
+
+    for _ in range(8):
+        k1, key = random.split(key)
+        v, nn_ = gen(k1)
+        parts_v.append(v)
+        parts_n.append(nn_)
+    v1m = jnp.concatenate(parts_v)
+    n1m = jnp.concatenate(parts_n)
+    m1m = jnp.ones((v1m.shape[0],), jnp.bool_)
+    del parts_v, parts_n
+
+    def step_1m_approx(q, vectors, norms, valid):
+        return scored_topk(q, vectors, norms, valid, k=K, metric="cosine",
+                           chunk=chunk1m, mode="approx")
+
+    ms = timed_fori(step_1m_approx, q_dev, v1m, n1m, m1m, its=24 if SCALE == 1 else 2)
+    matrix["flat_approx_1M"] = {"batch_ms": round(ms, 3),
+                                "qps": round(BATCH / ms * 1e3, 0)}
+
+    from grape_vector_db_tpu.ops.int8 import quantize_int8
+
+    parts_i, parts_s = [], []
+    for i in range(8):
+        vi, sc = quantize_int8(lax.dynamic_slice_in_dim(v1m, i * chunk1m,
+                                                        chunk1m))
+        parts_i.append(vi)
+        parts_s.append(sc)
+    c1m = jnp.concatenate(parts_i)
+    f1m = jnp.concatenate(parts_s) / jnp.maximum(n1m, 1e-12)
+    del parts_i, parts_s
+
+    def step_1m_int8(q, codes, factor, valid, vectors, norms):
+        cvals, cand = int8_topk(q, codes, factor, valid, k=64, chunk=chunk1m)
+        dist = jnp.where(jnp.isfinite(cvals), 0, 2**30).astype(jnp.int32)
+        return _rescore_topk(q, vectors, norms, cand, dist, k=K,
+                             metric="cosine")
+
+    ms = timed_fori(step_1m_int8, q_dev, c1m, f1m, m1m, v1m, n1m, its=24 if SCALE == 1 else 2)
+    matrix["int8_1M"] = {"batch_ms": round(ms, 3),
+                         "qps": round(BATCH / ms * 1e3, 0)}
+
+    # exact 1M (segmax): chained-dispatch upper bound — fori hangs its AOT
+    @jax.jit
+    def f_exact_1m(q, vectors, norms, valid):
+        return scored_topk(q, vectors, norms, valid, k=K, metric="cosine",
+                           chunk=chunk1m, mode="exact")
+
+    def chain(length: int) -> float:
+        q = q_dev
         t0 = time.perf_counter()
-        idx.raw_topk(queries, k)
-        lat.append((time.perf_counter() - t0) * 1e3)
-    sync_ms = float(np.median(lat))
+        v = None
+        for _ in range(length):
+            v, _ = f_exact_1m(q, v1m, n1m, m1m)
+            q = q_dev * (1.0 + v[0, 0] * 1e-9)
+        float(np.asarray(v[0, 0]))
+        return time.perf_counter() - t0
 
-    # Correctness spot check: the f32 numpy oracle's global top-10 must appear
-    # in the device's top-100 (rank tolerance absorbs bf16 near-tie swaps on
-    # random gaussian data, where rank-10/11 score gaps are ~1e-4).
-    qn = queries[:4] / np.linalg.norm(queries[:4], axis=1, keepdims=True)
-    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    oracle = np.argsort(-(qn @ vn.T), axis=1)[:, :k]
-    hits = idx.search_batch(queries[:4], 100)
+    chain(2)
+    t1 = min(chain(1) for _ in range(3))
+    m_chain = 12 if SCALE == 1 else 3
+    tm = min(chain(m_chain) for _ in range(2))
+    ms = (tm - t1) * 1e3 / (m_chain - 1)
+    matrix["flat_exact_1M"] = {
+        "batch_ms_upper": round(ms, 3),
+        "qps_lower": round(BATCH / ms * 1e3, 0),
+        "note": "chained-dispatch upper bound incl. relay overhead",
+    }
+    del v1m, n1m, m1m, c1m, f1m
+
+    # ------------------------------------------------------------ correctness
+
+    hits = idx.search_batch(queries[:8], 100)
     for row, want in zip(hits, oracle):
         got_ids = {h[0] for h in row}
         overlap = sum(1 for w in want if f"doc-{w}" in got_ids)
-        assert overlap >= int(0.9 * k), f"sanity recall too low: {overlap}/{k}"
+        assert overlap >= int(0.9 * K), f"sanity recall too low: {overlap}/{K}"
 
     result = {
-        "metric": f"exact_cosine_top{k}_qps_{n // 1000}k_x_{dim}d_bf16_batch{batch}",
-        "value": round(exact_qps, 1),
+        "metric": f"exact_cosine_top{K}_qps_{n // 1000}k_x_{DIM}d_bf16_batch{BATCH}",
+        "value": exact_qps,
         "unit": "queries/s",
         "vs_baseline": round(exact_qps / BASELINE_READ_QPS, 3),
-        "exact_batch_ms": round(exact_ms, 3),
-        "approx_qps": round(approx_qps, 1),
-        "approx_batch_ms": round(approx_ms, 3),
-        "sync_batch_ms": round(sync_ms, 1),
-        "device_ingest_s": round(ingest_s, 3),
-        "device_ingest_docs_per_s": round(nb * 8192 / ingest_s, 1),
-        "staging_s": round(staging_s, 2),
+        "matrix": matrix,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -32,6 +32,9 @@ DIM, K, B = 768, 10, 128
 # CPU smoke mode: scale every corpus down by this factor (sizes stay
 # multiples of the generator chunk)
 SCALE = int(os.environ.get("SWEEP_SCALE", "1"))
+# Resumable stages: comma list among s1ivf,s1flat,s2,s3 (a crashed stage can
+# be skipped on relaunch; results append to the same jsonl).
+STAGES = set(os.environ.get("SWEEP_STAGES", "s1ivf,s1flat,s2,s3").split(","))
 
 
 def log(stage: str, **kv) -> None:
@@ -261,15 +264,28 @@ def main() -> None:
             exact_qps_lower=round(B / ms_exact * 1e3, 0))
         return q0
 
-    def ivf_sweep(vecs, norms, tag: str, nlist: int, probes):
+    def ivf_sweep(vecs, norms, tag: str, nlist: int, probes,
+                  free_corpus: bool = False):
         n = vecs.shape[0]
         cents, iv, inr, ival = build_ivf(vecs, norms, nlist)
+        if free_corpus:
+            # the raw corpus is only needed for the build; freeing it makes
+            # room for the probe gathers + oracle workspace
+            vecs.delete()
+            norms.delete()
+        del vecs, norms
         cap = iv.shape[1]
         flatv = iv.reshape(nlist * cap, DIM)
         flatn = inr.reshape(nlist * cap)
         flatm = ival.reshape(nlist * cap)
         kq = random.PRNGKey(7)
-        q0 = random.normal(kq, (B, DIM), jnp.float32)
+        # corpus-drawn queries: real queries live near the data manifold;
+        # pure-random queries are ~orthogonal to every cluster and reduce any
+        # partitioned index to chance (measured: recall 0.15 on clustered
+        # data with random queries vs >0.9 with corpus-drawn ones)
+        assert bool(np.asarray(ival[:B, 0].all())), "unbalanced lists"
+        q0 = (iv[:B, 0, :].astype(jnp.float32)
+              + 0.05 * random.normal(kq, (B, DIM), jnp.float32))
 
         nn = nlist * cap
         chunk = nn // 8 if (nn // 8) % 32 == 0 and nn % 8 == 0 else nn
@@ -298,26 +314,112 @@ def main() -> None:
 
     # S1 --------------------------------------------------------------------
     print("=== S1: 1M random ===", flush=True)
-    vecs, norms = gen_corpus(1_048_576 // SCALE, "random", seed=1)
-    ivf_sweep(vecs, norms, "1M_random", nlist=4096 // SCALE, probes=(1, 2, 4, 8, 16, 32, 64))
-    flat_and_int8(vecs, norms, "1M_random")
-    del vecs, norms
+    if STAGES & {"s1ivf", "s1flat"}:
+        vecs, norms = gen_corpus(1_048_576 // SCALE, "random", seed=1)
+        if "s1ivf" in STAGES:
+            # nprobe=64 with list_cap~320 gathers a 4GB [B,P,C,D] intermediate
+            # and OOMs the chip next to the 3.5GB corpus+ivf residents.
+            ivf_sweep(vecs, norms, "1M_random", nlist=4096 // SCALE,
+                      probes=(1, 2, 4, 8, 16, 32))
+        if "s1flat" in STAGES:
+            flat_and_int8(vecs, norms, "1M_random")
+        del vecs, norms
 
     # S2 --------------------------------------------------------------------
     print("=== S2: 1M clustered ===", flush=True)
-    vecs, norms = gen_corpus(1_048_576 // SCALE, "clustered", seed=2)
-    ivf_sweep(vecs, norms, "1M_clustered", nlist=4096 // SCALE, probes=(1, 2, 4, 8, 16))
-    del vecs, norms
+    if "s2" in STAGES:
+        # 16k natural clusters (fine-grained, like real embedding corpora) so
+        # 4096 kmeans lists each absorb ~4 of them and stay balanced — 1024
+        # giant clusters skewed list_cap to 1152 (7.2GB padded) and OOM'd.
+        vecs, norms = gen_corpus(1_048_576 // SCALE, "clustered", seed=2,
+                                 n_centers=16384 // SCALE)
+        ivf_sweep(vecs, norms, "1M_clustered", nlist=4096 // SCALE,
+                  probes=(1, 2, 4, 8, 16), free_corpus=True)
 
     # S3 --------------------------------------------------------------------
     print("=== S3: 4M clustered capacity ===", flush=True)
-    vecs, norms = gen_corpus(4_194_304 // SCALE, "clustered", seed=3, n_centers=4096)
-    cents, iv, inr, ival = build_ivf(vecs, norms, nlist=8192 // SCALE)
-    del vecs, norms
+    if "s3" not in STAGES:
+        print("sweep done (s3 skipped)", flush=True)
+        return
+    # Streaming build: 4M bf16 corpus (6GB) + padded IVF layout (7GB+) do not
+    # fit side by side with layout workspace; generate chunks, assign, and
+    # scatter them straight into the bucketed arrays — the flat corpus never
+    # exists on device.
+    n4 = 4_194_304 // SCALE
+    nlist = 8192 // SCALE
+    n_centers4 = 65536 // SCALE
+    noise = 0.25
+    chunk = min(131_072 // SCALE, n4)
+    keyr = random.PRNGKey(3)
+    kc, keyr = random.split(keyr)
+    centers4 = random.normal(kc, (n_centers4, DIM), jnp.float32)
+
+    @jax.jit
+    def gen4(k1, k2, cents_):
+        cid = random.randint(k2, (chunk,), 0, cents_.shape[0])
+        x = cents_[cid] + noise * random.normal(k1, (chunk, DIM), jnp.float32)
+        return x.astype(jnp.bfloat16), jnp.linalg.norm(x, axis=1)
+
+    # pass 1: sample + train
+    k1, k2, keyr = random.split(keyr, 3)
+    sample_v, _ = gen4(k1, k2, centers4)
+    t0 = time.perf_counter()
+    cents, _ = kmeans(sample_v.astype(jnp.float32), k=nlist, iters=8, seed=0,
+                      mode="spherical")
+    cents.block_until_ready()
+    log("ivf4_train", nlist=nlist, kmeans_s=round(time.perf_counter() - t0, 1))
+
+    # pass 2: regenerate chunks, assign, host-computed positions, scatter
+    keyr = random.PRNGKey(3)
+    kc, keyr = random.split(keyr)
+    assigns = []
+    chunks_meta = []
+    for _ in range(n4 // chunk):
+        k1, k2, keyr = random.split(keyr, 3)
+        chunks_meta.append((k1, k2))
+    t0 = time.perf_counter()
+    for (k1, k2) in chunks_meta:
+        v, _ = gen4(k1, k2, centers4)
+        assigns.append(np.asarray(assign_clusters(v.astype(jnp.float32),
+                                                  cents, mode="spherical")))
+    assign_all = np.concatenate(assigns)
+    counts = np.bincount(assign_all, minlength=nlist)
+    cap = int(((counts.max() + 63) // 64) * 64)
+    next_pos = np.zeros(nlist, dtype=np.int64)
+    iv = jnp.zeros((nlist, cap, DIM), jnp.bfloat16)
+    inr = jnp.zeros((nlist, cap), jnp.float32)
+    ival = jnp.zeros((nlist, cap), jnp.bool_)
+
+    @jax.jit
+    def scatter4(iv, inr, ival, lists, pos, v, nn):
+        iv = iv.at[lists, pos].set(v)
+        inr = inr.at[lists, pos].set(nn)
+        ival = ival.at[lists, pos].set(True)
+        return iv, inr, ival
+
+    off = 0
+    for (k1, k2) in chunks_meta:
+        v, nn_ = gen4(k1, k2, centers4)
+        a = assign_all[off:off + chunk]
+        # vectorized within-chunk position assignment
+        order = np.argsort(a, kind="stable")
+        sorted_a = a[order]
+        grp_start = np.searchsorted(sorted_a, np.arange(nlist))
+        within = np.arange(chunk) - grp_start[sorted_a]
+        pos = np.empty(chunk, dtype=np.int32)
+        pos[order] = (next_pos[sorted_a] + within).astype(np.int32)
+        next_pos += np.bincount(a, minlength=nlist)
+        iv, inr, ival = scatter4(iv, inr, ival, jnp.asarray(a),
+                                 jnp.asarray(pos), v, nn_)
+        off += chunk
+    iv.block_until_ready()
+    centers4.delete()
+    log("ivf_build", nlist=nlist, n=n4, list_cap=cap,
+        kmeans_s=-1, layout_s=round(time.perf_counter() - t0, 1))
     kq = random.PRNGKey(11)
-    q0 = random.normal(kq, (B, DIM), jnp.float32)
-    cap = iv.shape[1]
-    nlist = iv.shape[0]
+    assert bool(np.asarray(ival[:B, 0].all())), "unbalanced lists"
+    q0 = (iv[:B, 0, :].astype(jnp.float32)
+          + 0.05 * random.normal(kq, (B, DIM), jnp.float32))
     flatv = iv.reshape(nlist * cap, DIM)
     flatn = inr.reshape(nlist * cap)
     flatm = ival.reshape(nlist * cap)

@@ -283,8 +283,9 @@ def main() -> None:
         # pure-random queries are ~orthogonal to every cluster and reduce any
         # partitioned index to chance (measured: recall 0.15 on clustered
         # data with random queries vs >0.9 with corpus-drawn ones)
-        assert bool(np.asarray(ival[:B, 0].all())), "unbalanced lists"
-        q0 = (iv[:B, 0, :].astype(jnp.float32)
+        take = (B + nlist - 1) // nlist
+        assert bool(np.asarray(ival[:, :take].reshape(-1)[:B].all())), "unbalanced lists"
+        q0 = (iv[:, :take, :].reshape(-1, DIM)[:B].astype(jnp.float32)
               + 0.05 * random.normal(kq, (B, DIM), jnp.float32))
 
         nn = nlist * cap
@@ -417,8 +418,9 @@ def main() -> None:
     log("ivf_build", nlist=nlist, n=n4, list_cap=cap,
         kmeans_s=-1, layout_s=round(time.perf_counter() - t0, 1))
     kq = random.PRNGKey(11)
-    assert bool(np.asarray(ival[:B, 0].all())), "unbalanced lists"
-    q0 = (iv[:B, 0, :].astype(jnp.float32)
+    take = (B + nlist - 1) // nlist
+    assert bool(np.asarray(ival[:, :take].reshape(-1)[:B].all())), "unbalanced lists"
+    q0 = (iv[:, :take, :].reshape(-1, DIM)[:B].astype(jnp.float32)
           + 0.05 * random.normal(kq, (B, DIM), jnp.float32))
     flatv = iv.reshape(nlist * cap, DIM)
     flatn = inr.reshape(nlist * cap)

@@ -589,6 +589,24 @@ class ClusterNode:
 
     # -- client API -------------------------------------------------------------------
 
+    def _wait_placements(self, shard_ids, timeout_s: float = 5.0) -> None:
+        """Bounded bootstrap grace: a node that just joined sees the shard
+        map populate when the raft-replicated join/assign commands apply —
+        failing a write in that window is needless unavailability. Raises
+        UnavailableError only if placement never arrives."""
+        deadline = time.monotonic() + timeout_s
+        while True:
+            with self._state_lock:
+                missing = [sid for sid in shard_ids
+                           if not self.shard_map.shards[sid].primary_node]
+            if not missing:
+                return
+            if time.monotonic() >= deadline:
+                raise UnavailableError(
+                    f"shard map has no placement for shards {missing[:4]}"
+                )
+            time.sleep(0.02)
+
     def upsert(self, docs: Sequence[Document],
                session: Optional[SessionToken] = None) -> int:
         """Shard-routed replicated write (the write path of shard.rs:634-719,
@@ -602,11 +620,11 @@ class ClusterNode:
         if self.config.consistency == ConsistencyLevel.STRONG:
             # Refuse before proposing if any target shard has no placement —
             # otherwise the commit applies to nobody and the write is lost
-            # while reporting success.
-            for d in docs:
-                info = self.shard_map.shards[self.shard_map.shard_for_key(d.id)]
-                if not info.primary_node:
-                    raise UnavailableError("shard map has no placement yet")
+            # while reporting success. (Bounded wait: boot-time placements
+            # arrive via raft apply moments after start.)
+            self._wait_placements(
+                {self.shard_map.shard_for_key(d.id) for d in docs}
+            )
             by_group: Dict[int, List[Document]] = {}
             for d in docs:
                 g = self._group_of_shard(self._shard_of_record(d.id))
@@ -644,11 +662,10 @@ class ClusterNode:
         by_shard: Dict[int, List[Document]] = {}
         for d in docs:
             by_shard.setdefault(self._shard_of_record(d.id), []).append(d)
+        self._wait_placements(set(by_shard))
         written = 0
         for sid, group in by_shard.items():
             info = self.shard_map.shards[sid]
-            if not info.primary_node:
-                raise UnavailableError("shard map has no placement yet")
             payload = [d.to_dict() for d in group]
             self.replication.replicate(payload, info.primary_node, info.replica_nodes)
             written += len(group)

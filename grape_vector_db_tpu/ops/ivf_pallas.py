@@ -1,0 +1,168 @@
+"""Pallas DMA-pipelined IVF probe — score each query's probed lists at
+streaming HBM bandwidth.
+
+XLA lowers the IVF probe's ``vecs[probe]`` ([L, C, D] indexed by [B, P]) as a
+row gather running at ~90 GB/s on v5e — an 8x per-byte penalty vs the
+streaming scan (726 GB/s) that cancels IVF's read-volume advantage (measured:
+nprobe=1 on 1M clustered = 9.4k QPS, worse than the flat int8 scan's 84k).
+
+This kernel restores the advantage: each (query, probe-slot) cell issues ONE
+async DMA of the whole probed list — a contiguous, sublane-aligned
+``[C, D]`` block of ~0.5-1 MB (list capacities are multiples of 64; the
+sub-8-row alignment wall that disproved per-row DMA gather in
+``gather_pallas.py`` does not apply) — double-buffered so the next list
+streams in while the current one is scored with a single MXU ``dot``.
+Validity folds into the reciprocal-norm plane: ``recip == 0`` marks invalid
+slots and becomes a -1e9 score bias in-kernel.
+
+Output is the raw per-cell score plane ``[B*P, C]``; the caller flattens,
+adds global slot ids, and runs the standard top-k selection (XLA) on it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ivf_probe_scores", "ivf_pallas_supported", "pallas_ivf_topk"]
+
+
+def ivf_pallas_supported() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _probe_kernel(probe_smem, q_vmem, vecs_hbm, recip_hbm, out_vmem,
+                  scratch_v, scratch_r, sem_v, sem_r):
+    ncells = out_vmem.shape[0]          # B * P
+
+    def get_dma(slot, cell):
+        lst = probe_smem[cell]
+        return (
+            pltpu.make_async_copy(vecs_hbm.at[lst], scratch_v.at[slot],
+                                  sem_v.at[slot]),
+            pltpu.make_async_copy(recip_hbm.at[lst], scratch_r.at[slot],
+                                  sem_r.at[slot]),
+        )
+
+    dv, dr = get_dma(0, 0)
+    dv.start()
+    dr.start()
+
+    n_q = q_vmem.shape[0]
+
+    def body(cell, _):
+        slot = lax.rem(cell, 2)
+        nxt = lax.rem(cell + 1, 2)
+
+        @pl.when(cell + 1 < ncells)
+        def _():
+            nv, nr = get_dma(nxt, cell + 1)
+            nv.start()
+            nr.start()
+
+        cv, cr = get_dma(slot, cell)
+        cv.wait()
+        cr.wait()
+
+        b = cell // (ncells // n_q)     # query index (cells ordered b-major)
+        qrow = q_vmem[pl.ds(b, 1), :]                       # [1, D] f32
+        lst_v = scratch_v[slot]                              # [C, D] bf16
+        dots = jax.lax.dot_general(
+            qrow.astype(lst_v.dtype), lst_v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [1, C]
+        recip = scratch_r[slot]                              # [1, C] f32
+        scores = dots * recip + jnp.where(recip == 0.0, -1e9, 0.0)
+        out_vmem[pl.ds(cell, 1), :] = scores
+        return _
+
+    lax.fori_loop(0, ncells, body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ivf_probe_scores(
+    q: jax.Array,       # [B, D] f32, L2-normalized (cosine) or raw (dot)
+    probe: jax.Array,   # [B, P] int32 list ids
+    vecs: jax.Array,    # [L, C, D] bf16 (C % 64 == 0, D % 128 == 0)
+    recip: jax.Array,   # [L, 1, C] f32: validity-masked 1/|v| (0 = invalid)
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9)."""
+    b, d = q.shape
+    p = probe.shape[1]
+    l, c, _ = vecs.shape
+    ncells = b * p
+
+    out = pl.pallas_call(
+        _probe_kernel,
+        out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # q
+                pl.BlockSpec(memory_space=pltpu.ANY),     # vecs (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),     # recip (HBM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, c, d), vecs.dtype),
+                pltpu.VMEM((2, 1, c), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+    )(probe.reshape(ncells), q, vecs, recip)
+    return out.reshape(b, p, c)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric",
+                                             "interpret"))
+def pallas_ivf_topk(
+    queries: jax.Array,   # [B, D] f32 raw
+    centroids: jax.Array, # [L, D] f32 (unit-norm for cosine/dot)
+    vecs: jax.Array,      # [L, C, D] storage dtype
+    recip: jax.Array,     # [L, 1, C] f32 masked reciprocal norms
+    k: int,
+    nprobe: int,
+    metric: str = "cosine",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in for ops/ivf._ivf_topk's (vals, slots) contract (cosine/dot),
+    with the stage-2 gather+score replaced by the DMA kernel."""
+    from grape_vector_db_tpu.ops.distance import prepare_queries
+
+    b, d = queries.shape
+    l, c, _ = vecs.shape
+    qp = prepare_queries(queries, metric)
+    cq = lax.dot_general(qp, centroids, (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(cq, min(nprobe, l))                    # [B, P]
+
+    scores = ivf_probe_scores(qp, probe.astype(jnp.int32), vecs, recip,
+                              interpret=interpret)              # [B, P, C]
+    p = probe.shape[1]
+    pos = lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
+    gslot = (probe[:, :, None] * c + pos).reshape(b, p * c)
+    flat = scores.reshape(b, p * c)
+    kk = min(k, p * c)
+    vals, idx = lax.top_k(flat, kk)
+    slots = jnp.take_along_axis(gslot, idx, axis=1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
+    return vals, slots
+
+
+def make_recip(norms: jax.Array, valid: jax.Array) -> jax.Array:
+    """[L, C] norms + valid -> [L, 1, C] masked reciprocal norms."""
+    r = jnp.where(valid, 1.0 / jnp.maximum(norms, 1e-12), 0.0)
+    return r[:, None, :].astype(jnp.float32)

@@ -21,6 +21,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "matrix",
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -295,6 +296,109 @@ def main() -> None:
     }
     del v1m, n1m, m1m, c1m, f1m
 
+    # ---------------------------------------- north star: IVF-Pallas @1M clustered
+
+    from grape_vector_db_tpu.ops.ivf_pallas import (
+        ivf_pallas_supported,
+        make_recip,
+        pallas_ivf_topk,
+    )
+    from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
+
+    n1m = 8 * chunk1m
+    nlist = max(4096 // SCALE, 8)
+    ncent = max(16_384 // SCALE, 4)
+    kc, key = random.split(key)
+    centers = random.normal(kc, (ncent, DIM), jnp.float32)
+
+    @jax.jit
+    def genc(k1, k2, cents):
+        cid = random.randint(k2, (chunk1m,), 0, cents.shape[0])
+        x = cents[cid] + 0.25 * random.normal(k1, (chunk1m, DIM), jnp.float32)
+        return x.astype(jnp.bfloat16), jnp.linalg.norm(x, axis=1)
+
+    pv, pn = [], []
+    for _ in range(8):
+        k1, k2, key = random.split(key, 3)
+        v, nn_ = genc(k1, k2, centers)
+        pv.append(v)
+        pn.append(nn_)
+    cv1m = jnp.concatenate(pv)
+    cn1m = jnp.concatenate(pn)
+    del pv, pn
+
+    sel = random.choice(key, n1m, shape=(max(65_536 // SCALE, nlist),),
+                        replace=False)
+    cents, _ = kmeans(cv1m[sel].astype(jnp.float32), k=nlist, iters=8, seed=0,
+                      mode="spherical")
+    assign = jnp.concatenate([
+        assign_clusters(
+            lax.dynamic_slice_in_dim(cv1m, i * chunk1m, chunk1m
+                                     ).astype(jnp.float32),
+            cents, mode="spherical")
+        for i in range(8)
+    ])
+    counts = jnp.bincount(assign, length=nlist)
+    cap1 = int(((int(np.asarray(counts.max())) + 127) // 128) * 128)
+
+    @functools.partial(jax.jit, static_argnames=("cap_",))
+    def layout(vecs, norms, assign, counts, cap_):
+        order = jnp.argsort(assign)
+        a_sorted = assign[order]
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        pos = jnp.arange(n1m, dtype=jnp.int32) - starts[a_sorted]
+        iv = jnp.zeros((nlist, cap_, DIM), jnp.bfloat16)
+        inr = jnp.zeros((nlist, cap_), jnp.float32)
+        ival = jnp.zeros((nlist, cap_), jnp.bool_)
+        iv = iv.at[a_sorted, pos].set(vecs[order])
+        inr = inr.at[a_sorted, pos].set(norms[order])
+        ival = ival.at[a_sorted, pos].set(True)
+        return iv, inr, ival
+
+    iv, inr, ival = layout(cv1m, cn1m, assign, counts, cap1)
+    iv.block_until_ready()
+    cv1m.delete()
+    cn1m.delete()
+    recip = make_recip(inr, ival)
+    interp = not ivf_pallas_supported()
+
+    kq2, key = random.split(key)
+    take = (BATCH + nlist - 1) // nlist
+    qc = (iv[:, :take, :].reshape(-1, DIM)[:BATCH].astype(jnp.float32)
+          + 0.05 * random.normal(kq2, (BATCH, DIM), jnp.float32))
+
+    def step_np(q, cents, iv, recip):
+        return pallas_ivf_topk(q, cents, iv, recip, k=K, nprobe=1,
+                               metric="cosine", interpret=interp)
+
+    its_np = 32 if SCALE == 1 else 1
+    ms = timed_fori(step_np, qc, cents, iv, recip, its=its_np)
+
+    # recall vs the exact oracle over the same (padded) universe
+    nn_tot = nlist * cap1
+
+    @jax.jit
+    def oracle_1m(q, iv, inr, ival):
+        ch = nn_tot // 16 if nn_tot % 16 == 0 and (nn_tot // 16) % 32 == 0 else nn_tot
+        return scored_topk(q, iv.reshape(nn_tot, DIM), inr.reshape(nn_tot),
+                           ival.reshape(nn_tot), k=K, metric="cosine",
+                           chunk=ch, mode="exact")
+
+    _, oi = oracle_1m(qc, iv, inr, ival)
+    _, si = jax.jit(step_np)(qc, cents, iv, recip)
+    oi, si = np.asarray(oi), np.asarray(si)
+    rec_np = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(si, oi)
+    ])
+    ns_qps = round(BATCH / ms * 1e3, 0)
+    matrix["ivf_pallas_1M_clustered_nprobe1"] = {
+        "batch_ms": round(ms, 3), "qps": ns_qps,
+        "recall": round(float(rec_np), 4),
+        "note": "Pallas DMA probe; 16k-cluster corpus, corpus-drawn queries",
+    }
+    del iv, inr, ival, recip
+
     # ------------------------------------------------------------ correctness
 
     hits = idx.search_batch(queries[:8], 100)
@@ -303,11 +407,17 @@ def main() -> None:
         overlap = sum(1 for w in want if f"doc-{w}" in got_ids)
         assert overlap >= int(0.9 * K), f"sanity recall too low: {overlap}/{K}"
 
+    ns = matrix["ivf_pallas_1M_clustered_nprobe1"]
     result = {
         "metric": f"exact_cosine_top{K}_qps_{n // 1000}k_x_{DIM}d_bf16_batch{BATCH}",
         "value": exact_qps,
         "unit": "queries/s",
         "vs_baseline": round(exact_qps / BASELINE_READ_QPS, 3),
+        "north_star_1M": {
+            "qps": ns["qps"], "recall": ns["recall"],
+            "vs_baseline": round(ns["qps"] / BASELINE_READ_QPS, 2),
+            "engine": "ivf_pallas nlist=4096 nprobe=1, 1M x 768 bf16 clustered",
+        },
         "matrix": matrix,
         "backend": jax.default_backend(),
     }

@@ -79,7 +79,7 @@ def main() -> None:
         for i in range(n // chunk)
     ])
     counts = jnp.bincount(assign, length=nlist)
-    cap = int(((int(np.asarray(counts.max())) + 63) // 64) * 64)
+    cap = int(((int(np.asarray(counts.max())) + 127) // 128) * 128)  # pallas lane alignment
 
     @functools.partial(jax.jit, static_argnames=("cap_",))
     def layout(vecs, norms, assign, counts, cap_):

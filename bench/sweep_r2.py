@@ -424,20 +424,18 @@ def main() -> None:
     assert bool(np.asarray(ival[:, :take].reshape(-1)[:B].all())), "unbalanced lists"
     q0 = (iv[:, :take, :].reshape(-1, DIM)[:B].astype(jnp.float32)
           + 0.05 * random.normal(kq, (B, DIM), jnp.float32))
-    flatv = iv.reshape(nlist * cap, DIM)
-    flatn = inr.reshape(nlist * cap)
-    flatm = ival.reshape(nlist * cap)
     nn = nlist * cap
     chunk = nn // 16 if nn % 16 == 0 and (nn // 16) % 32 == 0 else nn
 
-    import jax.numpy as jnp2  # noqa: F401
-
+    # reshape INSIDE the jit: the eager reshape of the 10.5GB layout array
+    # dispatches a copy (21GB transient -> OOM); in-jit it is a bitcast
     @jax.jit
-    def f_oracle4(q, flatv, flatn, flatm):
-        return scored_topk(q, flatv, flatn, flatm, k=K, metric="cosine",
+    def f_oracle4(q, iv, inr, ival):
+        return scored_topk(q, iv.reshape(nn, DIM), inr.reshape(nn),
+                           ival.reshape(nn), k=K, metric="cosine",
                            chunk=chunk, mode="exact")
 
-    _, oi = f_oracle4(q0, flatv, flatn, flatm)
+    _, oi = f_oracle4(q0, iv, inr, ival)
     oracle_i = np.asarray(oi)
     from grape_vector_db_tpu.index.ivf import _ivf_topk
     for nprobe in (4, 8, 16):

@@ -557,6 +557,9 @@ class ShardedIvfIndex(IvfDeviceIndex):
             jnp.zeros((l, cap), dtype=jnp.float32), self._cellv_sharding)
         self.valid = jax.device_put(
             jnp.zeros((l, cap), dtype=jnp.bool_), self._cellv_sharding)
+        # sharded search runs the shard_map probe, not the Pallas DMA probe
+        self.recip = None
+        self._use_pallas = False
 
     def train(self, sample, seed: int = 0) -> None:
         super().train(sample, seed=seed)

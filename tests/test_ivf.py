@@ -212,3 +212,40 @@ def test_ivf_pq_delete_and_db_mode(rng):
     db.delete_document("d123")
     hits = db.vector_search(SearchRequest(vector=q, limit=3))
     assert all(h.id != "d123" for h in hits)
+
+
+def test_ivf_pallas_probe_interpret_path(rng):
+    """The production Pallas DMA probe (forced through the interpreter on
+    CPU): recall parity with the XLA probe, recip-plane maintenance across
+    upsert/delete, and fallback to XLA under a mask."""
+    from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+
+    dim, n, k = 32, 1200, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    a = IvfDeviceIndex(dim, storage_dtype="float32", nlist=8, nprobe=8,
+                       use_pallas="force")
+    b = IvfDeviceIndex(dim, storage_dtype="float32", nlist=8, nprobe=8,
+                       use_pallas=False)
+    a.add_batch(ids, vecs)
+    b.add_batch(ids, vecs)
+    assert a._use_pallas and a.recip is not None
+    assert a.list_cap % 128 == 0
+
+    queries = vecs[:6] + 0.01 * rng.standard_normal((6, dim)).astype(np.float32)
+    ha = a.search_batch(queries, k)
+    hb = b.search_batch(queries, k)
+    for ra, rb in zip(ha, hb):
+        assert [x[0] for x in ra] == [x[0] for x in rb]
+
+    # delete zeroes the recip plane -> the slot disappears from results
+    a.remove_batch(["d3"])
+    assert all(h[0] != "d3" for h in a.search_batch(vecs[3:4], k)[0])
+    # re-add restores it
+    a.add_batch(["d3"], vecs[3:4])
+    assert a.search_batch(vecs[3:4], 1)[0][0][0] == "d3"
+
+    # masked search falls back to the XLA path and stays correct
+    allowed = {"d1", "d5", "d9"}
+    got = a.search_batch(queries[:1], 3, mask=a.compile_mask(allowed))[0]
+    assert {h[0] for h in got} == allowed

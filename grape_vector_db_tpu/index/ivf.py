@@ -363,16 +363,19 @@ class IvfDeviceIndex(VectorIndex):
                     queries, k, mask=None if mask is None else mask[1])
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
-            if self._use_pallas and mask is None:
+            if self._use_pallas:
                 # DMA-pipelined probe: streams each probed list as one
                 # contiguous block at near-roofline bandwidth (54x the XLA
-                # gather at 1M x 768 on v5e; ops/ivf_pallas.py).
+                # gather at 1M x 768 on v5e; ops/ivf_pallas.py). A filter
+                # mask folds into the post-kernel selection (1 byte/cell
+                # gather), so filtered search keeps the DMA advantage.
                 from grape_vector_db_tpu.ops.ivf_pallas import pallas_ivf_topk
 
                 vals, slots = pallas_ivf_topk(
                     jnp.asarray(qp), self.centroids, self.vecs, self.recip,
                     k=k, nprobe=self.nprobe, metric=self.metric,
                     interpret=self._pallas_interpret,
+                    cell_mask=None if mask is None else jnp.asarray(mask[0]),
                 )
             else:
                 # Filter mask ANDs into cell validity so probed lists score

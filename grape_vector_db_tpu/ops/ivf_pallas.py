@@ -141,9 +141,16 @@ def pallas_ivf_topk(
     nprobe: int,
     metric: str = "cosine",
     interpret: bool = False,
+    cell_mask: jax.Array | None = None,  # [L, C] bool filter (True = allowed)
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in for ops/ivf._ivf_topk's (vals, slots) contract (cosine/dot),
-    with the stage-2 gather+score replaced by the DMA kernel."""
+    with the stage-2 gather+score replaced by the DMA kernel.
+
+    ``cell_mask`` folds a filter (engine/filtering.py mask_for_slots →
+    compile_mask) into the selection AFTER the kernel: gathering
+    ``cell_mask[probe]`` moves 1 byte per scored cell vs the 1536 bytes/row
+    the XLA vector gather would re-read, so filtered IVF search keeps the
+    DMA probe's ~54x bandwidth advantage (filtering.rs:374-488 semantics)."""
     from grape_vector_db_tpu.ops.distance import prepare_queries
 
     b, d = queries.shape
@@ -159,6 +166,9 @@ def pallas_ivf_topk(
     pos = lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
     gslot = (probe[:, :, None] * c + pos).reshape(b, p * c)
     flat = scores.reshape(b, p * c)
+    if cell_mask is not None:
+        allowed = cell_mask[probe]                             # [B, P, C] bool
+        flat = jnp.where(allowed.reshape(b, p * c), flat, -jnp.inf)
     kk = min(k, p * c)
     vals, idx = lax.top_k(flat, kk)
     slots = jnp.take_along_axis(gslot, idx, axis=1)

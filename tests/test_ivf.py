@@ -245,7 +245,16 @@ def test_ivf_pallas_probe_interpret_path(rng):
     a.add_batch(["d3"], vecs[3:4])
     assert a.search_batch(vecs[3:4], 1)[0][0][0] == "d3"
 
-    # masked search falls back to the XLA path and stays correct
+    # masked search stays on the Pallas probe (mask folds into the
+    # post-kernel selection) and matches the masked XLA path exactly
     allowed = {"d1", "d5", "d9"}
     got = a.search_batch(queries[:1], 3, mask=a.compile_mask(allowed))[0]
     assert {h[0] for h in got} == allowed
+    got_xla = b.search_batch(queries[:1], 3, mask=b.compile_mask(allowed))[0]
+    assert [h[0] for h in got] == [h[0] for h in got_xla]
+    # a wide mask too: pallas+mask == xla+mask on every query
+    wide = {f"d{i}" for i in range(0, n, 3)}
+    ma, mb = a.compile_mask(wide), b.compile_mask(wide)
+    for ra, rb in zip(a.search_batch(queries, k, mask=ma),
+                      b.search_batch(queries, k, mask=mb)):
+        assert [x[0] for x in ra] == [x[0] for x in rb]

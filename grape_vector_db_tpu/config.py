@@ -63,9 +63,13 @@ class IndexConfig:
     initial_capacity: int = 4096
     # When kind="binary"/"pq": candidates rescored = max(limit, rescore_ratio * n)
     rescore_ratio: float = 0.1
-    # When kind="int8": fixed rescore candidate count (int8 stage-1 ranking is
-    # near-exact, so a small constant suffices)
+    # When kind="int8"/"ivf_int8": fixed rescore candidate count (int8 stage-1
+    # ranking is near-exact, so a small constant suffices)
     int8_rescore: int = 64
+    # When kind="ivf_int8": keep a bf16 shadow for exact rescore (bandwidth
+    # config, 1.5x memory). False = int8-only capacity config (~2x rows/chip;
+    # search returns dequantized scores, no exact rescore).
+    ivf_int8_keep_bf16: bool = True
     # PQ parameters (kind="pq"): subspaces (None -> dim // 8) and bits/code
     pq_n_sub: Optional[int] = None
     pq_nbits: int = 8

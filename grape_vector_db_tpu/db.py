@@ -106,6 +106,16 @@ def build_index(config: VectorDbConfig) -> VectorIndex:
         from grape_vector_db_tpu.index.int8 import Int8DeviceIndex
 
         return Int8DeviceIndex(**common, rescore=config.index.int8_rescore)
+    if kind == "ivf_int8":
+        from grape_vector_db_tpu.index.ivf_int8 import Int8IvfDeviceIndex
+
+        return Int8IvfDeviceIndex(
+            **common,
+            nlist=config.index.nlist,
+            nprobe=config.index.nprobe,
+            rescore=config.index.int8_rescore,
+            keep_bf16=config.index.ivf_int8_keep_bf16,
+        )
     if kind == "graph":
         from grape_vector_db_tpu.index.graph import GraphDeviceIndex
 

@@ -10,6 +10,9 @@ Replaces the reference's index layer (src/index.rs, src/quantization.rs):
   prunes).
 - Int8DeviceIndex: int8 pre-scan at 2x HBM efficiency + exact bf16 rescore
   (no reference analog — exists because the TPU memory system rewards it).
+- Int8IvfDeviceIndex (index/ivf_int8.py): IVF partitioning over int8-resident
+  lists — the Pallas DMA probe at half the bytes/list (~2x probe QPS) and/or
+  ~2x rows/chip in the int8-only capacity configuration.
 """
 
 from grape_vector_db_tpu.index.base import VectorIndex, IndexStats

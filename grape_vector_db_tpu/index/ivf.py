@@ -289,17 +289,21 @@ class IvfDeviceIndex(VectorIndex):
             vecs_p = jnp.asarray(pad_rows(kv, m))
             norms_p = jnp.asarray(
                 pad_rows(np.linalg.norm(kv, axis=1).astype(np.float32), m))
-            self.vecs, self.norms, self.valid = _ivf_scatter(
-                self.vecs, self.norms, self.valid, lists_p, pos_p, vecs_p,
-                norms_p,
-            )
-            if self.recip is not None:
-                self.recip = _recip_scatter(self.recip, lists_p, pos_p, norms_p)
+            self._scatter_rows(lists_p, pos_p, vecs_p, norms_p)
             self._post_scatter(lists_p, pos_p, vecs_p)
         if spill_idx:
             self._overflow.add_batch(
                 [ids[i] for i in spill_idx], vectors[spill_idx]
             )
+
+    def _scatter_rows(self, lists_p, pos_p, vecs_p, norms_p) -> None:
+        """Device scatter of placed rows (subclass seam: quantized layouts
+        override to store codes instead of / alongside the bf16 plane)."""
+        self.vecs, self.norms, self.valid = _ivf_scatter(
+            self.vecs, self.norms, self.valid, lists_p, pos_p, vecs_p, norms_p,
+        )
+        if self.recip is not None:
+            self.recip = _recip_scatter(self.recip, lists_p, pos_p, norms_p)
 
     def _post_scatter(self, list_ids, positions, vecs) -> None:
         """Hook for subclasses keeping extra per-cell arrays (e.g. PQ codes)."""
@@ -322,10 +326,14 @@ class IvfDeviceIndex(VectorIndex):
                 m = next_bucket(len(cells), base=64)
                 lists_p = jnp.asarray(pad_rows(arr[:, 0], m, fill=-1))
                 pos_p = jnp.asarray(pad_rows(arr[:, 1], m, fill=-1))
-                self.valid = _ivf_invalidate(self.valid, lists_p, pos_p)
-                if self.recip is not None:
-                    self.recip = _recip_invalidate(self.recip, lists_p, pos_p)
+                self._invalidate_cells(lists_p, pos_p)
             return n
+
+    def _invalidate_cells(self, lists_p, pos_p) -> None:
+        """Device invalidation of removed cells (subclass seam)."""
+        self.valid = _ivf_invalidate(self.valid, lists_p, pos_p)
+        if self.recip is not None:
+            self.recip = _recip_invalidate(self.recip, lists_p, pos_p)
 
     def clear(self) -> None:
         with self._lock:
@@ -349,6 +357,32 @@ class IvfDeviceIndex(VectorIndex):
                     main[cell[0], cell[1]] = True
             return main, self._overflow.compile_mask(allowed_ids)
 
+    def _main_topk(self, qp: np.ndarray, k: int, mask):
+        """Top-k over the bucketed main region (subclass seam; lock held)."""
+        if self._use_pallas:
+            # DMA-pipelined probe: streams each probed list as one
+            # contiguous block at near-roofline bandwidth (54x the XLA
+            # gather at 1M x 768 on v5e; ops/ivf_pallas.py). A filter
+            # mask folds into the post-kernel selection (1 byte/cell
+            # gather), so filtered search keeps the DMA advantage.
+            from grape_vector_db_tpu.ops.ivf_pallas import pallas_ivf_topk
+
+            return pallas_ivf_topk(
+                jnp.asarray(qp), self.centroids, self.vecs, self.recip,
+                k=k, nprobe=self.nprobe, metric=self.metric,
+                interpret=self._pallas_interpret,
+                cell_mask=None if mask is None else jnp.asarray(mask[0]),
+            )
+        # Filter mask ANDs into cell validity so probed lists score
+        # only allowed rows (masked top-k in-kernel). Caveat inherent
+        # to IVF: allowed rows in unprobed lists are not visited.
+        valid = self.valid if mask is None else jnp.logical_and(
+            self.valid, jnp.asarray(mask[0]))
+        return _ivf_topk(
+            jnp.asarray(qp), self.centroids, self.vecs, self.norms,
+            valid, k=k, nprobe=self.nprobe, metric=self.metric,
+        )
+
     def search_batch(self, queries: np.ndarray, k: int,
                      mask=None) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
@@ -363,30 +397,7 @@ class IvfDeviceIndex(VectorIndex):
                     queries, k, mask=None if mask is None else mask[1])
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
-            if self._use_pallas:
-                # DMA-pipelined probe: streams each probed list as one
-                # contiguous block at near-roofline bandwidth (54x the XLA
-                # gather at 1M x 768 on v5e; ops/ivf_pallas.py). A filter
-                # mask folds into the post-kernel selection (1 byte/cell
-                # gather), so filtered search keeps the DMA advantage.
-                from grape_vector_db_tpu.ops.ivf_pallas import pallas_ivf_topk
-
-                vals, slots = pallas_ivf_topk(
-                    jnp.asarray(qp), self.centroids, self.vecs, self.recip,
-                    k=k, nprobe=self.nprobe, metric=self.metric,
-                    interpret=self._pallas_interpret,
-                    cell_mask=None if mask is None else jnp.asarray(mask[0]),
-                )
-            else:
-                # Filter mask ANDs into cell validity so probed lists score
-                # only allowed rows (masked top-k in-kernel). Caveat inherent
-                # to IVF: allowed rows in unprobed lists are not visited.
-                valid = self.valid if mask is None else jnp.logical_and(
-                    self.valid, jnp.asarray(mask[0]))
-                vals, slots = _ivf_topk(
-                    jnp.asarray(qp), self.centroids, self.vecs, self.norms,
-                    valid, k=k, nprobe=self.nprobe, metric=self.metric,
-                )
+            vals, slots = self._main_topk(qp, k, mask)
             vals, slots = np.asarray(vals)[:b], np.asarray(slots)[:b]
             if len(self._overflow):
                 o_vals, o_idx = self._overflow.raw_topk(
@@ -442,12 +453,21 @@ class IvfDeviceIndex(VectorIndex):
 
     # -- introspection ---------------------------------------------------------------
 
+    def _host_rows(self) -> np.ndarray:
+        """Host f32 [L, C, D] view of the main region (subclass seam:
+        code-resident layouts reconstruct/dequantize here)."""
+        return np.asarray(self.vecs, dtype=np.float32)
+
+    def _host_row(self, lst: int, pos: int) -> np.ndarray:
+        """Host f32 [D] read of one cell (subclass seam)."""
+        return np.asarray(self.vecs[lst, pos], dtype=np.float32)
+
     def get_vector(self, id_: str) -> Optional[np.ndarray]:
         cell = self._id_to_cell.get(id_)
         if cell is None:
             return self._overflow.get_vector(id_)
         lst, pos = cell
-        return np.asarray(self.vecs[lst, pos], dtype=np.float32)
+        return self._host_row(lst, pos)
 
     def get_all(self) -> Tuple[List[str], np.ndarray]:
         with self._lock:
@@ -455,7 +475,7 @@ class IvfDeviceIndex(VectorIndex):
             rows: List[np.ndarray] = []
             if self._id_to_cell:
                 cells = sorted(self._id_to_cell.items(), key=lambda kv: kv[1])
-                host = np.asarray(self.vecs, dtype=np.float32)
+                host = self._host_rows()
                 for id_, (lst, pos) in cells:
                     ids.append(id_)
                     rows.append(host[lst, pos])

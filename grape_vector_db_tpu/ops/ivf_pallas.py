@@ -30,7 +30,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ivf_probe_scores", "ivf_pallas_supported", "pallas_ivf_topk"]
+__all__ = ["ivf_probe_scores", "ivf_pallas_supported", "pallas_ivf_topk",
+           "ivf_probe_scores_int8", "pallas_ivf_topk_int8", "make_factor"]
 
 
 def ivf_pallas_supported() -> bool:
@@ -176,6 +177,181 @@ def pallas_ivf_topk(
         vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
     return vals, slots
+
+
+def _probe_kernel_int8(probe_smem, q_vmem, codes_hbm, factor_hbm, out_vmem,
+                       scratch_c, scratch_f, sem_c, sem_f):
+    """Int8 variant of ``_probe_kernel``: DMAs int8 code blocks (half the
+    bytes/list of bf16), upcasts in VMEM, and scores with an asymmetric
+    bf16-query x dequantized-int8-corpus MXU dot. ``factor`` folds the
+    per-row dequant scale and the cosine norm division (0 = invalid)."""
+    ncells = out_vmem.shape[0]          # B * P
+
+    def get_dma(slot, cell):
+        lst = probe_smem[cell]
+        return (
+            pltpu.make_async_copy(codes_hbm.at[lst], scratch_c.at[slot],
+                                  sem_c.at[slot]),
+            pltpu.make_async_copy(factor_hbm.at[lst], scratch_f.at[slot],
+                                  sem_f.at[slot]),
+        )
+
+    dc, df = get_dma(0, 0)
+    dc.start()
+    df.start()
+
+    n_q = q_vmem.shape[0]
+
+    def body(cell, _):
+        slot = lax.rem(cell, 2)
+        nxt = lax.rem(cell + 1, 2)
+
+        @pl.when(cell + 1 < ncells)
+        def _():
+            nc, nf = get_dma(nxt, cell + 1)
+            nc.start()
+            nf.start()
+
+        cc, cf = get_dma(slot, cell)
+        cc.wait()
+        cf.wait()
+
+        b = cell // (ncells // n_q)     # query index (cells ordered b-major)
+        qrow = q_vmem[pl.ds(b, 1), :]                        # [1, D] f32
+        lst_c = scratch_c[slot].astype(jnp.bfloat16)         # [C, D]
+        dots = jax.lax.dot_general(
+            qrow.astype(jnp.bfloat16), lst_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [1, C]
+        factor = scratch_f[slot][0:1, :]                     # [1, C] f32
+        scores = dots * factor + jnp.where(factor == 0.0, -1e9, 0.0)
+        out_vmem[pl.ds(cell, 1), :] = scores
+        return _
+
+    lax.fori_loop(0, ncells, body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ivf_probe_scores_int8(
+    q: jax.Array,       # [B, D] f32, L2-normalized (cosine) or raw (dot)
+    probe: jax.Array,   # [B, P] int32 list ids
+    codes: jax.Array,   # [L, C, D] int8 (C % 128 == 0, D % 128 == 0)
+    factor: jax.Array,  # [L, 8, C] f32: masked scale/norm (0 = invalid)
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9)."""
+    b, d = q.shape
+    p = probe.shape[1]
+    l, c, _ = codes.shape
+    if c % 128:
+        raise ValueError(f"list capacity {c} must be a multiple of 128 "
+                         "for the Pallas probe (Mosaic lane alignment)")
+    ncells = b * p
+
+    out = pl.pallas_call(
+        _probe_kernel_int8,
+        out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # q
+                pl.BlockSpec(memory_space=pltpu.ANY),     # codes (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),     # factor (HBM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, c, d), codes.dtype),
+                pltpu.VMEM((2, 8, c), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+    )(probe.reshape(ncells), q, codes, factor)
+    return out.reshape(b, p, c)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric",
+                                             "rescore", "interpret"))
+def pallas_ivf_topk_int8(
+    queries: jax.Array,    # [B, D] f32 raw
+    centroids: jax.Array,  # [L, D] f32 (unit-norm for cosine/dot)
+    codes: jax.Array,      # [L, C, D] int8
+    factor: jax.Array,     # [L, 8, C] f32 masked scale/norm
+    k: int,
+    nprobe: int,
+    metric: str = "cosine",
+    rescore: int = 0,
+    vecs: jax.Array | None = None,   # [L, C, D] bf16 shadow (rescore > 0)
+    recip: jax.Array | None = None,  # [L, 8, C] f32 (rescore > 0)
+    interpret: bool = False,
+    cell_mask: jax.Array | None = None,  # [L, C] bool filter
+) -> Tuple[jax.Array, jax.Array]:
+    """(vals, slots) over an int8-resident IVF layout via the DMA probe.
+
+    Half the DMA bytes/list of the bf16 probe — the bandwidth AND capacity
+    play combined (768 B/row at D=768: ~2x rows/chip and ~2x probe QPS).
+    With ``rescore > 0`` and a bf16 shadow (``vecs``/``recip``), the top
+    ``rescore`` int8 candidates are exactly rescored (gathering R rows/query
+    is cheap — the reference's two-stage shape, quantization.rs:151-193)."""
+    from grape_vector_db_tpu.ops.distance import prepare_queries
+
+    b, d = queries.shape
+    l, c, _ = codes.shape
+    qp = prepare_queries(queries, metric)
+    cq = lax.dot_general(qp, centroids, (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(cq, min(nprobe, l))                    # [B, P]
+
+    scores = ivf_probe_scores_int8(qp, probe.astype(jnp.int32), codes, factor,
+                                   interpret=interpret)         # [B, P, C]
+    p = probe.shape[1]
+    pos = lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
+    gslot = (probe[:, :, None] * c + pos).reshape(b, p * c)
+    flat = scores.reshape(b, p * c)
+    if cell_mask is not None:
+        allowed = cell_mask[probe]                              # [B, P, C]
+        flat = jnp.where(allowed.reshape(b, p * c), flat, -jnp.inf)
+
+    if rescore and vecs is not None:
+        r = min(rescore, p * c)
+        rv, ridx = lax.top_k(flat, r)
+        rslot = jnp.take_along_axis(gslot, ridx, axis=1)        # [B, R]
+        rl, rp = rslot // c, rslot % c
+        cand = vecs[rl, rp].astype(jnp.bfloat16)                # [B, R, D]
+        crecip = recip[rl, 0, rp]                               # [B, R]
+        dots = jnp.einsum("bd,brd->br", qp.astype(jnp.bfloat16), cand,
+                          preferred_element_type=jnp.float32)
+        exact = dots * crecip
+        if metric == "cosine":
+            exact = jnp.minimum(exact, 1.0)
+        exact = jnp.where(jnp.isfinite(rv) & (crecip > 0), exact, -jnp.inf)
+        kk = min(k, r)
+        vals, idx = lax.top_k(exact, kk)
+        slots = jnp.take_along_axis(rslot, idx, axis=1)
+    else:
+        kk = min(k, p * c)
+        vals, idx = lax.top_k(flat, kk)
+        slots = jnp.take_along_axis(gslot, idx, axis=1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
+    return vals, slots
+
+
+def make_factor(scales: jax.Array, norms: jax.Array,
+                valid: jax.Array, metric: str = "cosine") -> jax.Array:
+    """[L, C] dequant scales + norms + valid -> [L, 8, C] masked factor plane
+    for the int8 probe (8-sublane broadcast: Mosaic DMA tiling)."""
+    if metric == "cosine":
+        f = scales / jnp.maximum(norms, 1e-12)
+    else:
+        f = scales
+    f = jnp.where(valid, f, 0.0)
+    return jnp.broadcast_to(f[:, None, :], (f.shape[0], 8, f.shape[1])
+                            ).astype(jnp.float32)
 
 
 def make_recip(norms: jax.Array, valid: jax.Array) -> jax.Array:

@@ -1,0 +1,150 @@
+"""Int8IvfDeviceIndex — int8-resident IVF lists (bandwidth + capacity play).
+
+Covers both configurations (bf16 shadow w/ exact rescore, int8-only
+capacity), the Pallas interpret path vs the XLA fallback, masked search,
+mutation (upsert/delete/optimize), and the DB factory wiring.
+"""
+
+import numpy as np
+import pytest
+
+from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+from grape_vector_db_tpu.index.ivf_int8 import Int8IvfDeviceIndex
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def clustered(rng, n, dim, centers=12, noise=0.15):
+    c = rng.standard_normal((centers, dim)).astype(np.float32) * 2
+    idx = rng.integers(0, centers, n)
+    return (c[idx] + noise * rng.standard_normal((n, dim))).astype(np.float32)
+
+
+def ids_of(hits):
+    return [h[0] for h in hits]
+
+
+def test_int8_ivf_matches_bf16_ivf(rng):
+    """Bandwidth config: int8 probe + exact rescore returns the same ids as
+    the full-precision IVF index on clustered data."""
+    dim, n, k = 64, 1500, 5
+    vecs = clustered(rng, n, dim)
+    ids = [f"d{i}" for i in range(n)]
+    a = Int8IvfDeviceIndex(dim, nlist=8, nprobe=8, rescore=64)
+    b = IvfDeviceIndex(dim, nlist=8, nprobe=8, use_pallas=False)
+    a.add_batch(ids, vecs)
+    b.add_batch(ids, vecs)
+    assert not a._use_pallas  # CPU default: XLA fallback path
+
+    q = vecs[:8] + 0.01 * rng.standard_normal((8, dim)).astype(np.float32)
+    ha, hb = a.search_batch(q, k), b.search_batch(q, k)
+    agree = np.mean([len(set(ids_of(x)) & set(ids_of(y))) / k
+                     for x, y in zip(ha, hb)])
+    assert agree >= 0.95, agree
+    # self-retrieval is exact thanks to the bf16 rescore
+    for i, row in enumerate(a.search_batch(vecs[:8], 1)):
+        assert row[0][0] == f"d{i}"
+
+
+def test_int8_ivf_pallas_interpret_matches_xla(rng):
+    """The production Pallas int8 DMA probe (interpreted on CPU) returns the
+    same ids as the XLA fallback, masked and unmasked."""
+    dim, n, k = 32, 1200, 5
+    vecs = clustered(rng, n, dim)
+    ids = [f"d{i}" for i in range(n)]
+    a = Int8IvfDeviceIndex(dim, nlist=8, nprobe=8, use_pallas="force")
+    b = Int8IvfDeviceIndex(dim, nlist=8, nprobe=8, use_pallas=False)
+    a.add_batch(ids, vecs)
+    b.add_batch(ids, vecs)
+    assert a._use_pallas and a.list_cap % 128 == 0
+
+    q = vecs[:6] + 0.01 * rng.standard_normal((6, dim)).astype(np.float32)
+    for ra, rb in zip(a.search_batch(q, k), b.search_batch(q, k)):
+        assert ids_of(ra) == ids_of(rb)
+
+    wide = {f"d{i}" for i in range(0, n, 3)}
+    ma, mb = a.compile_mask(wide), b.compile_mask(wide)
+    for ra, rb in zip(a.search_batch(q, k, mask=ma),
+                      b.search_batch(q, k, mask=mb)):
+        assert ids_of(ra) == ids_of(rb)
+        assert set(ids_of(ra)) <= wide
+
+    narrow = {"d1", "d5", "d9"}
+    got = a.search_batch(q[:1], 3, mask=a.compile_mask(narrow))[0]
+    assert {h[0] for h in got} == narrow
+
+
+def test_int8_ivf_capacity_config(rng):
+    """keep_bf16=False: no bf16 plane exists, search still ranks correctly,
+    reconstruction round-trips within int8 tolerance, optimize() repacks."""
+    dim, n, k = 48, 1400, 5
+    vecs = clustered(rng, n, dim)
+    ids = [f"d{i}" for i in range(n)]
+    idx = Int8IvfDeviceIndex(dim, nlist=8, nprobe=8, keep_bf16=False)
+    idx.add_batch(ids, vecs)
+    assert idx.vecs is None and idx.recip is None
+
+    for i, row in enumerate(idx.search_batch(vecs[:8], 1)):
+        assert row[0][0] == f"d{i}"
+
+    got = idx.get_vector("d7")
+    cos = got @ vecs[7] / (np.linalg.norm(got) * np.linalg.norm(vecs[7]))
+    assert cos > 0.9999, cos
+
+    # delete / re-add via the factor plane
+    idx.remove_batch(["d3"])
+    assert all(h[0] != "d3" for h in idx.search_batch(vecs[3:4], k)[0])
+    idx.add_batch(["d3"], vecs[3:4])
+    assert idx.search_batch(vecs[3:4], 1)[0][0][0] == "d3"
+
+    # optimize() reconstructs from codes and repacks
+    idx.optimize()
+    assert len(idx) == n
+    assert idx.search_batch(vecs[5:6], 1)[0][0][0] == "d5"
+
+    allowed = {"d2", "d4", "d6"}
+    got = idx.search_batch(vecs[:1], 3, mask=idx.compile_mask(allowed))[0]
+    assert {h[0] for h in got} == allowed
+
+
+def test_int8_ivf_capacity_pallas_interpret(rng):
+    """Capacity config through the interpreted Pallas kernel (rescore=0)."""
+    dim, n = 32, 900
+    vecs = clustered(rng, n, dim)
+    ids = [f"d{i}" for i in range(n)]
+    a = Int8IvfDeviceIndex(dim, nlist=8, nprobe=8, keep_bf16=False,
+                           use_pallas="force")
+    b = Int8IvfDeviceIndex(dim, nlist=8, nprobe=8, keep_bf16=False,
+                           use_pallas=False)
+    a.add_batch(ids, vecs)
+    b.add_batch(ids, vecs)
+    q = vecs[:4]
+    for ra, rb in zip(a.search_batch(q, 5), b.search_batch(q, 5)):
+        assert ids_of(ra) == ids_of(rb)
+
+
+def test_int8_ivf_via_db_factory(rng):
+    from grape_vector_db_tpu.config import VectorDbConfig
+    from grape_vector_db_tpu.db import VectorDatabase
+    from grape_vector_db_tpu.types import Document, SearchRequest
+
+    cfg = VectorDbConfig(vector_dimension=32)
+    cfg.index.kind = "ivf_int8"
+    cfg.index.nlist = 8
+    cfg.index.nprobe = 8
+    cfg.index.initial_capacity = 2048
+    cfg.cache.enabled = False
+    db = VectorDatabase(config=cfg)
+    vecs = clustered(rng, 600, 32)
+    docs = [Document(id=f"v{i}", content=f"doc {i}", vector=vecs[i].tolist())
+            for i in range(600)]
+    db.batch_add_documents(docs)
+    assert db.stats().index_kind == "ivf_int8"
+    hits = db.vector_search(SearchRequest(vector=vecs[123].tolist(), limit=3))
+    assert hits[0].id == "v123"
+    db.delete_document("v123")
+    hits = db.vector_search(SearchRequest(vector=vecs[123].tolist(), limit=3))
+    assert all(h.id != "v123" for h in hits)

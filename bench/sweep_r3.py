@@ -23,9 +23,12 @@ from __future__ import annotations
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.environ.get("SWEEP_OUT", "bench/SWEEP_R3.jsonl")
 DIM, K, B = 768, 10, 128
@@ -118,10 +121,11 @@ def main() -> None:
         vecs.delete(); norms.delete()
 
     # --------------------------------------------------- shared IVF builders
-    def build_clustered_layout(n, nlist, n_centers, seed, int8_only=False):
+    def build_clustered_layout(n, nlist, n_centers, seed, which="both"):
         """Streaming clustered corpus -> bucketed IVF layout on device.
-        Returns (cents, iv_or_None, inr, ival, codes, scales) where codes /
-        scales are the int8 planes (always built; iv=None when int8_only)."""
+        ``which``: "both" | "bf16" | "int8" — which storage planes to build
+        (unbuilt planes return None; skipping one saves its HBM footprint).
+        Returns (cents, iv, inr, ival, codes, scales)."""
         noise = 0.25
         chunk = min(131_072 // SCALE, n)
         keyr = random.PRNGKey(seed)
@@ -160,10 +164,12 @@ def main() -> None:
         counts = np.bincount(assign_all, minlength=nlist)
         cap = int(((counts.max() + 127) // 128) * 128)  # pallas alignment
 
-        iv = (None if int8_only
-              else jnp.zeros((nlist, cap, DIM), jnp.bfloat16))
-        codes = jnp.zeros((nlist, cap, DIM), jnp.int8)
-        scales = jnp.zeros((nlist, cap), jnp.float32)
+        iv = (jnp.zeros((nlist, cap, DIM), jnp.bfloat16)
+              if which in ("both", "bf16") else None)
+        codes = (jnp.zeros((nlist, cap, DIM), jnp.int8)
+                 if which in ("both", "int8") else None)
+        scales = (jnp.zeros((nlist, cap), jnp.float32)
+                  if which in ("both", "int8") else None)
         inr = jnp.zeros((nlist, cap), jnp.float32)
         ival = jnp.zeros((nlist, cap), jnp.bool_)
 
@@ -175,6 +181,12 @@ def main() -> None:
             inr = inr.at[lists, pos].set(nn)
             ival = ival.at[lists, pos].set(True)
             return codes, scales, inr, ival
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scatter_nv(inr, ival, lists, pos, nn):
+            inr = inr.at[lists, pos].set(nn)
+            ival = ival.at[lists, pos].set(True)
+            return inr, ival
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def scatter_v(iv, lists, pos, v):
@@ -193,14 +205,17 @@ def main() -> None:
             pos[order] = (next_pos[sorted_a] + within).astype(np.int32)
             next_pos += np.bincount(a, minlength=nlist)
             lists_d, pos_d = jnp.asarray(a), jnp.asarray(pos)
-            codes, scales, inr, ival = scatter_all(
-                codes, scales, inr, ival, lists_d, pos_d, v, nn_)
+            if codes is not None:
+                codes, scales, inr, ival = scatter_all(
+                    codes, scales, inr, ival, lists_d, pos_d, v, nn_)
+            else:
+                inr, ival = scatter_nv(inr, ival, lists_d, pos_d, nn_)
             if iv is not None:
                 iv = scatter_v(iv, lists_d, pos_d, v)
             off += chunk
-        codes.block_until_ready()
+        ival.block_until_ready()
         centers.delete()
-        log("build", n=n, nlist=nlist, list_cap=cap, int8_only=int8_only,
+        log("build", n=n, nlist=nlist, list_cap=cap, which=which,
             train_s=round(t_train, 1), layout_s=round(time.perf_counter() - t0, 1))
         return cents, iv, inr, ival, codes, scales
 
@@ -217,7 +232,7 @@ def main() -> None:
     if "ab1m" in STAGES:
         n, nlist = 1_048_576 // SCALE, 4096 // SCALE
         cents, iv, inr, ival, codes, scales = build_clustered_layout(
-            n, nlist, n_centers=16_384 // SCALE, seed=2)
+            n, nlist, n_centers=16_384 // SCALE, seed=2, which="both")
         cap = codes.shape[1]
         recip = make_recip(inr, ival)
         factor = make_factor(scales, inr, ival)
@@ -274,8 +289,7 @@ def main() -> None:
     if "cap4m" in STAGES:
         n, nlist = 4_194_304 // SCALE, 4096 // SCALE
         cents, iv, inr, ival, codes, scales = build_clustered_layout(
-            n, nlist, n_centers=65_536 // SCALE, seed=3, int8_only=False)
-        codes.delete(); scales.delete()  # bf16 stage only
+            n, nlist, n_centers=65_536 // SCALE, seed=3, which="bf16")
         cap = iv.shape[1]
         recip = make_recip(inr, ival)
         q0 = corpus_queries(None, nlist, iv)
@@ -305,7 +319,7 @@ def main() -> None:
     if "cap8m" in STAGES:
         n, nlist = 8_388_608 // SCALE, 8192 // SCALE
         cents, iv, inr, ival, codes, scales = build_clustered_layout(
-            n, nlist, n_centers=131_072 // SCALE, seed=4, int8_only=True)
+            n, nlist, n_centers=131_072 // SCALE, seed=4, which="int8")
         assert iv is None
         cap = codes.shape[1]
         factor = make_factor(scales, inr, ival)

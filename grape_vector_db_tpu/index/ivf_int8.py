@@ -118,10 +118,12 @@ def _ivf_int8_topk(
         rv, ridx = lax.top_k(flat, r)
         rslot = jnp.take_along_axis(gslot, ridx, axis=1)
         rl, rp = rslot // c, rslot % c
-        cvecs = vecs[rl, rp].astype(jnp.bfloat16)               # [B, R, D]
+        cvecs = vecs[rl, rp]                                    # [B, R, D]
         cn = norms[rl, rp]
-        d2 = jnp.einsum("bd,brd->br", q.astype(jnp.bfloat16), cvecs,
-                        preferred_element_type=jnp.float32)
+        prec = (lax.Precision.HIGHEST if vecs.dtype == jnp.float32
+                else lax.Precision.DEFAULT)
+        d2 = jnp.einsum("bd,brd->br", q.astype(vecs.dtype), cvecs,
+                        preferred_element_type=jnp.float32, precision=prec)
         exact = d2 / jnp.maximum(cn, 1e-12)
         if metric == "cosine":
             exact = jnp.minimum(exact, 1.0)

@@ -29,11 +29,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
 from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+from grape_vector_db_tpu.index.ivf_int8 import Int8IvfDeviceIndex, _nv_scatter
 from grape_vector_db_tpu.ops.distance import score_block, prepare_queries
 from grape_vector_db_tpu.ops.topk import take_topk
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
 
 __all__ = ["make_mesh", "sharded_scored_topk", "sharded_ivf_topk",
+           "sharded_ivf_int8_topk", "ShardedInt8IvfIndex",
            "ShardedFlatIndex", "ShardedIvfIndex"]
 
 
@@ -521,6 +523,115 @@ def sharded_ivf_topk(
     )(queries, centroids, vecs, norms, valid)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "rescore", "mesh", "shard_axis"),
+)
+def sharded_ivf_int8_topk(
+    queries: jax.Array,    # [B, D] f32, replicated
+    centroids: jax.Array,  # [L, D] f32, replicated
+    codes: jax.Array,      # [L, C, D] int8, sharded over axis 1
+    scales: jax.Array,     # [L, C] f32 dequant scales, sharded over axis 1
+    norms: jax.Array,      # [L, C] f32, sharded over axis 1
+    valid: jax.Array,      # [L, C] bool, sharded over axis 1
+    vecs: jax.Array | None,  # [L, C, D] bf16 shadow (rescore > 0) or None
+    k: int,
+    nprobe: int,
+    metric: str,
+    rescore: int,
+    mesh: Mesh,
+    shard_axis: str = "shard",
+) -> Tuple[jax.Array, jax.Array]:
+    """SPMD int8 IVF probe: the sharded twin of index/ivf_int8.py.
+
+    Each device scores its 1/S slice of every probed list from the int8
+    codes (half the HBM bytes of the bf16 probe); with ``rescore > 0`` each
+    device exactly rescores its local top-``rescore`` candidates against its
+    bf16 shard BEFORE the all_gather, so the collective carries exact scores
+    and the merge stays a single gather + top-k."""
+    n_shards = mesh.shape[shard_axis]
+    c_global = codes.shape[1]
+    c_local = c_global // n_shards
+    with_v = rescore > 0 and vecs is not None
+
+    def spmd(q, cents, cd, sc, nrm, msk, *rest):
+        v = rest[0] if rest else None
+        b, _ = q.shape
+        l = cd.shape[0]
+        qp = prepare_queries(q, metric)
+        cq = lax.dot_general(qp, cents, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [B, L]
+        _, probe = lax.top_k(cq, min(nprobe, l))                      # [B, P]
+
+        cand = cd[probe].astype(jnp.bfloat16)     # [B, P, C/S, D]
+        if metric == "cosine":
+            f = sc[probe] / jnp.maximum(nrm[probe], 1e-12)
+        else:
+            f = sc[probe]
+        f = jnp.where(msk[probe], f, 0.0)
+        dots = jnp.einsum("bd,bpcd->bpc", qp.astype(jnp.bfloat16), cand,
+                          preferred_element_type=jnp.float32)
+        scores = dots * f + jnp.where(f == 0.0, -1e9, 0.0)
+
+        p = probe.shape[1]
+        shard_id = lax.axis_index(shard_axis)
+        flat = scores.reshape(b, p * c_local)
+
+        if with_v:
+            r = min(rescore, p * c_local)
+            rv, ridx = lax.top_k(flat, r)                      # [B, R] local
+            pl_ = ridx // c_local
+            pp = ridx % c_local
+            lists = jnp.take_along_axis(probe, pl_, axis=1)    # [B, R]
+            cvecs = v[lists, pp]                               # [B, R, D]
+            cn = nrm[lists, pp]
+            prec = (lax.Precision.HIGHEST if v.dtype == jnp.float32
+                    else lax.Precision.DEFAULT)
+            d2 = jnp.einsum("bd,brd->br", qp.astype(v.dtype), cvecs,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            exact = d2 / jnp.maximum(cn, 1e-12)
+            if metric == "cosine":
+                exact = jnp.minimum(exact, 1.0)
+            exact = jnp.where((rv > -1e8) & (cn > 0), exact, -jnp.inf)
+            gslot = lists * c_global + shard_id * c_local + pp
+            vals, slots = exact, gslot
+        else:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (b, p, c_local), 2)
+            gslot = (probe[:, :, None] * c_global + shard_id * c_local + pos
+                     ).reshape(b, p * c_local)
+            kk = min(k, p * c_local)
+            vals, pos_k = lax.top_k(flat, kk)
+            vals = jnp.where(vals > -1e8, vals, -jnp.inf)
+            slots = jnp.take_along_axis(gslot, pos_k, axis=1)
+
+        all_vals = lax.all_gather(vals, shard_axis, axis=1, tiled=True)
+        all_slots = lax.all_gather(slots, shard_axis, axis=1, tiled=True)
+        fvals, fslots = take_topk(all_vals, all_slots,
+                                  min(k, all_vals.shape[1]))
+        if fvals.shape[1] < k:
+            pad = k - fvals.shape[1]
+            fvals = jnp.pad(fvals, ((0, 0), (0, pad)),
+                            constant_values=-jnp.inf)
+            fslots = jnp.pad(fslots, ((0, 0), (0, pad)))
+        return fvals, fslots
+
+    cell = P(None, shard_axis, None)
+    cellv = P(None, shard_axis)
+    specs = [P(), P(), cell, cellv, cellv, cellv]
+    operands = [queries, centroids, codes, scales, norms, valid]
+    if with_v:
+        specs.append(cell)
+        operands.append(vecs)
+    return jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(*operands)
+
+
 class ShardedIvfIndex(IvfDeviceIndex):
     """Mesh-sharded IVF: the engine that carries the sublinear multi-chip
     story (VERDICT r1 item 6). Same VectorIndex/IvfDeviceIndex contract and
@@ -565,55 +676,84 @@ class ShardedIvfIndex(IvfDeviceIndex):
         super().train(sample, seed=seed)
         self.centroids = jax.device_put(self.centroids, self._repl)
 
-    def search_batch(self, queries: np.ndarray, k: int,
-                     mask=None) -> List[List[SearchHit]]:
-        queries = np.asarray(queries, dtype=np.float32)
-        if queries.shape[1] != self._dim:
-            raise DimensionMismatchError(self._dim, queries.shape[1])
-        b = queries.shape[0]
-        if b == 0 or len(self) == 0:
-            return [[] for _ in range(b)]
-        with self._lock:
-            if self.centroids is None:
-                return self._overflow.search_batch(
-                    queries, k, mask=None if mask is None else mask[1])
-            bb = next_bucket(b, base=8)
-            qp = pad_rows(queries, bb)
-            valid = self.valid
-            if mask is not None:
-                valid = jnp.logical_and(
-                    valid,
-                    jax.device_put(jnp.asarray(mask[0]), self._cellv_sharding),
-                )
-            q_dev = jax.device_put(jnp.asarray(qp), self._repl)
-            vals, slots = sharded_ivf_topk(
-                q_dev, self.centroids, self.vecs, self.norms, valid,
-                k=k, nprobe=self.nprobe, metric=self.metric,
-                mesh=self.mesh, shard_axis=self.shard_axis,
+    def _main_topk(self, qp: np.ndarray, k: int, mask):
+        valid = self.valid
+        if mask is not None:
+            valid = jnp.logical_and(
+                valid,
+                jax.device_put(jnp.asarray(mask[0]), self._cellv_sharding),
             )
-            vals, slots = np.asarray(vals)[:b], np.asarray(slots)[:b]
-            if len(self._overflow):
-                o_vals, o_idx = self._overflow.raw_topk(
-                    qp, k, mask=None if mask is None else mask[1])
-                o_hits = self._overflow.hits_from_slots(o_vals[:b], o_idx[:b])
-            else:
-                o_hits = [[] for _ in range(b)]
-        out: List[List[SearchHit]] = []
-        for row_v, row_s, extra in zip(vals, slots, o_hits):
-            hits: List[SearchHit] = []
-            for v, s in zip(row_v, row_s):
-                if not np.isfinite(v):
-                    continue
-                id_ = self._cell_to_id.get(int(s))
-                if id_ is not None:
-                    hits.append((id_, float(v)))
-            hits.extend(extra)
-            hits.sort(key=lambda h: -h[1])
-            seen: set = set()
-            uniq = []
-            for h in hits:
-                if h[0] not in seen:
-                    seen.add(h[0])
-                    uniq.append(h)
-            out.append(uniq[:k])
-        return out
+        q_dev = jax.device_put(jnp.asarray(qp), self._repl)
+        return sharded_ivf_topk(
+            q_dev, self.centroids, self.vecs, self.norms, valid,
+            k=k, nprobe=self.nprobe, metric=self.metric,
+            mesh=self.mesh, shard_axis=self.shard_axis,
+        )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _int8_cs_scatter(codes, scales, lists, pos, new_vecs):
+    """Quantize rows (per-row symmetric int8) and scatter code + scale planes
+    at (list, pos) — the sharded layout keeps validity in ``valid`` (no
+    factor plane; the SPMD probe folds scale/norm/validity on the fly)."""
+    vf = new_vecs.astype(jnp.float32)
+    s = jnp.max(jnp.abs(vf), axis=1) / 127.0
+    vi = jnp.clip(jnp.round(vf / jnp.maximum(s[:, None], 1e-12)), -127, 127
+                  ).astype(jnp.int8)
+    codes = codes.at[lists, pos].set(vi, mode="drop")
+    scales = scales.at[lists, pos].set(s, mode="drop")
+    return codes, scales
+
+
+class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
+    """Mesh-sharded int8 IVF: the capacity+bandwidth engine across chips.
+
+    Combines ShardedIvfIndex's within-list capacity sharding (uniform SPMD,
+    one all_gather merge) with Int8IvfDeviceIndex's int8-resident lists —
+    the multi-chip configuration that carries N x ~16M rows at half the
+    per-list HBM traffic. With ``keep_bf16`` each device exactly rescores
+    its local winners BEFORE the collective, so the gather carries exact
+    scores (same wire cost, exact ranking)."""
+
+    kind = "sharded_ivf_int8"
+    supports_mask = True
+
+    def _alloc(self, cap: int) -> None:
+        ShardedIvfIndex._alloc(self, cap)  # sharded vecs/norms/valid
+        cap = self.list_cap
+        l, d = self.nlist, self._dim
+        if not self.keep_bf16:
+            self.vecs = None
+        self.codes = jax.device_put(
+            jnp.zeros((l, cap, d), dtype=jnp.int8), self._cell_sharding)
+        self.scales = jax.device_put(
+            jnp.zeros((l, cap), dtype=jnp.float32), self._cellv_sharding)
+
+    def _scatter_rows(self, lists_p, pos_p, vecs_p, norms_p) -> None:
+        if self.keep_bf16:
+            IvfDeviceIndex._scatter_rows(self, lists_p, pos_p, vecs_p, norms_p)
+        else:
+            self.norms, self.valid = _nv_scatter(
+                self.norms, self.valid, lists_p, pos_p, norms_p)
+        self.codes, self.scales = _int8_cs_scatter(
+            self.codes, self.scales, lists_p, pos_p, vecs_p)
+
+    def _invalidate_cells(self, lists_p, pos_p) -> None:
+        # validity lives solely in `valid` here (no factor plane to zero)
+        IvfDeviceIndex._invalidate_cells(self, lists_p, pos_p)
+
+    def _main_topk(self, qp: np.ndarray, k: int, mask):
+        valid = self.valid
+        if mask is not None:
+            valid = jnp.logical_and(
+                valid,
+                jax.device_put(jnp.asarray(mask[0]), self._cellv_sharding),
+            )
+        q_dev = jax.device_put(jnp.asarray(qp), self._repl)
+        r = self._rescore_count(k)
+        return sharded_ivf_int8_topk(
+            q_dev, self.centroids, self.codes, self.scales, self.norms,
+            valid, self.vecs if r else None,
+            k=k, nprobe=self.nprobe, metric=self.metric, rescore=r,
+            mesh=self.mesh, shard_axis=self.shard_axis,
+        )

@@ -397,6 +397,49 @@ def main() -> None:
         "recall": round(float(rec_np), 4),
         "note": "Pallas DMA probe; 16k-cluster corpus, corpus-drawn queries",
     }
+
+    # int8 variant of the same probe: half the DMA bytes per list. Quantize
+    # the layout in list-blocks (full-array f32 transient would be 8GB).
+    from grape_vector_db_tpu.ops.ivf_pallas import (
+        make_factor,
+        pallas_ivf_topk_int8,
+    )
+
+    lb = max(nlist // 8, 1)
+
+    @jax.jit
+    def quant_block(block):
+        vf = block.astype(jnp.float32)
+        s = jnp.max(jnp.abs(vf), axis=-1) / 127.0
+        vi = jnp.clip(jnp.round(vf / jnp.maximum(s[..., None], 1e-12)),
+                      -127, 127).astype(jnp.int8)
+        return vi, s
+
+    pc, ps = [], []
+    for i in range(nlist // lb):
+        vi, s = quant_block(lax.dynamic_slice_in_dim(iv, i * lb, lb))
+        pc.append(vi)
+        ps.append(s)
+    codes1m = jnp.concatenate(pc)
+    factor1m = make_factor(jnp.concatenate(ps), inr, ival)
+    del pc, ps
+
+    def step_np8(q, cents, codes, factor):
+        return pallas_ivf_topk_int8(q, cents, codes, factor, k=K, nprobe=1,
+                                    metric="cosine", interpret=interp)
+
+    ms8 = timed_fori(step_np8, qc, cents, codes1m, factor1m, its=its_np)
+    _, s8 = jax.jit(step_np8)(qc, cents, codes1m, factor1m)
+    rec_8 = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / K
+        for a, b in zip(np.asarray(s8), oi)
+    ])
+    matrix["ivf_int8_pallas_1M_clustered_nprobe1"] = {
+        "batch_ms": round(ms8, 3), "qps": round(BATCH / ms8 * 1e3, 0),
+        "recall": round(float(rec_8), 4),
+        "note": "int8-resident lists: half the DMA bytes (capacity config)",
+    }
+    del codes1m, factor1m
     del iv, inr, ival, recip
 
     # ------------------------------------------------------------ correctness
@@ -408,6 +451,7 @@ def main() -> None:
         assert overlap >= int(0.9 * K), f"sanity recall too low: {overlap}/{K}"
 
     ns = matrix["ivf_pallas_1M_clustered_nprobe1"]
+    ns8 = matrix["ivf_int8_pallas_1M_clustered_nprobe1"]
     result = {
         "metric": f"exact_cosine_top{K}_qps_{n // 1000}k_x_{DIM}d_bf16_batch{BATCH}",
         "value": exact_qps,
@@ -417,6 +461,11 @@ def main() -> None:
             "qps": ns["qps"], "recall": ns["recall"],
             "vs_baseline": round(ns["qps"] / BASELINE_READ_QPS, 2),
             "engine": "ivf_pallas nlist=4096 nprobe=1, 1M x 768 bf16 clustered",
+        },
+        "north_star_1M_int8": {
+            "qps": ns8["qps"], "recall": ns8["recall"],
+            "vs_baseline": round(ns8["qps"] / BASELINE_READ_QPS, 2),
+            "engine": "ivf_int8_pallas nlist=4096 nprobe=1 (capacity config)",
         },
         "matrix": matrix,
         "backend": jax.default_backend(),

@@ -285,6 +285,41 @@ def main() -> None:
                 int8_rescore_recall=round(
                     recall_at_k(np.asarray(s8r), oracle_i), 4))
 
+    # --------------------------------------------------------------- resweep
+    if "resweep" in STAGES:
+        n, nlist = 1_048_576 // SCALE, 4096 // SCALE
+        cents, iv, inr, ival, codes, scales = build_clustered_layout(
+            n, nlist, n_centers=16_384 // SCALE, seed=2, which="both")
+        cap = codes.shape[1]
+        recip = make_recip(inr, ival)
+        factor = make_factor(scales, inr, ival)
+        q0 = corpus_queries(None, nlist, iv)
+        nn = nlist * cap
+        chunk = nn // 8 if nn % 8 == 0 and (nn // 8) % 32 == 0 else nn
+
+        @jax.jit
+        def f_oracle(q, iv, inr, ival):
+            return scored_topk(q, iv.reshape(nn, DIM), inr.reshape(nn),
+                               ival.reshape(nn), k=K, metric="cosine",
+                               chunk=chunk, mode="exact")
+
+        _, oi = f_oracle(q0, iv, inr, ival)
+        oracle_i = np.asarray(oi)
+        for nprobe in (1, 2):
+            for r in (0, 16, 32, 64):
+                def step(q, cents, codes, factor, iv, recip,
+                         nprobe=nprobe, r=r):
+                    return pallas_ivf_topk_int8(
+                        q, cents, codes, factor, k=K, nprobe=nprobe,
+                        metric="cosine", rescore=r,
+                        vecs=iv if r else None, recip=recip if r else None,
+                        interpret=interpret)
+                ms = timed_fori(step, q0, cents, codes, factor, iv, recip)
+                _, sp = jax.jit(step)(q0, cents, codes, factor, iv, recip)
+                log("int8_rescore_knee_1M", n=n, nprobe=nprobe, rescore=r,
+                    ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
+                    recall=round(recall_at_k(np.asarray(sp), oracle_i), 4))
+
     # ----------------------------------------------------------------- cap4m
     if "cap4m" in STAGES:
         n, nlist = 4_194_304 // SCALE, 4096 // SCALE

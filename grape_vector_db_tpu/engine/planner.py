@@ -143,10 +143,14 @@ class QueryEngine:
                 # compiles to a slot mask fused into the scan's validity
                 # predicate, so even a 0.1%-selective filter returns the exact
                 # top-k over allowed rows — no over-fetch heuristics.
-                mask = self.index.compile_mask(allowed)
-                hits = self.index.search(
-                    np.asarray(req.vector, dtype=np.float32), fetch, mask=mask
-                )
+                # The (list, pos)-addressed mask must not race a concurrent
+                # optimize() repack between compile and search.
+                with self.index.locked():
+                    mask = self.index.compile_mask(allowed)
+                    hits = self.index.search(
+                        np.asarray(req.vector, dtype=np.float32), fetch,
+                        mask=mask,
+                    )
             else:
                 # Fallback (indexes without masked search): over-fetch so the
                 # host post-filter still fills the page — scaled by the
@@ -223,10 +227,12 @@ class QueryEngine:
             merged: Dict[str, float] = {}
             if req.vector is not None:
                 if allowed is not None and self.index.supports_mask:
-                    dense = self.index.search(
-                        np.asarray(req.vector, dtype=np.float32), req.limit * 2,
-                        mask=self.index.compile_mask(allowed),
-                    )
+                    with self.index.locked():
+                        dense = self.index.search(
+                            np.asarray(req.vector, dtype=np.float32),
+                            req.limit * 2,
+                            mask=self.index.compile_mask(allowed),
+                        )
                 else:
                     dense = self.index.search(
                         np.asarray(req.vector, dtype=np.float32), req.limit * 2

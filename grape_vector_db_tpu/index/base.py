@@ -79,6 +79,16 @@ class VectorIndex(abc.ABC):
         """Compile an allowed-id set to this index's slot-mask layout."""
         raise NotImplementedError(f"{self.kind} index does not support masks")
 
+    def locked(self):
+        """Context manager over the index's internal lock (reentrant). A
+        compiled mask is (list, pos)-addressed, so a concurrent optimize()
+        repack between compile_mask and search_batch would silently remap
+        every cell — callers pairing the two must hold this across both."""
+        import contextlib
+
+        lock = getattr(self, "_lock", None)
+        return lock if lock is not None else contextlib.nullcontext()
+
     def search(self, query: np.ndarray, k: int, mask=None) -> List[SearchHit]:
         return self.search_batch(
             np.asarray(query, dtype=np.float32)[None, :], k, mask=mask

@@ -53,10 +53,15 @@ def _ivf_invalidate(valid, list_ids, positions):
     return valid.at[list_ids, positions].set(False, mode="drop")
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _recip_scatter(recip, list_ids, positions, new_norms):
-    """Maintain the Pallas probe's [L, 8, C] reciprocal-norm plane."""
-    vals = 1.0 / jnp.maximum(new_norms, 1e-12)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("metric",))
+def _recip_scatter(recip, list_ids, positions, new_norms, metric: str):
+    """Maintain the Pallas probe's [L, 8, C] score-weight plane: 1/|v| for
+    cosine (the in-kernel norm division), 1.0 for dot (raw dots pass
+    through); 0 = invalid."""
+    if metric == "cosine":
+        vals = 1.0 / jnp.maximum(new_norms, 1e-12)
+    else:
+        vals = jnp.ones_like(new_norms)
     return recip.at[list_ids, :, positions].set(
         jnp.broadcast_to(vals[:, None], (vals.shape[0], 8)), mode="drop"
     )
@@ -162,10 +167,16 @@ class IvfDeviceIndex(VectorIndex):
 
         # use_pallas="force" runs the kernel through the Pallas interpreter
         # off-TPU (tests exercise the production path on the CPU mesh).
-        self._use_pallas = metric in ("cosine", "dot") and (
-            use_pallas == "force" or (bool(use_pallas) and ivf_pallas_supported())
-        )
+        # Real-TPU lowering additionally needs 128-aligned dimensions
+        # (Mosaic DMA lane alignment) — unaligned dims take the XLA probe.
         self._pallas_interpret = not ivf_pallas_supported()
+        metric_ok = metric in ("cosine", "dot")
+        aligned = dimension % 128 == 0
+        if use_pallas == "force":
+            self._use_pallas = metric_ok and (aligned or self._pallas_interpret)
+        else:
+            self._use_pallas = (metric_ok and bool(use_pallas)
+                                and ivf_pallas_supported() and aligned)
         # list capacity starts small and doubles on overflow pressure
         # (128-aligned: Mosaic DMA lane alignment for the recip plane)
         self.list_cap = max(128, next_bucket(
@@ -303,7 +314,8 @@ class IvfDeviceIndex(VectorIndex):
             self.vecs, self.norms, self.valid, lists_p, pos_p, vecs_p, norms_p,
         )
         if self.recip is not None:
-            self.recip = _recip_scatter(self.recip, lists_p, pos_p, norms_p)
+            self.recip = _recip_scatter(self.recip, lists_p, pos_p, norms_p,
+                                         metric=self.metric)
 
     def _post_scatter(self, list_ids, positions, vecs) -> None:
         """Hook for subclasses keeping extra per-cell arrays (e.g. PQ codes)."""
@@ -447,7 +459,9 @@ class IvfDeviceIndex(VectorIndex):
             )
             need = int(counts.max())
             if need > self.list_cap:
-                self.list_cap = next_bucket(int(need * 1.25) + 1, base=64)
+                # base=128 keeps the Pallas probe's lane alignment across
+                # regrows (the kernel rejects caps that are not 128-aligned)
+                self.list_cap = next_bucket(int(need * 1.25) + 1, base=128)
                 self._alloc(self.list_cap)
             self._place(ids, vecs)
 

@@ -36,6 +36,8 @@ from jax import lax
 
 from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
 from grape_vector_db_tpu.ops.distance import prepare_queries
+from grape_vector_db_tpu.ops.int8 import quantize_int8
+from grape_vector_db_tpu.ops.ivf_pallas import finalize_probe_topk
 from grape_vector_db_tpu.utils.buckets import next_bucket
 
 __all__ = ["Int8IvfDeviceIndex"]
@@ -45,12 +47,9 @@ __all__ = ["Int8IvfDeviceIndex"]
                    static_argnames=("metric",))
 def _int8_cell_scatter(codes, scales, factor, lists, pos, new_vecs, new_norms,
                        metric: str):
-    """Quantize rows (per-row symmetric int8) and scatter codes + scale +
-    factor planes at (list, pos)."""
-    vf = new_vecs.astype(jnp.float32)
-    s = jnp.max(jnp.abs(vf), axis=1) / 127.0
-    vi = jnp.clip(jnp.round(vf / jnp.maximum(s[:, None], 1e-12)), -127, 127
-                  ).astype(jnp.int8)
+    """Quantize rows (per-row symmetric int8, ops/int8.py scheme) and scatter
+    codes + scale + factor planes at (list, pos)."""
+    vi, s = quantize_int8(new_vecs)
     codes = codes.at[lists, pos].set(vi, mode="drop")
     scales = scales.at[lists, pos].set(s, mode="drop")
     if metric == "cosine":
@@ -105,40 +104,22 @@ def _ivf_int8_topk(
                       preferred_element_type=jnp.float32)
     scores = dots * f + jnp.where(f == 0.0, -1e9, 0.0)
 
-    p = probe.shape[1]
-    pos = lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
-    gslot = (probe[:, :, None] * c + pos).reshape(b, p * c)
-    flat = scores.reshape(b, p * c)
-    if cell_mask is not None:
-        allowed = cell_mask[probe]
-        flat = jnp.where(allowed.reshape(b, p * c), flat, -jnp.inf)
-
-    if rescore and vecs is not None:
-        r = min(rescore, p * c)
-        rv, ridx = lax.top_k(flat, r)
-        rslot = jnp.take_along_axis(gslot, ridx, axis=1)
-        rl, rp = rslot // c, rslot % c
-        cvecs = vecs[rl, rp]                                    # [B, R, D]
+    def weight(rl, rp):
+        # norms are NOT zeroed on delete; fold current validity explicitly
+        # so the rescore guard (w > 0) drops cells deleted since scatter.
         cn = norms[rl, rp]
-        prec = (lax.Precision.HIGHEST if vecs.dtype == jnp.float32
-                else lax.Precision.DEFAULT)
-        d2 = jnp.einsum("bd,brd->br", q.astype(vecs.dtype), cvecs,
-                        preferred_element_type=jnp.float32, precision=prec)
-        exact = d2 / jnp.maximum(cn, 1e-12)
+        live = factor[rl, 0, rp] > 0
         if metric == "cosine":
-            exact = jnp.minimum(exact, 1.0)
-        exact = jnp.where(jnp.isfinite(rv) & (cn > 0), exact, -jnp.inf)
-        kk = min(k, r)
-        vals, idx = lax.top_k(exact, kk)
-        slots = jnp.take_along_axis(rslot, idx, axis=1)
-    else:
-        kk = min(k, p * c)
-        vals, idx = lax.top_k(flat, kk)
-        slots = jnp.take_along_axis(gslot, idx, axis=1)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
-    return vals, slots
+            w = 1.0 / jnp.maximum(cn, 1e-12)
+        else:
+            w = jnp.ones_like(cn)
+        return jnp.where(live & (cn > 0), w, 0.0)
+
+    return finalize_probe_topk(
+        q, probe, scores, k, metric, cell_mask=cell_mask,
+        rescore=rescore, vecs=vecs,
+        weight_fn=None if vecs is None else weight,
+    )
 
 
 class Int8IvfDeviceIndex(IvfDeviceIndex):

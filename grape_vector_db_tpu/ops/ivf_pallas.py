@@ -12,8 +12,9 @@ async DMA of the whole probed list — a contiguous, sublane-aligned
 sub-8-row alignment wall that disproved per-row DMA gather in
 ``gather_pallas.py`` does not apply) — double-buffered so the next list
 streams in while the current one is scored with a single MXU ``dot``.
-Validity folds into the reciprocal-norm plane: ``recip == 0`` marks invalid
-slots and becomes a -1e9 score bias in-kernel.
+Validity folds into the score-weight plane (1/|v| for cosine, 1.0 for dot —
+see ``make_recip``): ``recip == 0`` marks invalid slots and becomes a -1e9
+score bias in-kernel.
 
 Output is the raw per-cell score plane ``[B*P, C]``; the caller flattens,
 adds global slot ids, and runs the standard top-k selection (XLA) on it.
@@ -31,11 +32,72 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ivf_probe_scores", "ivf_pallas_supported", "pallas_ivf_topk",
-           "ivf_probe_scores_int8", "pallas_ivf_topk_int8", "make_factor"]
+           "ivf_probe_scores_int8", "pallas_ivf_topk_int8", "make_factor",
+           "finalize_probe_topk"]
 
 
 def ivf_pallas_supported() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def finalize_probe_topk(
+    qp: jax.Array,        # [B, D] prepared queries
+    probe: jax.Array,     # [B, P] probed list ids
+    scores: jax.Array,    # [B, P, C] stage-2 scores (invalid <= -1e9)
+    k: int,
+    metric: str,
+    cell_mask: jax.Array | None = None,  # [L, C] bool filter
+    rescore: int = 0,
+    vecs: jax.Array | None = None,       # [L, C, D] rescore shadow
+    weight_fn=None,       # (rl [B,R], rp [B,R]) -> [B,R] f32 score weight
+                          #   (1/norm for cosine, 1 for dot; 0 = invalid)
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared stage-2 selection: slot mapping, filter-mask fold, optional
+    exact rescore of the top candidates, final top-k + pad.
+
+    One implementation so the invalid-score sentinel contract (-1e9 from the
+    scoring stage, -inf after mask/validity folds, ``rv > -1e8`` as the
+    rescore guard) and the cosine <=1.0 clamp stay single-sourced across the
+    bf16 / int8 / XLA-fallback probes."""
+    b, p, c = scores.shape
+    pos = lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
+    gslot = (probe[:, :, None] * c + pos).reshape(b, p * c)
+    flat = scores.reshape(b, p * c)
+    if cell_mask is not None:
+        allowed = cell_mask[probe]                             # [B, P, C]
+        flat = jnp.where(allowed.reshape(b, p * c), flat, -jnp.inf)
+
+    if rescore and vecs is not None:
+        r = min(rescore, p * c)
+        rv, ridx = lax.top_k(flat, r)
+        rslot = jnp.take_along_axis(gslot, ridx, axis=1)       # [B, R]
+        rl, rp = rslot // c, rslot % c
+        cand = vecs[rl, rp]                                    # [B, R, D]
+        w = weight_fn(rl, rp)                                  # [B, R]
+        prec = (lax.Precision.HIGHEST if cand.dtype == jnp.float32
+                else lax.Precision.DEFAULT)
+        dots = jnp.einsum("bd,brd->br", qp.astype(cand.dtype), cand,
+                          preferred_element_type=jnp.float32, precision=prec)
+        exact = dots * w
+        if metric == "cosine":
+            exact = jnp.minimum(exact, 1.0)
+        # rv > -1e8 excludes masked (-inf) AND invalid (-1e9) candidates;
+        # w > 0 excludes cells deleted after the candidate scores were built.
+        exact = jnp.where((rv > -1e8) & (w > 0), exact, -jnp.inf)
+        kk = min(k, r)
+        vals, idx = lax.top_k(exact, kk)
+        slots = jnp.take_along_axis(rslot, idx, axis=1)
+    else:
+        kk = min(k, p * c)
+        vals, idx = lax.top_k(flat, kk)
+        if metric == "cosine":
+            vals = jnp.minimum(vals, 1.0)
+        vals = jnp.where(vals > -1e8, vals, -jnp.inf)
+        slots = jnp.take_along_axis(gslot, idx, axis=1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
+    return vals, slots
 
 
 def _probe_kernel(probe_smem, q_vmem, vecs_hbm, recip_hbm, out_vmem,
@@ -92,7 +154,7 @@ def ivf_probe_scores(
     q: jax.Array,       # [B, D] f32, L2-normalized (cosine) or raw (dot)
     probe: jax.Array,   # [B, P] int32 list ids
     vecs: jax.Array,    # [L, C, D] bf16 (C % 64 == 0, D % 128 == 0)
-    recip: jax.Array,   # [L, 8, C] f32: validity-masked 1/|v| (0 = invalid)
+    recip: jax.Array,   # [L, 8, C] f32 weight plane from make_recip (0 = invalid)
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9).
@@ -105,6 +167,10 @@ def ivf_probe_scores(
     if c % 128:
         raise ValueError(f"list capacity {c} must be a multiple of 128 "
                          "for the Pallas probe (Mosaic lane alignment)")
+    if d % 128 and not interpret:
+        raise ValueError(f"dimension {d} must be a multiple of 128 for the "
+                         "Pallas probe (Mosaic DMA lane alignment); use the "
+                         "XLA probe for unaligned dims")
     ncells = b * p
 
     out = pl.pallas_call(
@@ -163,20 +229,8 @@ def pallas_ivf_topk(
 
     scores = ivf_probe_scores(qp, probe.astype(jnp.int32), vecs, recip,
                               interpret=interpret)              # [B, P, C]
-    p = probe.shape[1]
-    pos = lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
-    gslot = (probe[:, :, None] * c + pos).reshape(b, p * c)
-    flat = scores.reshape(b, p * c)
-    if cell_mask is not None:
-        allowed = cell_mask[probe]                             # [B, P, C] bool
-        flat = jnp.where(allowed.reshape(b, p * c), flat, -jnp.inf)
-    kk = min(k, p * c)
-    vals, idx = lax.top_k(flat, kk)
-    slots = jnp.take_along_axis(gslot, idx, axis=1)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
-    return vals, slots
+    return finalize_probe_topk(qp, probe, scores, k, metric,
+                               cell_mask=cell_mask)
 
 
 def _probe_kernel_int8(probe_smem, q_vmem, codes_hbm, factor_hbm, out_vmem,
@@ -247,6 +301,10 @@ def ivf_probe_scores_int8(
     if c % 128:
         raise ValueError(f"list capacity {c} must be a multiple of 128 "
                          "for the Pallas probe (Mosaic lane alignment)")
+    if d % 128 and not interpret:
+        raise ValueError(f"dimension {d} must be a multiple of 128 for the "
+                         "Pallas probe (Mosaic DMA lane alignment); use the "
+                         "XLA probe for unaligned dims")
     ncells = b * p
 
     out = pl.pallas_call(
@@ -307,38 +365,11 @@ def pallas_ivf_topk_int8(
 
     scores = ivf_probe_scores_int8(qp, probe.astype(jnp.int32), codes, factor,
                                    interpret=interpret)         # [B, P, C]
-    p = probe.shape[1]
-    pos = lax.broadcasted_iota(jnp.int32, (b, p, c), 2)
-    gslot = (probe[:, :, None] * c + pos).reshape(b, p * c)
-    flat = scores.reshape(b, p * c)
-    if cell_mask is not None:
-        allowed = cell_mask[probe]                              # [B, P, C]
-        flat = jnp.where(allowed.reshape(b, p * c), flat, -jnp.inf)
-
-    if rescore and vecs is not None:
-        r = min(rescore, p * c)
-        rv, ridx = lax.top_k(flat, r)
-        rslot = jnp.take_along_axis(gslot, ridx, axis=1)        # [B, R]
-        rl, rp = rslot // c, rslot % c
-        cand = vecs[rl, rp].astype(jnp.bfloat16)                # [B, R, D]
-        crecip = recip[rl, 0, rp]                               # [B, R]
-        dots = jnp.einsum("bd,brd->br", qp.astype(jnp.bfloat16), cand,
-                          preferred_element_type=jnp.float32)
-        exact = dots * crecip
-        if metric == "cosine":
-            exact = jnp.minimum(exact, 1.0)
-        exact = jnp.where(jnp.isfinite(rv) & (crecip > 0), exact, -jnp.inf)
-        kk = min(k, r)
-        vals, idx = lax.top_k(exact, kk)
-        slots = jnp.take_along_axis(rslot, idx, axis=1)
-    else:
-        kk = min(k, p * c)
-        vals, idx = lax.top_k(flat, kk)
-        slots = jnp.take_along_axis(gslot, idx, axis=1)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
-    return vals, slots
+    return finalize_probe_topk(
+        qp, probe, scores, k, metric, cell_mask=cell_mask,
+        rescore=rescore, vecs=vecs,
+        weight_fn=None if vecs is None else (lambda rl, rp: recip[rl, 0, rp]),
+    )
 
 
 def make_factor(scales: jax.Array, norms: jax.Array,
@@ -354,12 +385,18 @@ def make_factor(scales: jax.Array, norms: jax.Array,
                             ).astype(jnp.float32)
 
 
-def make_recip(norms: jax.Array, valid: jax.Array) -> jax.Array:
-    """[L, C] norms + valid -> [L, 8, C] masked reciprocal norms.
+def make_recip(norms: jax.Array, valid: jax.Array,
+               metric: str = "cosine") -> jax.Array:
+    """[L, C] norms + valid -> [L, 8, C] masked score-weight plane: 1/|v|
+    for cosine (the in-kernel norm division), 1.0 for dot (raw dots pass
+    through). 0 always marks an invalid slot.
 
     The 8-sublane broadcast satisfies Mosaic's DMA tiling (slices need >=8
     sublanes and 128-aligned lanes; C must be a multiple of 128). Memory
     overhead is 8 * 4 bytes per slot — ~0.4%% of the bf16 vectors."""
-    r = jnp.where(valid, 1.0 / jnp.maximum(norms, 1e-12), 0.0)
+    if metric == "cosine":
+        r = jnp.where(valid, 1.0 / jnp.maximum(norms, 1e-12), 0.0)
+    else:
+        r = jnp.where(valid, 1.0, 0.0)
     return jnp.broadcast_to(r[:, None, :], (r.shape[0], 8, r.shape[1])
                             ).astype(jnp.float32)

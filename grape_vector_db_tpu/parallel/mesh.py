@@ -585,15 +585,18 @@ def sharded_ivf_int8_topk(
             lists = jnp.take_along_axis(probe, pl_, axis=1)    # [B, R]
             cvecs = v[lists, pp]                               # [B, R, D]
             cn = nrm[lists, pp]
+            live = jnp.take_along_axis(
+                msk[probe].reshape(b, p * c_local), ridx, axis=1)
             prec = (lax.Precision.HIGHEST if v.dtype == jnp.float32
                     else lax.Precision.DEFAULT)
             d2 = jnp.einsum("bd,brd->br", qp.astype(v.dtype), cvecs,
                             preferred_element_type=jnp.float32,
                             precision=prec)
-            exact = d2 / jnp.maximum(cn, 1e-12)
             if metric == "cosine":
-                exact = jnp.minimum(exact, 1.0)
-            exact = jnp.where((rv > -1e8) & (cn > 0), exact, -jnp.inf)
+                exact = jnp.minimum(d2 / jnp.maximum(cn, 1e-12), 1.0)
+            else:
+                exact = d2
+            exact = jnp.where((rv > -1e8) & live & (cn > 0), exact, -jnp.inf)
             gslot = lists * c_global + shard_id * c_local + pp
             vals, slots = exact, gslot
         else:
@@ -693,15 +696,15 @@ class ShardedIvfIndex(IvfDeviceIndex):
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _int8_cs_scatter(codes, scales, lists, pos, new_vecs):
-    """Quantize rows (per-row symmetric int8) and scatter code + scale planes
-    at (list, pos) — the sharded layout keeps validity in ``valid`` (no
-    factor plane; the SPMD probe folds scale/norm/validity on the fly)."""
-    vf = new_vecs.astype(jnp.float32)
-    s = jnp.max(jnp.abs(vf), axis=1) / 127.0
-    vi = jnp.clip(jnp.round(vf / jnp.maximum(s[:, None], 1e-12)), -127, 127
-                  ).astype(jnp.int8)
+    """Quantize rows (per-row symmetric int8, ops/int8.py scheme) and scatter
+    code + scale planes at (list, pos) — the sharded layout keeps validity in
+    ``valid`` (no factor plane; the SPMD probe folds scale/norm/validity on
+    the fly)."""
+    from grape_vector_db_tpu.ops.int8 import quantize_int8
+
+    vi, sc = quantize_int8(new_vecs)
     codes = codes.at[lists, pos].set(vi, mode="drop")
-    scales = scales.at[lists, pos].set(s, mode="drop")
+    scales = scales.at[lists, pos].set(sc, mode="drop")
     return codes, scales
 
 
@@ -719,11 +722,22 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
     supports_mask = True
 
     def _alloc(self, cap: int) -> None:
-        ShardedIvfIndex._alloc(self, cap)  # sharded vecs/norms/valid
-        cap = self.list_cap
+        # list capacity must split evenly across the shard axis
+        cap = ((cap + self.n_shards - 1) // self.n_shards) * self.n_shards
+        self.list_cap = cap
         l, d = self.nlist, self._dim
-        if not self.keep_bf16:
-            self.vecs = None
+        # capacity config: the bf16 plane must never be materialized, even
+        # transiently — at target fill it alone would OOM the mesh
+        self.vecs = (jax.device_put(
+            jnp.zeros((l, cap, d), dtype=self.storage_dtype),
+            self._cell_sharding) if self.keep_bf16 else None)
+        self.norms = jax.device_put(
+            jnp.zeros((l, cap), dtype=jnp.float32), self._cellv_sharding)
+        self.valid = jax.device_put(
+            jnp.zeros((l, cap), dtype=jnp.bool_), self._cellv_sharding)
+        # sharded search runs the shard_map probe, not the Pallas DMA probe
+        self.recip = None
+        self._use_pallas = False
         self.codes = jax.device_put(
             jnp.zeros((l, cap, d), dtype=jnp.int8), self._cell_sharding)
         self.scales = jax.device_put(

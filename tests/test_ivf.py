@@ -258,3 +258,47 @@ def test_ivf_pallas_probe_interpret_path(rng):
     for ra, rb in zip(a.search_batch(queries, k, mask=ma),
                       b.search_batch(queries, k, mask=mb)):
         assert [x[0] for x in ra] == [x[0] for x in rb]
+
+
+def test_ivf_dot_metric_pallas_parity(rng):
+    """metric="dot" through the (interpreted) Pallas probe must rank by raw
+    dots like the XLA probe (regression: the recip plane divided by norm
+    unconditionally, returning cosine ranking)."""
+    from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+
+    dim, n, k = 32, 900, 5
+    vecs = (rng.standard_normal((n, dim)).astype(np.float32)
+            * rng.uniform(0.2, 5.0, (n, 1)).astype(np.float32))
+    ids = [f"d{i}" for i in range(n)]
+    a = IvfDeviceIndex(dim, metric="dot", storage_dtype="float32",
+                       nlist=8, nprobe=8, use_pallas="force")
+    b = IvfDeviceIndex(dim, metric="dot", storage_dtype="float32",
+                       nlist=8, nprobe=8, use_pallas=False)
+    a.add_batch(ids, vecs)
+    b.add_batch(ids, vecs)
+    q = vecs[:6]
+    for ra, rb in zip(a.search_batch(q, k), b.search_batch(q, k)):
+        assert [x[0] for x in ra] == [x[0] for x in rb]
+        np.testing.assert_allclose([x[1] for x in ra], [x[1] for x in rb],
+                                   rtol=1e-3)
+
+
+def test_ivf_optimize_keeps_pallas_alignment(rng):
+    """optimize() regrows list capacity in 128 multiples so the Pallas probe
+    stays legal after a repack (regression: regrow used base=64)."""
+    from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+
+    dim = 32
+    idx = IvfDeviceIndex(dim, nlist=4, nprobe=4, use_pallas="force",
+                         initial_capacity=512)
+    # skewed data: one heavy cluster forces a capacity regrow on optimize()
+    heavy = rng.standard_normal((1, dim)).astype(np.float32) * 5
+    rows = np.concatenate([
+        heavy + 0.05 * rng.standard_normal((700, dim)).astype(np.float32),
+        rng.standard_normal((100, dim)).astype(np.float32),
+    ])
+    ids = [f"d{i}" for i in range(len(rows))]
+    idx.add_batch(ids, rows)
+    idx.optimize()
+    assert idx.list_cap % 128 == 0, idx.list_cap
+    assert idx.search_batch(rows[3:4], 1)[0][0][0] == "d3"

@@ -148,3 +148,45 @@ def test_int8_ivf_via_db_factory(rng):
     db.delete_document("v123")
     hits = db.vector_search(SearchRequest(vector=vecs[123].tolist(), limit=3))
     assert all(h.id != "v123" for h in hits)
+
+
+def test_int8_ivf_dot_metric_parity(rng):
+    """metric="dot" must rank by raw dot products on every path (regression:
+    the rescore divided by the corpus norm, silently returning cosine)."""
+    dim, n, k = 32, 900, 5
+    # vary norms wildly so dot and cosine order differently
+    vecs = clustered(rng, n, dim) * rng.uniform(0.2, 5.0, (n, 1)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    a = Int8IvfDeviceIndex(dim, metric="dot", nlist=8, nprobe=8,
+                           use_pallas="force")
+    b = Int8IvfDeviceIndex(dim, metric="dot", nlist=8, nprobe=8,
+                           use_pallas=False)
+    a.add_batch(ids, vecs)
+    b.add_batch(ids, vecs)
+    q = vecs[:6]
+    ha, hb = a.search_batch(q, k), b.search_batch(q, k)
+    for ra, rb in zip(ha, hb):
+        assert ids_of(ra) == ids_of(rb)
+    # oracle: raw dot against the full corpus
+    for qi, row in enumerate(ha):
+        want = np.argsort(-(vecs[qi] @ vecs.T))[:k]
+        got = set(ids_of(row))
+        overlap = len(got & {f"d{i}" for i in want}) / k
+        assert overlap >= 0.8, (qi, overlap)
+
+
+def test_int8_ivf_rescore_ignores_deleted(rng):
+    """Deleted cells must never win the exact rescore (regression: the guard
+    accepted finite -1e9 sentinels and stale norms of tombstoned rows)."""
+    dim, n, k = 32, 600, 5
+    vecs = clustered(rng, n, dim, centers=4)
+    ids = [f"d{i}" for i in range(n)]
+    idx = Int8IvfDeviceIndex(dim, nlist=4, nprobe=4, rescore=256,
+                             use_pallas=False)
+    idx.add_batch(ids, vecs)
+    # delete most of the corpus so the rescore set must include tombstones
+    dead = [f"d{i}" for i in range(0, n, 2)]
+    idx.remove_batch(dead)
+    for row in idx.search_batch(vecs[:16], k):
+        assert len(row) == k
+        assert all(int(h[0][1:]) % 2 == 1 for h in row), row

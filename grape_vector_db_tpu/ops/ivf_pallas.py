@@ -164,7 +164,7 @@ def ivf_probe_scores(
     b, d = q.shape
     p = probe.shape[1]
     l, c, _ = vecs.shape
-    if c % 128:
+    if c % 128 and not interpret:
         raise ValueError(f"list capacity {c} must be a multiple of 128 "
                          "for the Pallas probe (Mosaic lane alignment)")
     if d % 128 and not interpret:
@@ -298,7 +298,7 @@ def ivf_probe_scores_int8(
     b, d = q.shape
     p = probe.shape[1]
     l, c, _ = codes.shape
-    if c % 128:
+    if c % 128 and not interpret:
         raise ValueError(f"list capacity {c} must be a multiple of 128 "
                          "for the Pallas probe (Mosaic lane alignment)")
     if d % 128 and not interpret:

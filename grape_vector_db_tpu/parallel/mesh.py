@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
 from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
-from grape_vector_db_tpu.index.ivf_int8 import Int8IvfDeviceIndex, _nv_scatter
+from grape_vector_db_tpu.index.ivf_int8 import (Int8IvfDeviceIndex,
+    _factor_invalidate, _int8_cell_scatter, _nv_scatter)
 from grape_vector_db_tpu.ops.distance import score_block, prepare_queries
 from grape_vector_db_tpu.ops.topk import take_topk
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
@@ -438,7 +439,8 @@ class ShardedFlatIndex(VectorIndex):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "mesh", "shard_axis"),
+    static_argnames=("k", "nprobe", "metric", "mesh", "shard_axis",
+                     "use_pallas", "interpret"),
 )
 def sharded_ivf_topk(
     queries: jax.Array,    # [B, D] f32, replicated
@@ -451,6 +453,9 @@ def sharded_ivf_topk(
     metric: str,
     mesh: Mesh,
     shard_axis: str = "shard",
+    recip: jax.Array | None = None,  # [L, 8, C] weight plane, sharded axis 2
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """SPMD IVF probe (the sharded twin of index/ivf.py::_ivf_topk).
 
@@ -460,12 +465,17 @@ def sharded_ivf_topk(
     lists — then one all_gather over ICI merges per-device winners. Returns
     replicated (scores [B, k], global slots [B, k]) with
     slot = list * C_global + shard_id * C_local + pos.
+
+    With ``use_pallas`` (angular metrics; requires the ``recip`` weight
+    plane) each device scores its local list slices with the DMA-pipelined
+    kernel instead of the XLA row gather — the same ~54x bandwidth win the
+    single-chip probe measured, per device.
     """
     n_shards = mesh.shape[shard_axis]
     c_global = vecs.shape[1]
     c_local = c_global // n_shards
 
-    def spmd(q, cents, v, nrm, msk):
+    def spmd(q, cents, v, nrm, msk, *rest):
         b, _ = q.shape
         l = v.shape[0]
         qp = prepare_queries(q, metric)
@@ -476,24 +486,35 @@ def sharded_ivf_topk(
             cq = -(jnp.sum(qp * qp, axis=-1, keepdims=True) - 2 * cq + c2)
         _, probe = lax.top_k(cq, min(nprobe, l))                      # [B, P]
 
-        cand_vecs = v[probe]      # [B, P, C/S, D]
-        cand_norms = nrm[probe]   # [B, P, C/S]
-        cand_valid = msk[probe]
-        precision = (
-            lax.Precision.HIGHEST if v.dtype == jnp.float32
-            else lax.Precision.DEFAULT
-        )
-        dots = jnp.einsum("bd,bpcd->bpc", qp.astype(v.dtype), cand_vecs,
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
-        if metric == "cosine":
-            scores = jnp.minimum(dots / jnp.maximum(cand_norms, 1e-12), 1.0)
-        elif metric == "dot":
-            scores = dots
+        if use_pallas:
+            from grape_vector_db_tpu.ops.ivf_pallas import ivf_probe_scores
+
+            scores = ivf_probe_scores(qp, probe.astype(jnp.int32), v, rest[0],
+                                      interpret=interpret)   # [B, P, C/S]
+            if metric == "cosine":
+                scores = jnp.minimum(scores, 1.0)
+            # validity/filter fold (the recip==0 bias already handles
+            # deletes; msk additionally carries the caller's filter mask)
+            scores = jnp.where(msk[probe], scores, -jnp.inf)
         else:
-            q_sq = jnp.sum(qp * qp, axis=-1)[:, None, None]
-            scores = -(q_sq - 2.0 * dots + cand_norms * cand_norms)
-        scores = jnp.where(cand_valid, scores, -jnp.inf)
+            cand_vecs = v[probe]      # [B, P, C/S, D]
+            cand_norms = nrm[probe]   # [B, P, C/S]
+            cand_valid = msk[probe]
+            precision = (
+                lax.Precision.HIGHEST if v.dtype == jnp.float32
+                else lax.Precision.DEFAULT
+            )
+            dots = jnp.einsum("bd,bpcd->bpc", qp.astype(v.dtype), cand_vecs,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+            if metric == "cosine":
+                scores = jnp.minimum(dots / jnp.maximum(cand_norms, 1e-12), 1.0)
+            elif metric == "dot":
+                scores = dots
+            else:
+                q_sq = jnp.sum(qp * qp, axis=-1)[:, None, None]
+                scores = -(q_sq - 2.0 * dots + cand_norms * cand_norms)
+            scores = jnp.where(cand_valid, scores, -jnp.inf)
 
         p = probe.shape[1]
         shard_id = lax.axis_index(shard_axis)
@@ -513,19 +534,25 @@ def sharded_ivf_topk(
             fslots = jnp.pad(fslots, ((0, 0), (0, pad)))
         return fvals, fslots
 
+    specs = [P(), P(), P(None, shard_axis, None), P(None, shard_axis),
+             P(None, shard_axis)]
+    operands = [queries, centroids, vecs, norms, valid]
+    if use_pallas:
+        specs.append(P(None, None, shard_axis))
+        operands.append(recip)
     return jax.shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(P(), P(), P(None, shard_axis, None), P(None, shard_axis),
-                  P(None, shard_axis)),
+        in_specs=tuple(specs),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, centroids, vecs, norms, valid)
+    )(*operands)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "rescore", "mesh", "shard_axis"),
+    static_argnames=("k", "nprobe", "metric", "rescore", "mesh", "shard_axis",
+                     "use_pallas", "interpret"),
 )
 def sharded_ivf_int8_topk(
     queries: jax.Array,    # [B, D] f32, replicated
@@ -541,6 +568,9 @@ def sharded_ivf_int8_topk(
     rescore: int,
     mesh: Mesh,
     shard_axis: str = "shard",
+    factor: jax.Array | None = None,  # [L, 8, C] weight plane, sharded axis 2
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """SPMD int8 IVF probe: the sharded twin of index/ivf_int8.py.
 
@@ -555,6 +585,8 @@ def sharded_ivf_int8_topk(
     with_v = rescore > 0 and vecs is not None
 
     def spmd(q, cents, cd, sc, nrm, msk, *rest):
+        rest = list(rest)
+        fct = rest.pop(0) if use_pallas else None
         v = rest[0] if rest else None
         b, _ = q.shape
         l = cd.shape[0]
@@ -563,15 +595,25 @@ def sharded_ivf_int8_topk(
                              preferred_element_type=jnp.float32)      # [B, L]
         _, probe = lax.top_k(cq, min(nprobe, l))                      # [B, P]
 
-        cand = cd[probe].astype(jnp.bfloat16)     # [B, P, C/S, D]
-        if metric == "cosine":
-            f = sc[probe] / jnp.maximum(nrm[probe], 1e-12)
+        if use_pallas:
+            from grape_vector_db_tpu.ops.ivf_pallas import (
+                ivf_probe_scores_int8)
+
+            scores = ivf_probe_scores_int8(qp, probe.astype(jnp.int32), cd,
+                                           fct, interpret=interpret)
+            if metric == "cosine":
+                scores = jnp.minimum(scores, 1.0)
+            scores = jnp.where(msk[probe], scores, -jnp.inf)
         else:
-            f = sc[probe]
-        f = jnp.where(msk[probe], f, 0.0)
-        dots = jnp.einsum("bd,bpcd->bpc", qp.astype(jnp.bfloat16), cand,
-                          preferred_element_type=jnp.float32)
-        scores = dots * f + jnp.where(f == 0.0, -1e9, 0.0)
+            cand = cd[probe].astype(jnp.bfloat16)     # [B, P, C/S, D]
+            if metric == "cosine":
+                f = sc[probe] / jnp.maximum(nrm[probe], 1e-12)
+            else:
+                f = sc[probe]
+            f = jnp.where(msk[probe], f, 0.0)
+            dots = jnp.einsum("bd,bpcd->bpc", qp.astype(jnp.bfloat16), cand,
+                              preferred_element_type=jnp.float32)
+            scores = dots * f + jnp.where(f == 0.0, -1e9, 0.0)
 
         p = probe.shape[1]
         shard_id = lax.axis_index(shard_axis)
@@ -623,6 +665,9 @@ def sharded_ivf_int8_topk(
     cellv = P(None, shard_axis)
     specs = [P(), P(), cell, cellv, cellv, cellv]
     operands = [queries, centroids, codes, scales, norms, valid]
+    if use_pallas:
+        specs.append(P(None, None, shard_axis))
+        operands.append(factor)
     if with_v:
         specs.append(cell)
         operands.append(vecs)
@@ -660,20 +705,39 @@ class ShardedIvfIndex(IvfDeviceIndex):
         self._repl = NamedSharding(self.mesh, P())
         super().__init__(dimension, **kwargs)
 
+    def _shard_cap(self, cap: int) -> int:
+        """Round list capacity so it splits evenly across the shard axis —
+        and, when the per-device Pallas probe is live, so each LOCAL slice
+        stays 128-lane-aligned for Mosaic DMA."""
+        if not hasattr(self, "_pallas_base"):
+            # parent __init__'s decision (metric, backend/force, dim align)
+            self._pallas_base = self._use_pallas
+        unit = self.n_shards
+        if self._pallas_base and not self._pallas_interpret:
+            unit *= 128
+        return ((cap + unit - 1) // unit) * unit
+
     def _alloc(self, cap: int) -> None:
-        # list capacity must split evenly across the shard axis
-        cap = ((cap + self.n_shards - 1) // self.n_shards) * self.n_shards
+        cap = self._shard_cap(cap)
         self.list_cap = cap
         l, d = self.nlist, self._dim
+        # per-device Pallas probe needs each local list slice 128-aligned
+        # (always true under the interpreter used on CPU meshes)
+        self._use_pallas = self._pallas_base and (
+            self._pallas_interpret or (cap // self.n_shards) % 128 == 0)
         self.vecs = jax.device_put(
             jnp.zeros((l, cap, d), dtype=self.storage_dtype), self._cell_sharding)
         self.norms = jax.device_put(
             jnp.zeros((l, cap), dtype=jnp.float32), self._cellv_sharding)
         self.valid = jax.device_put(
             jnp.zeros((l, cap), dtype=jnp.bool_), self._cellv_sharding)
-        # sharded search runs the shard_map probe, not the Pallas DMA probe
-        self.recip = None
-        self._use_pallas = False
+        self.recip = (jax.device_put(
+            jnp.zeros((l, 8, cap), dtype=jnp.float32), self._weight_sharding)
+            if self._use_pallas else None)
+
+    @property
+    def _weight_sharding(self):
+        return NamedSharding(self.mesh, P(None, None, self.shard_axis))
 
     def train(self, sample, seed: int = 0) -> None:
         super().train(sample, seed=seed)
@@ -691,6 +755,8 @@ class ShardedIvfIndex(IvfDeviceIndex):
             q_dev, self.centroids, self.vecs, self.norms, valid,
             k=k, nprobe=self.nprobe, metric=self.metric,
             mesh=self.mesh, shard_axis=self.shard_axis,
+            recip=self.recip, use_pallas=self._use_pallas,
+            interpret=self._pallas_interpret,
         )
 
 
@@ -722,10 +788,11 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
     supports_mask = True
 
     def _alloc(self, cap: int) -> None:
-        # list capacity must split evenly across the shard axis
-        cap = ((cap + self.n_shards - 1) // self.n_shards) * self.n_shards
+        cap = self._shard_cap(cap)
         self.list_cap = cap
         l, d = self.nlist, self._dim
+        self._use_pallas = self._pallas_base and (
+            self._pallas_interpret or (cap // self.n_shards) % 128 == 0)
         # capacity config: the bf16 plane must never be materialized, even
         # transiently — at target fill it alone would OOM the mesh
         self.vecs = (jax.device_put(
@@ -735,13 +802,14 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
             jnp.zeros((l, cap), dtype=jnp.float32), self._cellv_sharding)
         self.valid = jax.device_put(
             jnp.zeros((l, cap), dtype=jnp.bool_), self._cellv_sharding)
-        # sharded search runs the shard_map probe, not the Pallas DMA probe
-        self.recip = None
-        self._use_pallas = False
+        self.recip = None  # int8 stage-1 streams the factor plane instead
         self.codes = jax.device_put(
             jnp.zeros((l, cap, d), dtype=jnp.int8), self._cell_sharding)
         self.scales = jax.device_put(
             jnp.zeros((l, cap), dtype=jnp.float32), self._cellv_sharding)
+        self.factor = (jax.device_put(
+            jnp.zeros((l, 8, cap), dtype=jnp.float32), self._weight_sharding)
+            if self._use_pallas else None)
 
     def _scatter_rows(self, lists_p, pos_p, vecs_p, norms_p) -> None:
         if self.keep_bf16:
@@ -749,12 +817,18 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
         else:
             self.norms, self.valid = _nv_scatter(
                 self.norms, self.valid, lists_p, pos_p, norms_p)
-        self.codes, self.scales = _int8_cs_scatter(
-            self.codes, self.scales, lists_p, pos_p, vecs_p)
+        if self.factor is not None:
+            self.codes, self.scales, self.factor = _int8_cell_scatter(
+                self.codes, self.scales, self.factor, lists_p, pos_p, vecs_p,
+                norms_p, metric=self.metric)
+        else:
+            self.codes, self.scales = _int8_cs_scatter(
+                self.codes, self.scales, lists_p, pos_p, vecs_p)
 
     def _invalidate_cells(self, lists_p, pos_p) -> None:
-        # validity lives solely in `valid` here (no factor plane to zero)
         IvfDeviceIndex._invalidate_cells(self, lists_p, pos_p)
+        if self.factor is not None:
+            self.factor = _factor_invalidate(self.factor, lists_p, pos_p)
 
     def _main_topk(self, qp: np.ndarray, k: int, mask):
         valid = self.valid
@@ -770,4 +844,6 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
             valid, self.vecs if r else None,
             k=k, nprobe=self.nprobe, metric=self.metric, rescore=r,
             mesh=self.mesh, shard_axis=self.shard_axis,
+            factor=self.factor, use_pallas=self._use_pallas,
+            interpret=self._pallas_interpret,
         )

@@ -18,6 +18,7 @@ EXAMPLES = [
     "advanced_storage_demo",
     "advanced_filtering_demo",
     "binary_quantization_demo",
+    "int8_ivf_demo",
     "openai_compatible",
 ]
 

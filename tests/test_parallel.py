@@ -231,3 +231,57 @@ def test_sharded_int8_ivf_capacity_config(rng, mesh):
     allowed = {"d1", "d5", "d9"}
     got = ivf.search_batch(vecs[:1], 3, mask=ivf.compile_mask(allowed))[0]
     assert {h[0] for h in got} == allowed
+
+
+def test_sharded_ivf_pallas_matches_xla(rng, mesh):
+    """The per-device Pallas DMA probe inside shard_map (interpreted on the
+    CPU mesh) returns exactly what the XLA gather probe returns."""
+    from grape_vector_db_tpu.parallel import ShardedIvfIndex
+
+    dim, n, k = 16, 480, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    a = ShardedIvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                        nlist=4, nprobe=4, initial_capacity=2048,
+                        use_pallas="force")
+    b = ShardedIvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                        nlist=4, nprobe=4, initial_capacity=2048,
+                        use_pallas=False)
+    a.add_batch(ids, vecs)
+    b.add_batch(ids, vecs)
+    assert a._use_pallas and a.recip is not None
+    assert a.list_cap % 8 == 0
+
+    q = vecs[:8]
+    for ra, rb in zip(a.search_batch(q, k), b.search_batch(q, k)):
+        assert [x[0] for x in ra] == [x[0] for x in rb]
+
+    # delete + filter mask through the pallas path
+    a.remove_batch(["d3"])
+    assert all(h[0] != "d3" for h in a.search_batch(vecs[3:4], k)[0])
+    allowed = {"d1", "d5", "d9"}
+    got = a.search_batch(q[:1], 3, mask=a.compile_mask(allowed))[0]
+    assert {h[0] for h in got} == allowed
+
+
+def test_sharded_int8_ivf_pallas_matches_xla(rng, mesh):
+    from grape_vector_db_tpu.parallel import ShardedInt8IvfIndex
+
+    dim, n, k = 16, 480, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    for keep in (True, False):
+        a = ShardedInt8IvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                                nlist=4, nprobe=4, initial_capacity=2048,
+                                keep_bf16=keep, use_pallas="force")
+        b = ShardedInt8IvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                                nlist=4, nprobe=4, initial_capacity=2048,
+                                keep_bf16=keep, use_pallas=False)
+        a.add_batch(ids, vecs)
+        b.add_batch(ids, vecs)
+        assert a._use_pallas and a.factor is not None
+        q = vecs[:8]
+        for ra, rb in zip(a.search_batch(q, k), b.search_batch(q, k)):
+            assert [x[0] for x in ra] == [x[0] for x in rb], keep
+        a.remove_batch(["d2"])
+        assert all(h[0] != "d2" for h in a.search_batch(vecs[2:3], k)[0])

@@ -148,6 +148,8 @@ class EmbeddingConfig:
     provider: str = "mock"  # mock | openai | azure | nvidia | huggingface | ollama
     endpoint: Optional[str] = None
     api_key: Optional[str] = None
+    # Azure deployments version their REST API via ?api-version= (lib.rs:806)
+    api_version: Optional[str] = None
     model: str = "text-embedding-3-small"
     dimension: int = 768
     batch_size: int = 128
@@ -209,6 +211,38 @@ class VectorDbConfig:
     embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
     device: DeviceConfig = field(default_factory=DeviceConfig)
     tls: TlsConfig = field(default_factory=TlsConfig)
+
+    # -- embedding-provider convenience constructors (lib.rs:792-824) -------
+
+    @classmethod
+    def with_openai_compatible(cls, endpoint: str, api_key: str,
+                               model: str) -> "VectorDbConfig":
+        cfg = cls()
+        cfg.embedding.provider = "openai"
+        cfg.embedding.endpoint = endpoint
+        cfg.embedding.api_key = api_key
+        cfg.embedding.model = model
+        return cfg
+
+    @classmethod
+    def with_azure_openai(cls, endpoint: str, api_key: str,
+                          deployment_name: str,
+                          api_version: Optional[str] = None) -> "VectorDbConfig":
+        cfg = cls()
+        cfg.embedding.provider = "azure"
+        cfg.embedding.endpoint = endpoint
+        cfg.embedding.api_key = api_key
+        cfg.embedding.model = deployment_name
+        cfg.embedding.api_version = api_version
+        return cfg
+
+    @classmethod
+    def with_ollama(cls, endpoint: str, model: str) -> "VectorDbConfig":
+        cfg = cls()
+        cfg.embedding.provider = "ollama"
+        cfg.embedding.endpoint = endpoint
+        cfg.embedding.model = model
+        return cfg
 
 
 @dataclass

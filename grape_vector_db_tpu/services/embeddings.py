@@ -88,11 +88,18 @@ class OpenAICompatibleProvider(EmbeddingProvider):
         body = json.dumps({"model": self.config.model, "input": batch}).encode()
         headers: Dict[str, str] = {"Content-Type": "application/json"}
         if self.config.api_key:
-            headers["Authorization"] = f"Bearer {self.config.api_key}"
+            if self.config.provider == "azure":
+                # Azure OpenAI authenticates with the api-key header
+                headers["api-key"] = self.config.api_key
+            else:
+                headers["Authorization"] = f"Bearer {self.config.api_key}"
         headers.update(self.config.extra_headers)
         url = self.config.endpoint.rstrip("/")
         if not url.endswith("/embeddings"):
             url += "/embeddings"
+        if self.config.api_version:
+            sep = "&" if "?" in url else "?"
+            url += f"{sep}api-version={self.config.api_version}"
         last_err: Optional[Exception] = None
         for attempt in range(self.config.max_retries + 1):
             try:

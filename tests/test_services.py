@@ -310,3 +310,57 @@ def test_tracing_helpers(tmp_path, capsys):
     with trace_span("unit-test-span"):
         pass  # annotation path exercised; duration logged at debug
     assert log.level <= 10
+
+
+def test_config_provider_constructors():
+    """VectorDbConfig convenience constructors (lib.rs:792-824)."""
+    from grape_vector_db_tpu.config import VectorDbConfig
+
+    c = VectorDbConfig.with_openai_compatible(
+        "https://api.openai.com/v1/embeddings", "sk-x", "text-embedding-3-small")
+    assert c.embedding.provider == "openai" and c.embedding.api_key == "sk-x"
+    c = VectorDbConfig.with_azure_openai(
+        "https://r.openai.azure.com", "key", "deploy-1", "2023-05-15")
+    assert (c.embedding.provider == "azure"
+            and c.embedding.model == "deploy-1"
+            and c.embedding.api_version == "2023-05-15")
+    c = VectorDbConfig.with_ollama("http://localhost:11434", "nomic-embed-text")
+    assert c.embedding.provider == "ollama" and c.embedding.api_key is None
+
+
+def test_azure_provider_url_and_headers(monkeypatch):
+    """Azure requests carry api-key header + api-version query param."""
+    import json as _json
+    from grape_vector_db_tpu.config import VectorDbConfig
+    from grape_vector_db_tpu.services.embeddings import OpenAICompatibleProvider
+
+    cfg = VectorDbConfig.with_azure_openai(
+        "https://r.openai.azure.com/openai/deployments/d/embeddings",
+        "secret", "deploy-1", "2023-05-15").embedding
+    cfg.dimension = 4
+    prov = OpenAICompatibleProvider(cfg)
+    seen = {}
+
+    class FakeResp:
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def read(self):
+            return _json.dumps(
+                {"data": [{"index": 0, "embedding": [0.0, 1.0, 0.0, 0.0]}]}
+            ).encode()
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["headers"] = dict(req.header_items())
+        return FakeResp()
+
+    import urllib.request
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    out = prov.generate_embeddings(["hi"])
+    assert len(out) == 1 and len(out[0]) == 4
+    assert "api-version=2023-05-15" in seen["url"]
+    hdrs = {k.lower(): v for k, v in seen["headers"].items()}
+    assert hdrs.get("api-key") == "secret"
+    assert "authorization" not in hdrs

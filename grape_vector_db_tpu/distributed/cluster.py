@@ -24,6 +24,7 @@ join/leave commands toggle liveness inside that set.
 from __future__ import annotations
 
 import concurrent.futures
+import functools
 import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
@@ -171,10 +172,10 @@ class ClusterNode:
         # Multi-raft (PARITY known-gap closed): independent data raft groups
         # carry STRONG data commands; the main group keeps metadata. Shard ->
         # group by shard_id % n. Each group persists under its own namespace.
-        # Data-group snapshots carry only shard versions — documents are
-        # durable in each node's own store and a log-compacted lagging node
-        # catches up through the failover DATA_RESYNC shard pull, not through
-        # InstallSnapshot.
+        # Data-group snapshots carry only the group's shard version counters;
+        # a log-compacted lagging node pulls the missing documents itself on
+        # InstallSnapshot (_restore_versions -> _resync_then_bump) and bumps
+        # each counter only after that shard's data landed.
         self.data_rafts: Dict[int, RaftNode] = {}
         for g in range(self.config.data_raft_groups):
             self.data_rafts[g] = RaftNode(
@@ -187,7 +188,8 @@ class ClusterNode:
                 ),
                 persist_ns=f"{node_id}@g{g}",
                 snapshot_fn=self._snapshot_versions,
-                restore_fn=self._restore_versions,
+                restore_fn=(lambda blob, g=g: self._restore_versions(blob,
+                                                                     group=g)),
             )
 
         # Take over the transport slot: route raft methods to the raft node and
@@ -255,6 +257,8 @@ class ClusterNode:
         for r in self.data_rafts.values():
             r.stop()
         self.replication.close()
+        if "_mraft_pool" in self.__dict__:  # cached_property: only if created
+            self._mraft_pool.shutdown(wait=False)
         self.db.close()
         self.transport.unregister(self.node_id)
 
@@ -319,6 +323,33 @@ class ClusterNode:
     def _group_of_shard(self, sid: int) -> int:
         return sid % len(self.data_rafts) if self.data_rafts else -1
 
+    def _propose_groups(self, by_group: Dict[int, list], op: str,
+                        field: str, encode=None) -> None:
+        """STRONG write fan-out: per-shard-group commands commit through
+        independent raft leaders concurrently (multi-raft — write throughput
+        scales past one leader's pipeline). Uses a shared long-lived pool
+        (hot write path: a per-call executor pays thread spawn/join every
+        batch)."""
+        items = [
+            (g, {"op": op, field: (encode(v) if encode else v)})
+            for g, v in by_group.items()
+        ]
+        if len(items) <= 1:
+            for g, cmd in items:
+                self._propose_data(g, cmd)
+            return
+        futs = [self._mraft_pool.submit(self._propose_data, g, cmd)
+                for g, cmd in items]
+        for f in futs:
+            f.result()
+
+    @functools.cached_property
+    def _mraft_pool(self) -> concurrent.futures.ThreadPoolExecutor:
+        return concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(2, self.config.data_raft_groups),
+            thread_name_prefix=f"gvdb-mraft-{self.node_id}",
+        )
+
     def _propose_data(self, group: int, command: Dict[str, Any],
                       timeout_s: float = 5.0) -> None:
         """STRONG data command via its shard group (or the main group when
@@ -335,13 +366,60 @@ class ClusterNode:
                 use_bin_type=True,
             )
 
-    def _restore_versions(self, blob: bytes) -> None:
+    def _restore_versions(self, blob: bytes, group: int = -1) -> None:
+        """Data-group InstallSnapshot restore. The snapshot carries ONLY the
+        version counters — the documents of the compacted entries are not in
+        it — so bumping the counters immediately would let token-carrying
+        session reads pass while the writes are still missing on this node.
+        Instead: consider only THIS group's shards (a group's snapshot must
+        not inflate counters the other groups own), pull each shard this
+        node serves from its primary in the background, and bump each
+        counter only AFTER its data landed. Until then reads see low local
+        versions -> bounded wait -> 'stale' -> the scatter-gather retries
+        the primary (cluster.py::search)."""
         st = msgpack.unpackb(blob, raw=False)
-        with self._version_cv:
-            for k, v in st.get("versions", {}).items():
-                sid = int(k)
-                self.shard_versions[sid] = max(self.shard_versions.get(sid, 0), v)
-            self._version_cv.notify_all()
+        versions = {
+            int(k): v for k, v in st.get("versions", {}).items()
+            if group < 0 or self._group_of_shard(int(k)) == group
+        }
+        if not versions:
+            return
+        threading.Thread(
+            target=self._resync_then_bump, args=(versions,), daemon=True,
+            name=f"gvdb-snap-resync-{self.node_id}",
+        ).start()
+
+    def _resync_then_bump(self, versions: Dict[int, int]) -> None:
+        for sid in sorted(versions):
+            with self._state_lock:
+                info = self.shard_map.shards.get(sid)
+                mine = info is not None and self.node_id in info.all_nodes()
+                # pull from any OTHER owner — this node may itself be the
+                # (lagging) primary, in which case a replica is the source
+                sources = [] if not mine else [
+                    n for n in [info.primary_node, *info.replica_nodes]
+                    if n and n != self.node_id
+                ]
+            if mine and sources:
+                for src in sources:
+                    try:
+                        resp = self._call(src, "data_pull",
+                                          {"shard_id": sid}, timeout_s=10.0)
+                        docs = [Document.from_dict(d) for d in resp["docs"]]
+                        if docs:
+                            self.db.batch_add_documents(docs)
+                        break
+                    except Exception:
+                        continue
+                else:
+                    # every source failed: leave the counter low — session
+                    # reads keep treating this shard as stale here and retry
+                    # the primary; the next snapshot/reconcile retries.
+                    continue
+            with self._version_cv:
+                self.shard_versions[sid] = max(
+                    self.shard_versions.get(sid, 0), versions[sid])
+                self._version_cv.notify_all()
 
     def _apply_command(self, entry: LogEntry) -> None:
         cmd = msgpack.unpackb(entry.data, raw=False)
@@ -573,6 +651,16 @@ class ClusterNode:
                 if self._shard_of_record(rid) == sid)
         return {"count": n}
 
+    def _rpc_data_get(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Point lookups for scatter-gather result materialization (payloads
+        live on the owning nodes, not the coordinator)."""
+        docs = []
+        for rid in payload["ids"]:
+            rec = self.db.store.get(rid)
+            if rec is not None:
+                docs.append(rec.to_document().to_dict())
+        return {"docs": docs}
+
     def _rpc_data_pull(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         sid = payload["shard_id"]
         docs = []
@@ -617,6 +705,8 @@ class ClusterNode:
         Passing a ``session`` records the primaries' post-write shard
         versions into it; later searches carrying the token are guaranteed
         to observe these writes (read-your-writes)."""
+        if not docs:
+            return 0
         if self.config.consistency == ConsistencyLevel.STRONG:
             # Refuse before proposing if any target shard has no placement —
             # otherwise the commit applies to nobody and the write is lost
@@ -629,28 +719,10 @@ class ClusterNode:
             for d in docs:
                 g = self._group_of_shard(self._shard_of_record(d.id))
                 by_group.setdefault(g, []).append(d)
-            if len(by_group) > 1:
-                # Multi-raft: per-shard-group commands commit through
-                # independent leaders concurrently — write throughput scales
-                # past one leader's pipeline (PARITY known-gap closed).
-                with concurrent.futures.ThreadPoolExecutor(
-                    max_workers=len(by_group), thread_name_prefix="gvdb-mraft"
-                ) as pool:
-                    futs = [
-                        pool.submit(self._propose_data, g, {
-                            "op": "data_upsert",
-                            "docs": [d.to_dict() for d in group_docs],
-                        })
-                        for g, group_docs in by_group.items()
-                    ]
-                    for f in futs:
-                        f.result()
-            else:
-                ((g, group_docs),) = by_group.items()
-                self._propose_data(g, {
-                    "op": "data_upsert",
-                    "docs": [d.to_dict() for d in group_docs],
-                })
+            self._propose_groups(
+                by_group, "data_upsert", "docs",
+                encode=lambda group_docs: [d.to_dict() for d in group_docs],
+            )
             if session is not None:
                 # this node applied the command (wait_applied): local
                 # versions already cover the write
@@ -677,14 +749,15 @@ class ClusterNode:
 
     def delete(self, ids: Sequence[str],
                session: Optional[SessionToken] = None) -> int:
+        if not ids:
+            return 0
         if self.config.consistency == ConsistencyLevel.STRONG:
             by_group: Dict[int, List[str]] = {}
             for i in ids:
                 by_group.setdefault(
                     self._group_of_shard(self._shard_of_record(i)), []
                 ).append(i)
-            for g, group_ids in by_group.items():
-                self._propose_data(g, {"op": "data_delete", "ids": group_ids})
+            self._propose_groups(by_group, "data_delete", "ids")
             if session is not None:
                 with self._version_lock:
                     for i in ids:
@@ -707,6 +780,38 @@ class ClusterNode:
                 except TransportError:
                     pass
         return deleted
+
+    def get_documents(self, ids: Sequence[str]) -> Dict[str, Document]:
+        """Cross-shard point lookup: local store first, then each missing
+        id's owner nodes (primary preferred). Used to materialize payloads
+        for scatter-gather search results."""
+        out: Dict[str, Document] = {}
+        missing: List[str] = []
+        for rid in ids:
+            rec = self.db.store.get(rid)
+            if rec is not None:
+                out[rid] = rec.to_document()
+            else:
+                missing.append(rid)
+        by_node: Dict[str, List[str]] = {}
+        for rid in missing:
+            with self._state_lock:
+                info = self.shard_map.shards.get(self._shard_of_record(rid))
+            if info is None:
+                continue
+            for nid in info.all_nodes():
+                if nid != self.node_id:
+                    by_node.setdefault(nid, []).append(rid)
+                    break
+        for nid, rids in by_node.items():
+            try:
+                resp = self._call(nid, "data_get", {"ids": rids},
+                                  timeout_s=2.0)
+                for d in resp["docs"]:
+                    out[d["id"]] = Document.from_dict(d)
+            except TransportError:
+                pass
+        return out
 
     def search(self, vector: Sequence[float], k: int = 10,
                session: Optional[SessionToken] = None,

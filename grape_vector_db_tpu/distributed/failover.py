@@ -223,9 +223,14 @@ class FailoverManager:
         which on a real cluster would stall every subsequent apply."""
         now = time.time()
         resync: List[RecoveryTask] = []
+        # Capture the affected shard set BEFORE mutating: promotion removes
+        # the failed node from the shard entirely, so a second
+        # shards_on_node() pass would skip every shard it was primary for and
+        # never top its replicas back up (permanent under-replication).
+        affected = self.shards.map.shards_on_node(node_id)
         for sid in self.shards.map.shards_on_node(node_id, primary_only=True):
             self.shards.map.promote_replica(sid, node_id)
-        for sid in self.shards.map.shards_on_node(node_id):
+        for sid in affected:
             info = self.shards.map.shards[sid]
             if node_id in info.replica_nodes:
                 info.replica_nodes.remove(node_id)

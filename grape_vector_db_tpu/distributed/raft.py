@@ -145,6 +145,10 @@ class RaftNode:
         # ordered state-machine application
         self._apply_queue: "queue.Queue[Optional[LogEntry]]" = queue.Queue()
         self.applied_through = 0
+        # propose() watch map: idx -> term actually applied at idx (recorded
+        # by the apply worker), so a proposal's outcome stays decidable even
+        # after snapshot compaction removes the entry from the log.
+        self._watch_terms: Dict[int, Optional[int]] = {}
         self.apply_errors = 0
         self._apply_thread: Optional[threading.Thread] = None
         # stats
@@ -495,6 +499,8 @@ class RaftNode:
                           self.node_id, e.index, exc)
             self.entries_applied += 1
             with self._lock:
+                if e.index in self._watch_terms:
+                    self._watch_terms[e.index] = e.term
                 self.applied_through = max(self.applied_through, e.index)
                 self._commit_cv.notify_all()
                 # Compact from the worker: applied_through is exact here, so
@@ -706,22 +712,37 @@ class RaftNode:
             self.log.append(entry)
             self._persist_entries([entry])
             idx, term = entry.index, entry.term
+            self._watch_terms[idx] = None
         self._broadcast_append()
         deadline = time.monotonic() + timeout_s
-        with self._commit_cv:
-            while self.commit_index < idx or (
-                wait_applied and self.applied_through < idx
-            ):
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    raise TimeoutError_(f"commit of index {idx} timed out")
-                self._commit_cv.wait(remaining)
-            committed_term = self._term_at(idx)
-            # If snapshot compaction advanced past idx while we waited, the
-            # entry was committed, applied, and compacted — that is success,
-            # not overwrite.
-            compacted = committed_term is None and idx <= self.snapshot_last_index
-        if not compacted and committed_term != term:
+        try:
+            with self._commit_cv:
+                while self.commit_index < idx or (
+                    wait_applied and self.applied_through < idx
+                ):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        raise TimeoutError_(f"commit of index {idx} timed out")
+                    self._commit_cv.wait(remaining)
+                committed_term = self._term_at(idx)
+                if committed_term is None:
+                    # Compacted while we waited. Compaction proves SOME entry
+                    # at idx committed and was applied — the watch map (filled
+                    # by the apply worker) says whether it was ours. A None
+                    # watch record means this node skipped per-entry apply
+                    # (snapshot install from a new leader): the outcome is
+                    # genuinely unknown, which must not be reported as success
+                    # (the old code did, losing overwritten writes silently).
+                    committed_term = self._watch_terms.get(idx)
+                    if committed_term is None:
+                        raise ConsensusError(
+                            "proposal outcome unknown: log compacted by "
+                            "snapshot install before local apply"
+                        )
+        finally:
+            with self._lock:
+                self._watch_terms.pop(idx, None)
+        if committed_term != term:
             raise ConsensusError("entry was overwritten by a new leader")
         return idx
 

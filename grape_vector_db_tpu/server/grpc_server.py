@@ -407,10 +407,16 @@ def server_credentials(tls) -> "grpc.ServerCredentials":
     if tls.ca_path:
         with open(tls.ca_path, "rb") as f:
             root = f.read()
+    if tls.require_client_auth and root is None:
+        # fail fast: a config that demands mutual auth must not silently
+        # degrade to server-only TLS
+        raise ValueError(
+            "TlsConfig.require_client_auth=True needs ca_path — refusing to "
+            "silently serve without client auth")
     return grpc.ssl_server_credentials(
         [(key, cert)],
         root_certificates=root,
-        require_client_auth=bool(tls.require_client_auth and root),
+        require_client_auth=bool(tls.require_client_auth),
     )
 
 

@@ -195,10 +195,18 @@ class RestServer:
                             body["vector"], k=limit, session=session,
                             stale_out=stale,
                         )
+                        thr = body.get("score_threshold")
+                        if thr is not None:
+                            hits = [(i, sc) for i, sc in hits if sc >= thr]
+                        results = [{"id": i, "score": sc} for i, sc in hits]
+                        if body.get("with_payload", True):
+                            docs = outer.node.get_documents(
+                                [i for i, _ in hits])
+                            for r in results:
+                                d = docs.get(r["id"])
+                                r["payload"] = d.metadata if d else None
                         self._json(200, {
-                            "results": [
-                                {"id": i, "score": s} for i, s in hits
-                            ],
+                            "results": results,
                             "stale_shards": sorted(set(stale)),
                         })
                         return
@@ -236,7 +244,13 @@ class RestServer:
                 try:
                     if path.startswith("/api/v1/vectors/") or path.startswith("/api/v1/documents/"):
                         id_ = path.rsplit("/", 1)[1]
-                        n = outer.db.batch_delete_documents([id_])
+                        if outer.node is not None:
+                            # cluster mode: the doc lives on its shard's
+                            # owners, which may not include this node — a
+                            # local-only delete would be a silent no-op
+                            n = outer.node.delete([id_])
+                        else:
+                            n = outer.db.batch_delete_documents([id_])
                         self._json(200 if n else 404, {"deleted": n})
                     else:
                         self._json(404, {"error": f"no route {path}"})
@@ -249,7 +263,11 @@ class RestServer:
 
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(tls.cert_path, tls.key_path)
-            if tls.ca_path and tls.require_client_auth:
+            if tls.require_client_auth:
+                if not tls.ca_path:
+                    raise ValueError(
+                        "TlsConfig.require_client_auth=True needs ca_path — "
+                        "refusing to silently serve without client auth")
                 ctx.load_verify_locations(tls.ca_path)
                 ctx.verify_mode = ssl.CERT_REQUIRED
             self._httpd.socket = ctx.wrap_socket(self._httpd.socket,

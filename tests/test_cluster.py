@@ -417,3 +417,117 @@ def test_multi_raft_groups_strong_writes_scale():
         assert hits[0][0] == target.id
     finally:
         svc.stop()
+
+
+def test_empty_batches_are_noops():
+    """Regression: STRONG upsert/delete with empty batches crashed unpacking
+    an empty by_group dict."""
+    svc = make_service(consistency=ConsistencyLevel.STRONG)
+    try:
+        assert svc.any_node().upsert([]) == 0
+        assert svc.any_node().delete([]) == 0
+    finally:
+        svc.stop()
+
+
+def test_snapshot_restore_resyncs_before_bumping_versions():
+    """Regression: a data-group InstallSnapshot carries only version
+    counters; restoring used to bump them without the documents, silently
+    passing session read-your-writes on a node missing the writes. Now the
+    node pulls its shards from the primaries first, then bumps."""
+    import msgpack as _mp
+
+    svc = make_service(consistency=ConsistencyLevel.STRONG)
+    try:
+        docs = make_docs(30)
+        svc.upsert(docs)
+        # pick a node and wipe some docs from its local store only (simulate
+        # the compacted-log gap a snapshot-installed lagging node has)
+        victim = svc.any_node()
+        mine = [d.id for d in docs if victim.db.store.get(d.id) is not None]
+        assert mine, "victim holds no docs?"
+        lost = mine[: max(1, len(mine) // 2)]
+        victim.db.batch_delete_documents(lost)
+        assert all(victim.db.store.get(i) is None for i in lost)
+
+        # forge the snapshot blob a leader would send (current versions)
+        with victim._version_lock:
+            versions = dict(victim.shard_versions)
+        bump = {sid: v + 5 for sid, v in versions.items()}
+        blob = _mp.packb({"versions": {str(k): v for k, v in bump.items()}},
+                         use_bin_type=True)
+        victim._restore_versions(blob, group=-1)
+
+        # the background resync must restore the wiped docs AND bump counters
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            have = all(victim.db.store.get(i) is not None for i in lost)
+            with victim._version_lock:
+                bumped = all(victim.shard_versions.get(s, 0) >= v
+                             for s, v in bump.items()
+                             if victim.node_id in
+                             victim.shard_map.shards[s].all_nodes())
+            if have and bumped:
+                break
+            time.sleep(0.05)
+        assert all(victim.db.store.get(i) is not None for i in lost), \
+            "snapshot restore bumped versions without pulling the documents"
+    finally:
+        svc.stop()
+
+
+def test_rest_cluster_delete_and_search_options():
+    """Regression: REST DELETE in cluster mode was local-only (silent no-op
+    when the doc lives on other owners); cluster search dropped
+    score_threshold and with_payload."""
+    import json
+    import urllib.request
+
+    from grape_vector_db_tpu.server.rest import RestServer
+
+    svc = make_service(consistency=ConsistencyLevel.SESSION)
+    try:
+        docs = make_docs(40)
+        for d in docs:
+            d.metadata = {"tag": d.id}
+        svc.upsert(docs)
+        # serve REST from a node that does NOT own doc-7's shard if possible
+        sid = svc.any_node().shard_map.shard_for_key("doc-7")
+        owners = set(svc.any_node().shard_map.shards[sid].all_nodes())
+        host_id = next((n for n in svc.nodes if n not in owners),
+                       next(iter(svc.nodes)))
+        node = svc.nodes[host_id]
+        srv = RestServer(node.db, port=0, node=node)
+        addr = srv.start()
+        base = f"http://{addr[0]}:{addr[1]}"
+        try:
+            # cluster search returns payloads and honors the threshold
+            body = json.dumps({"vector": docs[7].vector, "limit": 5,
+                               "score_threshold": 0.999,
+                               "with_payload": True}).encode()
+            req = urllib.request.Request(f"{base}/api/v1/search", data=body,
+                                         headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                out = json.loads(resp.read())
+            assert out["results"], out
+            assert all(r["score"] >= 0.999 for r in out["results"])
+            top = out["results"][0]
+            assert top["id"] == "doc-7" and top["payload"] == {"tag": "doc-7"}
+
+            # DELETE routes through the cluster to the owners
+            req = urllib.request.Request(f"{base}/api/v1/vectors/doc-7",
+                                         method="DELETE")
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert json.loads(resp.read())["deleted"] >= 1
+            deadline = time.monotonic() + 5.0
+            while time.monotonic() < deadline:
+                if all(n.db.store.get("doc-7") is None
+                       for n in svc.nodes.values()):
+                    break
+                time.sleep(0.05)
+            assert all(n.db.store.get("doc-7") is None
+                       for n in svc.nodes.values())
+        finally:
+            srv.stop()
+    finally:
+        svc.stop()

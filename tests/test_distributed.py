@@ -354,6 +354,11 @@ def test_apply_placement_for_failure_deterministic_and_targeted():
     for info in m.shards.values():
         assert "a" not in info.all_nodes()
         assert info.primary_node in ("b", "c")
+        # regression: shards where "a" was PRIMARY must be topped back up
+        # too (promotion removes "a" from the shard, so a post-promotion
+        # shards_on_node pass used to skip them -> permanent
+        # under-replication)
+        assert len(set(info.all_nodes())) == 2, info
     # resync tasks target exactly the freshly added replicas
     for t in tasks:
         assert t.kind == RecoveryKind.DATA_RESYNC and t.targets

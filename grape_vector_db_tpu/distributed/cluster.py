@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import functools
+import logging
 import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
@@ -56,6 +57,8 @@ from grape_vector_db_tpu.errors import NotLeaderError, UnavailableError
 from grape_vector_db_tpu.types import Document, DocumentRecord
 
 __all__ = ["ClusterNode"]
+
+logger = logging.getLogger("grape_vector_db_tpu.cluster")
 
 
 class _GroupTransport(Transport):
@@ -133,6 +136,29 @@ class ClusterNode:
         )
         self._applied_commands = 0
 
+        # Per-shard applied-write versions backing SESSION read-your-writes
+        # tokens: bumped on every locally applied write, compared (and briefly
+        # waited on) by token-carrying searches. Initialized BEFORE the
+        # RaftNode constructions below — their restore_fn fires during
+        # construction (persisted-snapshot restore) and touches this state.
+        self._version_lock = threading.Lock()
+        self._version_cv = threading.Condition(self._version_lock)
+        self.shard_versions: Dict[int, int] = {}
+        self.session_wait_s = 1.0
+        # Shards this node owns whose local data may be incomplete: gained
+        # ownership (placement change / snapshot-installed counters) without
+        # having applied the shard's writes. Session reads report them stale
+        # until the background resync pulls the data from another owner.
+        # Guarded by _version_lock (read on the data_search path).
+        self._unready_shards: Set[int] = set()
+        # sid -> version counter to adopt once the shard's data landed
+        # (0 = just pull; counters already advanced through the group log).
+        self._resync_lock = threading.Lock()
+        self._resync_targets: Dict[int, int] = {}
+        self._resync_wake = threading.Event()
+        self._recovery_wake = threading.Event()
+        self._started = False
+
         self.data_access = _TransportDataAccess(self)
         self.shard_manager = ShardManager(self.shard_map, self.data_access,
                                           rebalance_threshold=self.config.rebalance_threshold)
@@ -197,15 +223,6 @@ class ClusterNode:
         transport.register(node_id, self._handle_rpc)
         self._raft_methods = {"request_prevote", "request_vote", "append_entries",
                               "install_snapshot", "client_command"}
-        # Per-shard applied-write versions backing SESSION read-your-writes
-        # tokens: bumped on every locally applied write, compared (and briefly
-        # waited on) by token-carrying searches.
-        self._version_lock = threading.Lock()
-        self._version_cv = threading.Condition(self._version_lock)
-        self.shard_versions: Dict[int, int] = {}
-        self.session_wait_s = 1.0
-        self._recovery_wake = threading.Event()
-        self._started = False
 
     # ------------------------------------------------------------------ rpc
 
@@ -244,14 +261,21 @@ class ClusterNode:
             name=f"gvdb-recovery-{self.node_id}",
         )
         self._recovery_thread.start()
+        self._resync_thread = threading.Thread(
+            target=self._resync_loop, daemon=True,
+            name=f"gvdb-resync-{self.node_id}",
+        )
+        self._resync_thread.start()
         self._started = True
 
     def stop(self) -> None:
         self._started = False
         self._stop_reconcile.set()
         self._recovery_wake.set()
+        self._resync_wake.set()
         self._reconcile_thread.join(timeout=2.0)
         self._recovery_thread.join(timeout=2.0)
+        self._resync_thread.join(timeout=2.0)
         self.detector.stop()
         self.raft.stop()
         for r in self.data_rafts.values():
@@ -321,7 +345,12 @@ class ClusterNode:
                                     wait_applied=wait_applied)
 
     def _group_of_shard(self, sid: int) -> int:
-        return sid % len(self.data_rafts) if self.data_rafts else -1
+        # Keyed off the CONFIG count, not len(self.data_rafts): restore_fn
+        # fires from RaftNode.__init__ while the data_rafts dict is still
+        # being populated, and a len()-based modulo would misroute (or drop)
+        # every shard of the not-yet-constructed groups during that window.
+        n = self.config.data_raft_groups
+        return sid % n if n else -1
 
     def _propose_groups(self, by_group: Dict[int, list], op: str,
                         field: str, encode=None) -> None:
@@ -372,54 +401,138 @@ class ClusterNode:
         it — so bumping the counters immediately would let token-carrying
         session reads pass while the writes are still missing on this node.
         Instead: consider only THIS group's shards (a group's snapshot must
-        not inflate counters the other groups own), pull each shard this
-        node serves from its primary in the background, and bump each
-        counter only AFTER its data landed. Until then reads see low local
-        versions -> bounded wait -> 'stale' -> the scatter-gather retries
-        the primary (cluster.py::search)."""
+        not inflate counters the other groups own) and hand each to the
+        resync worker, which pulls the shard from another owner and bumps
+        the counter only AFTER its data landed. Until then session reads see
+        the shard as unready -> 'stale' -> the scatter-gather retries the
+        primary (cluster.py::search)."""
         st = msgpack.unpackb(blob, raw=False)
         versions = {
             int(k): v for k, v in st.get("versions", {}).items()
             if group < 0 or self._group_of_shard(int(k)) == group
         }
-        if not versions:
-            return
-        threading.Thread(
-            target=self._resync_then_bump, args=(versions,), daemon=True,
-            name=f"gvdb-snap-resync-{self.node_id}",
-        ).start()
+        if versions:
+            self._schedule_resync(versions)
 
-    def _resync_then_bump(self, versions: Dict[int, int]) -> None:
-        for sid in sorted(versions):
-            with self._state_lock:
-                info = self.shard_map.shards.get(sid)
-                mine = info is not None and self.node_id in info.all_nodes()
-                # pull from any OTHER owner — this node may itself be the
-                # (lagging) primary, in which case a replica is the source
-                sources = [] if not mine else [
-                    n for n in [info.primary_node, *info.replica_nodes]
-                    if n and n != self.node_id
-                ]
-            if mine and sources:
-                for src in sources:
-                    try:
-                        resp = self._call(src, "data_pull",
-                                          {"shard_id": sid}, timeout_s=10.0)
-                        docs = [Document.from_dict(d) for d in resp["docs"]]
-                        if docs:
-                            self.db.batch_add_documents(docs)
-                        break
-                    except Exception:
-                        continue
-                else:
-                    # every source failed: leave the counter low — session
-                    # reads keep treating this shard as stale here and retry
-                    # the primary; the next snapshot/reconcile retries.
-                    continue
+    # -------------------------------------------------- shard data resync
+
+    def _owned_shard_set(self) -> Set[int]:
+        """Caller must hold _state_lock."""
+        return {
+            sid for sid, info in self.shard_map.shards.items()
+            if self.node_id in info.all_nodes()
+        }
+
+    def _schedule_resync(self, targets: Dict[int, int]) -> None:
+        """Mark shards unready and queue them for the background resync
+        worker. ``targets`` maps shard id -> version counter to adopt once
+        the data landed (0 when the counter is already correct and only the
+        documents are missing — e.g. ownership gained via placement
+        change)."""
+        with self._version_cv:
+            self._unready_shards.update(targets)
+        with self._resync_lock:
+            for sid, v in targets.items():
+                self._resync_targets[sid] = max(
+                    self._resync_targets.get(sid, 0), v)
+        self._resync_wake.set()
+
+    def _resync_loop(self) -> None:
+        """Background shard-data resync (the node-side half of failover's
+        DATA_RESYNC, and the healer for every way a node can own a shard
+        whose writes it missed: snapshot-installed counters, placements that
+        applied after the shard's data commands, rebalancing). Pulls each
+        pending shard from another owner, then marks it ready; until then
+        token-carrying searches report it stale."""
+        backoff = self.config.heartbeat_interval_s
+        while not self._stop_reconcile.is_set():
+            self._resync_wake.wait(backoff)
+            if self._stop_reconcile.is_set():
+                return
+            self._resync_wake.clear()
+            with self._resync_lock:
+                pending = dict(self._resync_targets)
+            for sid, target in sorted(pending.items()):
+                if self._stop_reconcile.is_set():
+                    return
+                try:
+                    settled = self._try_resync_shard(sid, target)
+                except Exception:
+                    logger.exception("%s: resync of shard %d failed",
+                                     self.node_id, sid)
+                    settled = False  # retry on the next wake
+                if settled:
+                    with self._resync_lock:
+                        # only clear if no higher target arrived meanwhile
+                        if self._resync_targets.get(sid, 0) <= target:
+                            self._resync_targets.pop(sid, None)
+
+    def _try_resync_shard(self, sid: int, target: int) -> bool:
+        """One resync attempt; returns True when the shard is settled (data
+        pulled, or positively not ours). False = retry on the next wake."""
+        logger.debug("%s: resync attempt shard=%d target=%d",
+                     self.node_id, sid, target)
+        with self._state_lock:
+            info = self.shard_map.shards.get(sid)
+            if info is None or not info.primary_node:
+                return False  # placement not known yet — retry later
+            mine = self.node_id in info.all_nodes()
+            sources = [
+                n for n in [info.primary_node, *info.replica_nodes]
+                if n and n != self.node_id
+            ]
+        if not mine:
+            # Not an owner: adopt the counter (harmless — this node is never
+            # targeted for the shard) and stop tracking it.
+            self._settle_shard(sid, target)
+            return True
+        if not sources:
+            # Sole owner: nobody can be ahead of us — nothing to pull.
+            self._settle_shard(sid, target)
+            return True
+        # Pick the most-caught-up source BY ITS OWN COUNTER. A source that
+        # has not reached ``target`` may itself be lagging the writes this
+        # node is trying to recover (e.g. an async applier milliseconds
+        # behind the proposer) — pulling from it and settling would adopt
+        # the target version without the data, the exact hole this worker
+        # exists to close.
+        best_src, best_v = None, -1
+        for src in sources:
+            try:
+                v = self._call(src, "data_version", {"shards": [sid]},
+                               timeout_s=2.0)["versions"].get(str(sid), 0)
+            except Exception:
+                continue
+            if v > best_v:
+                best_src, best_v = src, v
+        if best_src is None:
+            return False  # every source unreachable — retry on the next wake
+        try:
+            resp = self._call(best_src, "data_pull", {"shard_id": sid},
+                              timeout_s=10.0)
+            docs = [Document.from_dict(d) for d in resp["docs"]]
+            if docs:
+                self.db.batch_add_documents(docs)
+        except Exception:
+            return False
+        if best_v < target:
+            # Incorporate what the source had, advance the counter only to
+            # the version its data actually covers, and retry once a source
+            # catches up to the counter level this node must vouch for.
             with self._version_cv:
                 self.shard_versions[sid] = max(
-                    self.shard_versions.get(sid, 0), versions[sid])
+                    self.shard_versions.get(sid, 0), best_v)
                 self._version_cv.notify_all()
+            return False
+        self._settle_shard(sid, max(target, best_v))
+        return True
+
+    def _settle_shard(self, sid: int, version: int) -> None:
+        with self._version_cv:
+            self.shard_versions[sid] = max(
+                self.shard_versions.get(sid, 0), version)
+            self._unready_shards.discard(sid)
+            self._version_cv.notify_all()
 
     def _apply_command(self, entry: LogEntry) -> None:
         cmd = msgpack.unpackb(entry.data, raw=False)
@@ -442,6 +555,10 @@ class ClusterNode:
                 self.db.batch_add_documents([Document.from_dict(d) for d in mine])
             # Version counters are a pure function of each group's log (every
             # applier bumps every affected shard), so they agree cluster-wide.
+            # If this node's shard map lags the main group and it skipped docs
+            # it will turn out to own, the ownership-gain hook in the metadata
+            # apply path marks those shards unready and resyncs them — the
+            # counter alone never vouches for local data.
             self._bump_shard_versions([d["id"] for d in cmd["docs"]])
             return
         if op == "data_delete":
@@ -451,6 +568,17 @@ class ClusterNode:
                 self._applied_commands += 1
             return
         with self._state_lock:
+            # Placement-mutating commands: diff this node's owned-shard set
+            # around the mutation. Ownership GAINED here means the shard's
+            # data commands may have applied (through an independent data
+            # raft group) while this node's shard map still excluded it —
+            # those documents were skipped, so the shard must resync before
+            # session reads trust it (the counters, a pure function of the
+            # group log, are already up to date and therefore prove nothing
+            # about local data).
+            owned_before = (self._owned_shard_set()
+                            if op in ("join", "leave", "node_failed",
+                                      "set_placement") else None)
             if op == "join":
                 info = NodeInfo(node_id=cmd["node_id"], address=cmd["address"])
                 self.members[cmd["node_id"]] = info
@@ -493,6 +621,12 @@ class ClusterNode:
                     cmd["shard_id"], cmd["primary"], cmd["replicas"]
                 )
             self._applied_commands += 1
+            if owned_before is not None:
+                gained = self._owned_shard_set() - owned_before
+            else:
+                gained = set()
+        if gained:
+            self._schedule_resync({sid: 0 for sid in gained})
 
     def _snapshot_state(self) -> bytes:
         with self._state_lock:
@@ -512,6 +646,7 @@ class ClusterNode:
     def _restore_state(self, blob: bytes) -> None:
         st = msgpack.unpackb(blob, raw=False)
         with self._state_lock:
+            owned_before = self._owned_shard_set()
             self.members = {}
             for m in st["members"]:
                 info = NodeInfo(node_id=m["node_id"], address=m["address"],
@@ -524,6 +659,11 @@ class ClusterNode:
                 if primary:
                     self.shard_map.set_placement(int(sid), primary, replicas)
             self._applied_commands = st.get("applied", 0)
+            gained = self._owned_shard_set() - owned_before
+        if gained:
+            # snapshot-installed placements: any shard this node now owns may
+            # have writes it never applied — resync before serving sessions
+            self._schedule_resync({sid: 0 for sid in gained})
 
     def _reassign_shards(self) -> None:
         live = sorted(
@@ -640,6 +780,13 @@ class ClusterNode:
             stale = self._wait_shard_versions(
                 {int(k): v for k, v in min_versions.items()}
             )
+            # A shard mid-resync has correct counters but possibly missing
+            # documents — the version gate proves nothing for it. Report it
+            # stale so the coordinator retries at a settled owner.
+            with self._version_lock:
+                stale += [int(k) for k in min_versions
+                          if int(k) in self._unready_shards
+                          and int(k) not in stale]
         hits = self.db.vector_search(SearchRequest(
             vector=payload["vector"], limit=payload["k"], with_payload=False,
         ))
@@ -793,24 +940,33 @@ class ClusterNode:
                 out[rid] = rec.to_document()
             else:
                 missing.append(rid)
-        by_node: Dict[str, List[str]] = {}
+        candidates: Dict[str, List[str]] = {}
         for rid in missing:
             with self._state_lock:
                 info = self.shard_map.shards.get(self._shard_of_record(rid))
-            if info is None:
-                continue
-            for nid in info.all_nodes():
-                if nid != self.node_id:
-                    by_node.setdefault(nid, []).append(rid)
-                    break
-        for nid, rids in by_node.items():
-            try:
-                resp = self._call(nid, "data_get", {"ids": rids},
-                                  timeout_s=2.0)
-                for d in resp["docs"]:
-                    out[d["id"]] = Document.from_dict(d)
-            except TransportError:
-                pass
+            if info is not None:
+                candidates[rid] = [n for n in info.all_nodes()
+                                   if n != self.node_id]
+        # Owner preference order (primary first); ids a node fails to serve
+        # (down, or lagging replica without the doc) fall through to the
+        # shard's next owner instead of silently losing their payload.
+        rnd = 0
+        while True:
+            by_node: Dict[str, List[str]] = {}
+            for rid, owners in candidates.items():
+                if rid not in out and rnd < len(owners):
+                    by_node.setdefault(owners[rnd], []).append(rid)
+            if not by_node:
+                break
+            for nid, rids in by_node.items():
+                try:
+                    resp = self._call(nid, "data_get", {"ids": rids},
+                                      timeout_s=2.0)
+                    for d in resp["docs"]:
+                        out[d["id"]] = Document.from_dict(d)
+                except TransportError:
+                    pass
+            rnd += 1
         return out
 
     def search(self, vector: Sequence[float], k: int = 10,
@@ -868,25 +1024,40 @@ class ClusterNode:
         merged: Dict[str, float] = {}
         still_stale: List[int] = []
 
-        def merge(resp) -> None:
+        def merge(resp, only_shards: Set[int]) -> None:
+            # Scope each node's hits to the shards it was TARGETED for: a
+            # node's local search covers its whole corpus, including replica
+            # copies of shards another node answers for — merging those
+            # unscoped would let a lagging replica's stale docs bypass the
+            # session gate through a response that never reported them stale.
             for id_, score in resp["hits"]:
+                if self._shard_of_record(id_) not in only_shards:
+                    continue
                 if id_ not in merged or score > merged[id_]:
                     merged[id_] = score
 
-        for (nid, _sids), resp in zip(items, responses):
+        for (nid, sids), resp in zip(items, responses):
             if resp is None:
                 continue
-            merge(resp)
-            for sid in resp.get("stale", []):
+            stale_sids = set(resp.get("stale", []))
+            # A stale shard's hits from this node may include deleted docs or
+            # outdated scores — hold them back; the primary retry supplies
+            # that shard's correct view (merging them first would let a stale
+            # max-score win even after a successful retry).
+            merge(resp, only_shards=sids - stale_sids)
+            for sid in stale_sids:
                 # A lagging replica served anyway; the primary has the write
                 # by definition of the session token — retry there once.
                 primary = primaries.get(sid)
                 if primary and primary != nid and primary in healthy:
                     retry = one(primary, {sid})
-                    if retry is not None:
-                        merge(retry)
-                        if sid not in retry.get("stale", []):
-                            continue
+                    if retry is not None and sid not in retry.get("stale", []):
+                        merge(retry, only_shards={sid})
+                        continue
+                # Retry unavailable or still stale: fall back to the
+                # replica's (possibly stale) hits rather than dropping the
+                # shard, and say so via stale_out.
+                merge(resp, only_shards={sid})
                 still_stale.append(sid)
         if stale_out is not None:
             stale_out.extend(still_stale)

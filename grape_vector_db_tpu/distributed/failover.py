@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Deque, Dict, List, Optional, Tuple
 
 from grape_vector_db_tpu.distributed.shard import ShardManager
-from grape_vector_db_tpu.distributed.types import NodeState
+from grape_vector_db_tpu.distributed.types import NodeState, ShardState
 
 __all__ = [
     "HeartbeatRecord",
@@ -229,7 +229,18 @@ class FailoverManager:
         # never top its replicas back up (permanent under-replication).
         affected = self.shards.map.shards_on_node(node_id)
         for sid in self.shards.map.shards_on_node(node_id, primary_only=True):
-            self.shards.map.promote_replica(sid, node_id)
+            if self.shards.map.promote_replica(sid, node_id) is None:
+                # No replica to promote (shard was primary-only): leaving the
+                # dead node as primary would route every write and every
+                # resync pull at it forever. Elect a deterministic new
+                # (empty) primary so the shard accepts writes again; its
+                # pre-failure data is recoverable only if the node rejoins.
+                info = self.shards.map.shards[sid]
+                fallback = sorted(n for n in healthy if n != node_id)
+                if fallback:
+                    info.primary_node = fallback[0]
+                    info.state = ShardState.ACTIVE
+                    info.version += 1
         for sid in affected:
             info = self.shards.map.shards[sid]
             if node_id in info.replica_nodes:
@@ -292,16 +303,16 @@ class FailoverManager:
                 info.replica_nodes.append(n)
                 added.append(n)
             if added:
-                # resync the new replicas from the primary
-                docs = self.shards.data.pull_shard(info.primary_node, task.shard_id)
+                # resync the new replicas from a live owner
+                docs = self._pull_from_live_owner(task.shard_id, healthy, added)
                 for n in added:
                     self.shards.data.push_docs(n, docs)
                 task.result = f"added:{','.join(added)}"
             else:
                 task.result = "no-candidate"
         elif task.kind == RecoveryKind.DATA_RESYNC:
-            docs = self.shards.data.pull_shard(info.primary_node, task.shard_id)
             targets = task.targets or info.replica_nodes
+            docs = self._pull_from_live_owner(task.shard_id, healthy, targets)
             for n in targets:
                 self.shards.data.push_docs(n, docs)
             task.result = f"resynced:{len(docs)}"
@@ -311,6 +322,29 @@ class FailoverManager:
                 self.shards.migrate_shard(sid, dst)
             task.result = f"moves:{len(moves)}"
         task.done = True
+
+    def _pull_from_live_owner(self, shard_id: int, healthy: List[str],
+                              targets: List[str]) -> List[Any]:
+        """Pull a shard's documents from a HEALTHY current owner (primary
+        preferred), skipping the resync targets themselves — the recorded
+        primary may be the dead node this recovery is cleaning up after, and
+        pulling from it would fail every cycle. No live owner with data (a
+        primary-only shard whose node died) resolves to an empty pull: the
+        shard restarts empty rather than wedging recovery forever."""
+        info = self.shards.map.shards[shard_id]
+        sources = [
+            n for n in [info.primary_node, *info.replica_nodes]
+            if n and n in healthy and n not in targets
+        ]
+        last_err: Optional[Exception] = None
+        for src in sources:
+            try:
+                return self.shards.data.pull_shard(src, shard_id)
+            except Exception as e:  # unreachable owner — try the next
+                last_err = e
+        if last_err is not None:
+            raise last_err
+        return []
 
     def queue_depth(self) -> int:
         with self._lock:

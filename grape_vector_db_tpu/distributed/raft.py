@@ -687,6 +687,10 @@ class RaftNode:
             self.commit_index = max(self.commit_index, self.snapshot_last_index)
             self.last_applied = max(self.last_applied, self.snapshot_last_index)
             self.applied_through = max(self.applied_through, self.snapshot_last_index)
+            # Wake propose()/wait_applied_through() waiters: the snapshot may
+            # satisfy their commit/apply predicate, and a later heartbeat
+            # won't re-notify (leader_commit is already <= commit_index).
+            self._commit_cv.notify_all()
             if self.storage is not None:
                 self.storage.put_kv(f"raft_snapshot_{self._ns}", p["data"])
                 self._persist_state()

@@ -52,6 +52,10 @@ class Int8DeviceIndex(FlatDeviceIndex):
     def __init__(self, *args, rescore: int = 64, **kwargs):
         self.rescore = int(rescore)
         super().__init__(*args, **kwargs)
+        if self.metric == "euclidean":
+            # the int8 stage-1 proxy is a dot product — it cannot rank by L2
+            # distance (same constraint as ivf_int8)
+            raise ValueError("int8 index supports cosine/dot metrics")
 
     # -- storage hooks ---------------------------------------------------------
 
@@ -81,8 +85,14 @@ class Int8DeviceIndex(FlatDeviceIndex):
         with self._lock:  # updates donate buffers; see FlatDeviceIndex.raw_topk
             r = self._rescore_count(k)
             q = jnp.asarray(queries, dtype=jnp.float32)
-            # factor folds dequant scale and the cosine norm division
-            factor = self.scales / jnp.maximum(self.norms, 1e-12)
+            # factor folds the dequant scale and, for cosine, the norm
+            # division; dot must keep row magnitudes (dividing would turn
+            # stage-1 selection into cosine and starve the exact-dot rescore
+            # of high-norm candidates)
+            if self.metric == "cosine":
+                factor = self.scales / jnp.maximum(self.norms, 1e-12)
+            else:  # dot
+                factor = self.scales
             valid = self.valid if mask is None else jnp.logical_and(
                 self.valid, jnp.asarray(mask))
             chunk = min(131_072, self.capacity)

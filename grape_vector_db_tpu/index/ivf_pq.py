@@ -140,6 +140,12 @@ class IvfPqDeviceIndex(IvfDeviceIndex):
         self.nbits = nbits
         self.rescore_k = rescore_k
         self.codebooks: Optional[jax.Array] = None
+        # The trained search path is the fused ADC scan (_ivfpq_topk), which
+        # never touches the parent's Pallas DMA probe — inheriting
+        # use_pallas=True would allocate and scatter-maintain the [L, 8, cap]
+        # recip plane (32 bytes/cell of HBM) for a kernel this index never
+        # runs.
+        kwargs.setdefault("use_pallas", False)
         super().__init__(*args, **kwargs)
         self.n_sub = n_sub if n_sub is not None else max(1, self._dim // 8)
         if self._dim % self.n_sub:

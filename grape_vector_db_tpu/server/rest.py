@@ -247,8 +247,16 @@ class RestServer:
                         if outer.node is not None:
                             # cluster mode: the doc lives on its shard's
                             # owners, which may not include this node — a
-                            # local-only delete would be a silent no-op
-                            n = outer.node.delete([id_])
+                            # local-only delete would be a silent no-op.
+                            # STRONG delete() can't report a count (the
+                            # command commits regardless of existence), so
+                            # resolve the status code with a point lookup
+                            # first — local mode 404s on unknown ids and the
+                            # two deployments must answer alike.
+                            if outer.node.get_documents([id_]):
+                                n = outer.node.delete([id_])
+                            else:
+                                n = 0
                         else:
                             n = outer.db.batch_delete_documents([id_])
                         self._json(200 if n else 404, {"deleted": n})

@@ -434,13 +434,21 @@ def test_snapshot_restore_resyncs_before_bumping_versions():
     """Regression: a data-group InstallSnapshot carries only version
     counters; restoring used to bump them without the documents, silently
     passing session read-your-writes on a node missing the writes. Now the
-    node pulls its shards from the primaries first, then bumps."""
+    node pulls its shards from a source whose OWN counter covers the target
+    version before adopting it — and a target no source can vouch for is
+    never adopted."""
     import msgpack as _mp
 
     svc = make_service(consistency=ConsistencyLevel.STRONG)
     try:
         docs = make_docs(30)
         svc.upsert(docs)
+        # wait for cluster-wide apply so the resync sources are caught up
+        deadline = time.monotonic() + 8.0
+        while time.monotonic() < deadline:
+            if sum(n.db.store.count() for n in svc.nodes.values()) == 60:
+                break
+            time.sleep(0.05)
         # pick a node and wipe some docs from its local store only (simulate
         # the compacted-log gap a snapshot-installed lagging node has)
         victim = svc.any_node()
@@ -450,28 +458,39 @@ def test_snapshot_restore_resyncs_before_bumping_versions():
         victim.db.batch_delete_documents(lost)
         assert all(victim.db.store.get(i) is None for i in lost)
 
-        # forge the snapshot blob a leader would send (current versions)
+        # forge the snapshot blob a leader would send (current versions —
+        # levels the live sources actually vouch for)
         with victim._version_lock:
-            versions = dict(victim.shard_versions)
-        bump = {sid: v + 5 for sid, v in versions.items()}
+            bump = dict(victim.shard_versions)
         blob = _mp.packb({"versions": {str(k): v for k, v in bump.items()}},
                          use_bin_type=True)
         victim._restore_versions(blob, group=-1)
 
-        # the background resync must restore the wiped docs AND bump counters
+        # the background resync must restore the wiped docs and settle
         deadline = time.monotonic() + 10.0
         while time.monotonic() < deadline:
             have = all(victim.db.store.get(i) is not None for i in lost)
             with victim._version_lock:
-                bumped = all(victim.shard_versions.get(s, 0) >= v
-                             for s, v in bump.items()
-                             if victim.node_id in
-                             victim.shard_map.shards[s].all_nodes())
-            if have and bumped:
+                settled = not victim._unready_shards
+            if have and settled:
                 break
             time.sleep(0.05)
         assert all(victim.db.store.get(i) is not None for i in lost), \
-            "snapshot restore bumped versions without pulling the documents"
+            "snapshot restore settled without pulling the documents"
+        with victim._version_lock:
+            assert not victim._unready_shards
+
+        # honesty check: a forged target NO source has reached must never be
+        # adopted — the shard stays unready (stale for session reads) instead
+        # of silently vouching for writes this node does not hold
+        sid = victim.shard_map.shard_for_key(lost[0])
+        forged = bump.get(sid, 0) + 100
+        blob2 = _mp.packb({"versions": {str(sid): forged}}, use_bin_type=True)
+        victim._restore_versions(blob2, group=-1)
+        time.sleep(1.0)
+        with victim._version_lock:
+            assert victim.shard_versions.get(sid, 0) < forged
+            assert sid in victim._unready_shards
     finally:
         svc.stop()
 
@@ -529,5 +548,116 @@ def test_rest_cluster_delete_and_search_options():
                        for n in svc.nodes.values())
         finally:
             srv.stop()
+    finally:
+        svc.stop()
+
+
+def test_scatter_gather_scopes_hits_to_targeted_shards():
+    """Regression: a node's local search covers its whole corpus (replica
+    copies included), and the merge took every hit — a lagging replica's
+    stale doc could ride into the results through a response that never
+    reported its shard stale. Hits are now scoped to each node's targeted
+    shards."""
+    svc = make_service(consistency=ConsistencyLevel.SESSION)
+    try:
+        docs = make_docs(40)
+        svc.upsert(docs)
+        x = docs[7]
+        node = svc.any_node()
+        sid = node.shard_map.shard_for_key(x.id)
+        info = node.shard_map.shards[sid]
+        replicas = [n for n in info.replica_nodes if n != info.primary_node]
+        assert replicas, "need a replica distinct from the primary"
+        lagging = svc.nodes[replicas[0]]
+
+        node.delete([x.id])
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            if all(n.db.store.get(x.id) is None for n in svc.nodes.values()):
+                break
+            time.sleep(0.05)
+        # simulate a replica that lagged the delete: reintroduce X locally
+        lagging.db.batch_add_documents([x])
+
+        coordinator = svc.nodes[info.primary_node]
+        hits = coordinator.search(x.vector, k=5)
+        assert all(i != x.id for i, _ in hits), hits
+    finally:
+        svc.stop()
+
+
+def test_get_documents_falls_through_to_live_replica():
+    """Regression: payload materialization asked only the FIRST non-self
+    owner per id; with that node down the payload silently dropped even
+    though a replica held the document."""
+    svc = make_service(consistency=ConsistencyLevel.SESSION)
+    try:
+        docs = make_docs(40)
+        for d in docs:
+            d.metadata = {"tag": d.id}
+        svc.upsert(docs)
+        x = docs[3]
+        node = svc.any_node()
+        sid = node.shard_map.shard_for_key(x.id)
+        info = node.shard_map.shards[sid]
+        owners = info.all_nodes()
+        outsider_id = next(n for n in svc.nodes if n not in owners)
+        outsider = svc.nodes[outsider_id]
+        # take the preferred owner (primary) off the wire
+        svc.transport.unregister(info.primary_node)
+        try:
+            got = outsider.get_documents([x.id])
+            assert x.id in got and got[x.id].metadata == {"tag": x.id}, got
+        finally:
+            svc.transport.register(
+                info.primary_node,
+                svc.nodes[info.primary_node]._handle_rpc)
+    finally:
+        svc.stop()
+
+
+def test_ownership_gain_triggers_data_resync():
+    """Regression (multi-raft): placements commit through the main raft
+    group while data commands flow through independent data groups, so a
+    node can gain ownership of a shard AFTER having skipped its writes. The
+    ownership-gain hook must resync the shard's documents from the existing
+    owners."""
+    svc = make_service(consistency=ConsistencyLevel.SESSION)
+    try:
+        docs = make_docs(40)
+        svc.upsert(docs)
+        x = docs[11]
+        node = svc.any_node()
+        sid = node.shard_map.shard_for_key(x.id)
+        info = node.shard_map.shards[sid]
+        owners = info.all_nodes()
+        newcomer_id = next(n for n in svc.nodes if n not in owners)
+        newcomer = svc.nodes[newcomer_id]
+        assert newcomer.db.store.get(x.id) is None
+
+        leader = next(n for n in svc.nodes.values()
+                      if n.raft.role.name == "LEADER")
+        leader._propose({
+            "op": "set_placement", "shard_id": sid,
+            "primary": info.primary_node,
+            "replicas": list(info.replica_nodes) + [newcomer_id],
+        }, wait_applied=True)
+
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            if newcomer.db.store.get(x.id) is not None:
+                break
+            time.sleep(0.05)
+        assert newcomer.db.store.get(x.id) is not None, \
+            "newly-owning node never pulled the shard's documents"
+        # and the shard must leave the unready set once the data landed
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            with newcomer._version_lock:
+                if sid not in newcomer._unready_shards:
+                    break
+            time.sleep(0.05)
+        with newcomer._version_lock:
+            assert sid not in newcomer._unready_shards
     finally:
         svc.stop()

@@ -373,3 +373,27 @@ def test_apply_placement_for_failure_deterministic_and_targeted():
     for sid in m.shards:
         assert m.shards[sid].primary_node == m2.shards[sid].primary_node
         assert m.shards[sid].replica_nodes == m2.shards[sid].replica_nodes
+
+
+def test_failed_primary_only_shard_elects_new_primary_and_recovers():
+    """Regression: a shard whose dead primary had no replicas kept the dead
+    node as primary (promote_replica returns None), so the queued resync
+    pulled from the dead node on every recovery cycle and writes kept
+    routing at it. Now a healthy node becomes the (empty) new primary and
+    recovery pulls skip the dead source."""
+    m = ShardMap(shard_count=4, replica_count=1)
+    m.assign_all(["a", "b", "c"])  # replica_count=1 -> primary-only shards
+    data = DictDataAccess(m)
+    mgr = ShardManager(m, data)
+    fo = FailoverManager(mgr, healthy_nodes_fn=lambda: ["b", "c"],
+                         replica_count=1)
+
+    tasks = fo.apply_placement_for_failure("a", healthy=["b", "c"])
+    for info in m.shards.values():
+        assert info.primary_node in ("b", "c"), info
+        assert "a" not in info.all_nodes()
+    # the recovery tasks must complete without error against the new owners
+    fo.enqueue_tasks(tasks)
+    done = fo.run_pending()
+    assert all(not (t.result or "").startswith("error:") for t in done), \
+        [t.result for t in done]

@@ -162,3 +162,39 @@ def test_int8_index_matches_exact_oracle(rng):
     allowed = {"r1", "r2", "r77"}
     got = idx.search_batch(queries[:1], 3, mask=idx.compile_mask(allowed))[0]
     assert {h[0] for h in got} == allowed
+
+
+def test_int8_index_dot_metric_keeps_row_magnitudes(rng):
+    """Regression: the int8 stage-1 factor baked in the cosine norm division
+    unconditionally, so metric='dot' selected candidates by cosine and the
+    exact-dot rescore never saw high-norm rows."""
+    from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+    from grape_vector_db_tpu.index.int8 import Int8DeviceIndex
+
+    dim, n, k = 48, 2000, 10
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # spread norms over two orders of magnitude so cosine != dot ordering
+    vecs *= (10.0 ** rng.uniform(-1, 1, size=(n, 1))).astype(np.float32)
+    ids = [f"r{i}" for i in range(n)]
+    idx = Int8DeviceIndex(dim, metric="dot", storage_dtype="float32",
+                          initial_capacity=2048, rescore=64)
+    idx.add_batch(ids, vecs)
+    ref = FlatDeviceIndex(dim, metric="dot", storage_dtype="float32",
+                          initial_capacity=2048)
+    ref.add_batch(ids, vecs)
+
+    queries = rng.standard_normal((8, dim)).astype(np.float32)
+    got = idx.search_batch(queries, k)
+    want = ref.search_batch(queries, k)
+    recall = np.mean([
+        len({h[0] for h in g} & {h[0] for h in w}) / k
+        for g, w in zip(got, want)
+    ])
+    assert recall >= 0.9, recall
+
+
+def test_int8_index_rejects_euclidean():
+    from grape_vector_db_tpu.index.int8 import Int8DeviceIndex
+
+    with pytest.raises(ValueError):
+        Int8DeviceIndex(16, metric="euclidean", storage_dtype="float32")

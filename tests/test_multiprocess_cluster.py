@@ -76,9 +76,18 @@ def test_three_process_cluster(tmp_path):
             for i in range(20)
         ])
         assert resp.upserted == 20, resp.error
-        sr = clients["n2"].search(list(vecs[7]), limit=3)
-        assert not sr.error
-        assert sr.results[0].id == "mp7"
+        # bounded retry: the upsert ack covers the coordinator + sync
+        # replicas; an async replica chosen by scatter-gather may lag the
+        # write by a beat under CI load
+        deadline = time.monotonic() + 10
+        while True:
+            sr = clients["n2"].search(list(vecs[7]), limit=3)
+            assert not sr.error
+            if sr.results and sr.results[0].id == "mp7":
+                break
+            if time.monotonic() > deadline:
+                pytest.fail(f"mp7 never surfaced: {sr.results[:3]}")
+            time.sleep(0.3)
         assert sr.results[0].score > 0.99
         for c in clients.values():
             c.close()

@@ -151,11 +151,22 @@ class ClusterNode:
         # until the background resync pulls the data from another owner.
         # Guarded by _version_lock (read on the data_search path).
         self._unready_shards: Set[int] = set()
+        # Shards whose data this node provably holds IN FULL (absorbed every
+        # committed write while complete, or resynced from a complete
+        # source). Version counters are a pure function of the group log and
+        # bump on EVERY node, so they can never identify data holders —
+        # completeness is the signal resync sources are chosen by. A node
+        # that loses ownership KEEPS absorbing a complete shard's writes
+        # until the new owners finish their resyncs (anti-entropy
+        # relinquish), so at least one complete source always exists.
+        # Guarded by _version_lock.
+        self._complete_shards: Set[int] = set()
         # sid -> version counter to adopt once the shard's data landed
         # (0 = just pull; counters already advanced through the group log).
         self._resync_lock = threading.Lock()
         self._resync_targets: Dict[int, int] = {}
         self._resync_wake = threading.Event()
+        self._relinquish_tick = 0
         self._recovery_wake = threading.Event()
         self._started = False
 
@@ -222,7 +233,8 @@ class ClusterNode:
         # data/cluster methods to this object.
         transport.register(node_id, self._handle_rpc)
         self._raft_methods = {"request_prevote", "request_vote", "append_entries",
-                              "install_snapshot", "client_command"}
+                              "install_snapshot", "client_command",
+                              "change_membership"}
 
     # ------------------------------------------------------------------ rpc
 
@@ -466,10 +478,62 @@ class ClusterNode:
                         # only clear if no higher target arrived meanwhile
                         if self._resync_targets.get(sid, 0) <= target:
                             self._resync_targets.pop(sid, None)
+            self._relinquish_tick += 1
+            if self._relinquish_tick % 5 == 0:
+                try:
+                    self._relinquish_complete()
+                except Exception:
+                    logger.exception("%s: relinquish sweep failed",
+                                     self.node_id)
+
+    def _relinquish_complete(self) -> None:
+        """Anti-entropy: an old owner keeps absorbing a complete shard's
+        writes after losing ownership (so resyncs always have a data-holding
+        source); once every CURRENT owner reports the shard complete, the
+        obligation ends and this node stops absorbing."""
+        with self._version_lock:
+            complete = set(self._complete_shards)
+        with self._state_lock:
+            not_owned = [
+                sid for sid in complete
+                if (info := self.shard_map.shards.get(sid)) is not None
+                and info.primary_node
+                and self.node_id not in info.all_nodes()
+            ]
+            owner_sets = {
+                sid: [n for n in [self.shard_map.shards[sid].primary_node,
+                                  *self.shard_map.shards[sid].replica_nodes]
+                      if n and n != self.node_id]
+                for sid in not_owned
+            }
+        for sid in not_owned:
+            owners = owner_sets[sid]
+            if not owners:
+                continue
+            try:
+                done = all(
+                    sid in self._call(n, "data_version", {"shards": [sid]},
+                                      timeout_s=2.0).get("complete", [])
+                    for n in owners
+                )
+            except Exception:
+                continue
+            if done:
+                with self._version_lock:
+                    self._complete_shards.discard(sid)
+                # Drop the absorbed copy: every current owner provably holds
+                # the shard in full, and a lingering local copy would serve
+                # stale hits from this node's whole-corpus local search (and
+                # double-count capacity). Placement decides redundancy.
+                drop = [rid for rid in self.db.store.iter_ids()
+                        if self._shard_of_record(rid) == sid]
+                if drop:
+                    self.db.batch_delete_documents(drop)
 
     def _try_resync_shard(self, sid: int, target: int) -> bool:
         """One resync attempt; returns True when the shard is settled (data
-        pulled, or positively not ours). False = retry on the next wake."""
+        pulled from a COMPLETE source, or positively not ours). False =
+        retry on the next wake."""
         logger.debug("%s: resync attempt shard=%d target=%d",
                      self.node_id, sid, target)
         with self._state_lock:
@@ -477,36 +541,52 @@ class ClusterNode:
             if info is None or not info.primary_node:
                 return False  # placement not known yet — retry later
             mine = self.node_id in info.all_nodes()
-            sources = [
+            owners = [
                 n for n in [info.primary_node, *info.replica_nodes]
                 if n and n != self.node_id
             ]
+            others = [n for n in self.healthy_node_ids()
+                      if n != self.node_id and n not in owners]
         if not mine:
             # Not an owner: adopt the counter (harmless — this node is never
             # targeted for the shard) and stop tracking it.
+            self._settle_shard(sid, target, complete=False)
+            return True
+        if not owners and not others:
+            # Sole node: nobody can be ahead of us — nothing to pull.
             self._settle_shard(sid, target)
             return True
-        if not sources:
-            # Sole owner: nobody can be ahead of us — nothing to pull.
-            self._settle_shard(sid, target)
-            return True
-        # Pick the most-caught-up source BY ITS OWN COUNTER. A source that
-        # has not reached ``target`` may itself be lagging the writes this
-        # node is trying to recover (e.g. an async applier milliseconds
-        # behind the proposer) — pulling from it and settling would adopt
-        # the target version without the data, the exact hole this worker
-        # exists to close.
+        # Source selection: highest-counter COMPLETE holder, current owners
+        # preferred. Counters bump on every applier (pure function of the
+        # group log), so a high counter alone proves nothing about data —
+        # after a placement change the whole owner set can rotate onto
+        # nodes that are themselves mid-resync, and an old owner outside the
+        # placement may be the only node actually holding the documents.
         best_src, best_v = None, -1
-        for src in sources:
+        all_zero, any_unreachable = True, False
+        for src in [*owners, *others]:
             try:
-                v = self._call(src, "data_version", {"shards": [sid]},
-                               timeout_s=2.0)["versions"].get(str(sid), 0)
+                resp = self._call(src, "data_version", {"shards": [sid]},
+                                  timeout_s=2.0)
             except Exception:
+                any_unreachable = True
                 continue
-            if v > best_v:
+            v = resp["versions"].get(str(sid), 0)
+            if v > 0:
+                all_zero = False
+            if sid in resp.get("complete", []) and v > best_v:
                 best_src, best_v = src, v
         if best_src is None:
-            return False  # every source unreachable — retry on the next wake
+            with self._version_lock:
+                local_v = self.shard_versions.get(sid, 0)
+            if (all_zero and not any_unreachable and local_v == 0
+                    and target == 0):
+                # Bootstrap: the shard has never seen a write anywhere —
+                # there is nothing to recover; this node's (empty) copy IS
+                # complete.
+                self._settle_shard(sid, 0)
+                return True
+            return False  # no complete holder reachable — retry later
         try:
             resp = self._call(best_src, "data_pull", {"shard_id": sid},
                               timeout_s=10.0)
@@ -516,9 +596,10 @@ class ClusterNode:
         except Exception:
             return False
         if best_v < target:
-            # Incorporate what the source had, advance the counter only to
-            # the version its data actually covers, and retry once a source
-            # catches up to the counter level this node must vouch for.
+            # The complete holder hasn't caught up to the counter level this
+            # node must vouch for (e.g. a snapshot from a farther-ahead
+            # leader): incorporate its data, advance only to the version it
+            # actually covers, retry for the rest.
             with self._version_cv:
                 self.shard_versions[sid] = max(
                     self.shard_versions.get(sid, 0), best_v)
@@ -527,11 +608,14 @@ class ClusterNode:
         self._settle_shard(sid, max(target, best_v))
         return True
 
-    def _settle_shard(self, sid: int, version: int) -> None:
+    def _settle_shard(self, sid: int, version: int,
+                      complete: bool = True) -> None:
         with self._version_cv:
             self.shard_versions[sid] = max(
                 self.shard_versions.get(sid, 0), version)
             self._unready_shards.discard(sid)
+            if complete:
+                self._complete_shards.add(sid)
             self._version_cv.notify_all()
 
     def _apply_command(self, entry: LogEntry) -> None:
@@ -544,12 +628,18 @@ class ClusterNode:
         # commands all flow through one group's single ordered apply worker.
         if op == "data_upsert":
             with self._state_lock:
-                mine = [
-                    d for d in cmd["docs"]
-                    if self.node_id in self.shard_map.shards[
-                        self.shard_map.shard_for_key(d["id"])
-                    ].all_nodes()
-                ]
+                with self._version_lock:
+                    complete = set(self._complete_shards)
+                # Store docs this node owns per its CURRENT map, plus docs of
+                # shards it is still COMPLETE on (an old owner keeps absorbing
+                # until the new owners finish resyncing — otherwise the data
+                # could rotate onto nodes that never held it).
+                mine = []
+                for d in cmd["docs"]:
+                    sid = self.shard_map.shard_for_key(d["id"])
+                    if (sid in complete or self.node_id
+                            in self.shard_map.shards[sid].all_nodes()):
+                        mine.append(d)
                 self._applied_commands += 1
             if mine:
                 self.db.batch_add_documents([Document.from_dict(d) for d in mine])
@@ -683,6 +773,34 @@ class ClusterNode:
         """Graceful leave with shard handoff via re-assignment (cluster.rs:184-276)."""
         self._propose({"op": "leave", "node_id": self.node_id})
 
+    def add_member(self, node_id: str, address: Optional[str] = None,
+                   timeout_s: float = 10.0) -> None:
+        """Runtime membership expansion (beyond the reference's fixed seed
+        set): add ``node_id`` as a raft voter in the metadata group AND every
+        data group (each change commits through that group's own leader),
+        then replicate the join so placements include it. The new node must
+        already be reachable on the transport (for gRPC, via
+        GRAPE_NODE_{ID}_ADDRESS or the address book).
+
+        Call AFTER the new node's ClusterNode is constructed and started —
+        it needs to answer append_entries to catch up."""
+        if address is None:
+            info = self.members.get(node_id)
+            address = info.address if info else node_id
+        for raft in [self.raft, *self.data_rafts.values()]:
+            voters = sorted(set(raft.voters) | {node_id})
+            raft.membership_on_leader(voters, timeout_s=timeout_s)
+        self._propose({"op": "join", "node_id": node_id, "address": address})
+
+    def remove_member(self, node_id: str, timeout_s: float = 10.0) -> None:
+        """Runtime membership removal: drop the node from every raft group's
+        voter set and replicate the leave (shards re-assign to survivors)."""
+        self._propose({"op": "leave", "node_id": node_id})
+        for raft in [self.raft, *self.data_rafts.values()]:
+            voters = sorted(set(raft.voters) - {node_id})
+            if voters:
+                raft.membership_on_leader(voters, timeout_s=timeout_s)
+
     def healthy_node_ids(self) -> List[str]:
         with self._state_lock:
             return [nid for nid, m in self.members.items()
@@ -766,10 +884,16 @@ class ClusterNode:
 
     def _rpc_data_version(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         with self._version_lock:
-            return {"versions": {
-                str(sid): self.shard_versions.get(int(sid), 0)
-                for sid in payload["shards"]
-            }}
+            return {
+                "versions": {
+                    str(sid): self.shard_versions.get(int(sid), 0)
+                    for sid in payload["shards"]
+                },
+                # data-completeness signal for resync source selection —
+                # counters alone bump on every node and prove nothing
+                "complete": [int(sid) for sid in payload["shards"]
+                             if int(sid) in self._complete_shards],
+            }
 
     def _rpc_data_search(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         from grape_vector_db_tpu.types import SearchRequest
@@ -982,22 +1106,32 @@ class ClusterNode:
         remain stale after that are appended to ``stale_out`` (and surfaced
         on the wire) instead of silently breaking the read-your-writes
         promise."""
-        with self._state_lock:
-            owners: Dict[str, Set[int]] = {}
-            healthy = set(self.healthy_node_ids())
-            primaries = {sid: info.primary_node
-                         for sid, info in self.shard_map.shards.items()}
-            for sid, info in self.shard_map.shards.items():
-                target = None
-                if info.primary_node in healthy:
-                    target = info.primary_node
-                else:
-                    for r in info.replica_nodes:
-                        if r in healthy:
-                            target = r
-                            break
-                if target is not None:
-                    owners.setdefault(target, set()).add(sid)
+        # Bounded bootstrap grace (read-path mirror of _wait_placements): a
+        # node that just joined sees placements populate as the replicated
+        # join/assign commands apply — serving an empty result in that window
+        # reads as "no data" to the client, which is worse than a short wait.
+        deadline = time.monotonic() + 5.0
+        while True:
+            with self._state_lock:
+                owners: Dict[str, Set[int]] = {}
+                healthy = set(self.healthy_node_ids())
+                primaries = {sid: info.primary_node
+                             for sid, info in self.shard_map.shards.items()}
+                for sid, info in self.shard_map.shards.items():
+                    target = None
+                    if info.primary_node in healthy:
+                        target = info.primary_node
+                    else:
+                        for r in info.replica_nodes:
+                            if r in healthy:
+                                target = r
+                                break
+                    if target is not None:
+                        owners.setdefault(target, set()).add(sid)
+            if owners or time.monotonic() >= deadline:
+                break
+            time.sleep(0.02)
+
         def one(nid: str, sids: Set[int]):
             payload: Dict[str, Any] = {"vector": list(vector), "k": k}
             if session is not None and session.versions:

@@ -52,6 +52,8 @@ class ClusterService:
         self.sim = simulator or NetworkSimulator()
         self.transport = transport or InProcessTransport(self.sim)
         self.nodes: Dict[str, ClusterNode] = {}
+        self._db_config = db_config
+        self._raft_config = raft_config
         self._stop_discovery = threading.Event()
         self._discovery_thread: Optional[threading.Thread] = None
         for nid in node_ids:
@@ -99,6 +101,46 @@ class ClusterService:
             self._discovery_thread.join(timeout=2.0)
         for n in self.nodes.values():
             n.stop()
+
+    def add_node(self, node_id: str, timeout_s: float = 10.0) -> ClusterNode:
+        """Boot a brand-new node into the RUNNING cluster (beyond the
+        reference's fixed seed set): construct it over the shared transport,
+        start it, splice it into every raft group's voter set through the
+        live leaders (single-server membership change), and replicate the
+        join so shard placements re-spread onto it. The newcomer catches up
+        through normal raft backfill/InstallSnapshot, and the ownership-gain
+        resync pulls the data of every shard it now owns."""
+        if node_id in self.nodes:
+            raise ConfigError(f"node {node_id} already exists")
+        node = ClusterNode(
+            node_id=node_id,
+            address=f"inproc://{node_id}",
+            seed_nodes=[*self.nodes.keys(), node_id],
+            transport=self.transport,
+            cluster_config=self.config,
+            db_config=self._db_config,
+            raft_config=self._raft_config,
+        )
+        node.start()
+        sponsor = next(iter(self.nodes.values()))
+        try:
+            sponsor.add_member(node_id, address=f"inproc://{node_id}",
+                               timeout_s=timeout_s)
+        except Exception:
+            node.stop()
+            raise
+        self.nodes[node_id] = node
+        return node
+
+    def remove_node(self, node_id: str, timeout_s: float = 10.0) -> None:
+        """Remove a node from the running cluster: voter sets shrink, shards
+        re-assign to the survivors, then the node is stopped."""
+        if node_id not in self.nodes:
+            raise ConfigError(f"unknown node {node_id}")
+        sponsor = next(n for nid, n in self.nodes.items() if nid != node_id)
+        sponsor.remove_member(node_id, timeout_s=timeout_s)
+        node = self.nodes.pop(node_id)
+        node.stop()
 
     def _discovery_loop(self) -> None:
         """Periodic liveness sweep feeding the per-node LBs

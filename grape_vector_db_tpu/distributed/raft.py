@@ -99,7 +99,18 @@ class RaftNode:
         # Persistence namespace: multi-raft nodes (one RaftNode per shard
         # group on the same host) share one KV store — keys must not collide.
         self._ns = persist_ns or node_id
-        self.peers = [p for p in peers if p != node_id]
+        # Membership (raft thesis ch. 4, single-server changes): the voter
+        # set is itself replicated state. A "config" log entry carries the
+        # new full voter set and takes effect on APPEND (not commit); at most
+        # one change may be in flight. _config_history tracks (index, voters)
+        # adoptions so a truncated uncommitted config reverts correctly, and
+        # _snapshot_voters records the config effective at the compaction
+        # point for snapshot installs and restarts.
+        self.voters: List[str] = sorted(set(peers) | {node_id})
+        self._config_index = 0
+        self._config_history: List[Tuple[int, List[str]]] = [(0, list(self.voters))]
+        self._snapshot_voters: List[str] = list(self.voters)
+        self._retiring: set = set()  # removed nodes still owed the config entry
         self.transport = transport
         self.apply_fn = apply_fn
         self.storage = storage
@@ -160,6 +171,52 @@ class RaftNode:
 
     # ------------------------------------------------------------------ utils
 
+    @property
+    def peers(self) -> List[str]:
+        return [v for v in self.voters if v != self.node_id]
+
+    def _majority(self) -> int:
+        return len(self.voters) // 2 + 1
+
+    def _adopt_config(self, entry: LogEntry) -> None:
+        """Caller holds lock. Configs take effect when appended (thesis §4.1):
+        the node immediately counts majorities against the new set."""
+        cfg = msgpack.unpackb(entry.data, raw=False)
+        old = set(self.voters)
+        self.voters = sorted(set(cfg["voters"]))
+        self._config_index = entry.index
+        self._config_history.append((entry.index, list(self.voters)))
+        if self.role == RaftRole.LEADER:
+            nxt = self._last_log_index() + 1
+            for p in self.peers:
+                self.next_index.setdefault(p, nxt)
+                self.match_index.setdefault(p, 0)
+            # Keep replicating to a REMOVED node until it has received the
+            # config entry that removes it — otherwise it never learns, times
+            # out, and harasses the cluster with elections forever (pre-vote
+            # blocks the term inflation, but quiescing it is cleaner).
+            self._retiring |= old - set(self.voters) - {self.node_id}
+        self._persist_state()
+
+    def _truncate_config_from(self, index: int) -> None:
+        """Caller holds lock: log entries >= index are being discarded —
+        revert to the latest surviving configuration."""
+        while self._config_history and self._config_history[-1][0] >= index:
+            self._config_history.pop()
+        if not self._config_history:
+            self._config_history = [(self.snapshot_last_index,
+                                     list(self._snapshot_voters))]
+        self._config_index, voters = self._config_history[-1]
+        self.voters = list(voters)
+
+    def _config_at(self, index: int) -> List[str]:
+        """Caller holds lock: the voter set effective at log index."""
+        out = self._snapshot_voters
+        for idx, voters in self._config_history:
+            if idx <= index:
+                out = voters
+        return list(out)
+
     def _rand_election_timeout(self) -> float:
         lo, hi = self.config.election_timeout_ms
         return random.uniform(lo, hi) / 1e3
@@ -201,6 +258,7 @@ class RaftNode:
                 "voted_for": self.voted_for,
                 "snapshot_last_index": self.snapshot_last_index,
                 "snapshot_last_term": self.snapshot_last_term,
+                "snapshot_voters": list(self._snapshot_voters),
             }),
         )
 
@@ -229,6 +287,12 @@ class RaftNode:
             self.voted_for = st.get("voted_for")
             self.snapshot_last_index = st.get("snapshot_last_index", 0)
             self.snapshot_last_term = st.get("snapshot_last_term", 0)
+            if st.get("snapshot_voters"):
+                self._snapshot_voters = list(st["snapshot_voters"])
+                self.voters = list(self._snapshot_voters)
+                self._config_index = self.snapshot_last_index
+                self._config_history = [(self.snapshot_last_index,
+                                         list(self.voters))]
         snap = self.storage.get_kv(f"raft_snapshot_{self._ns}")
         if snap and self.restore_fn:
             self.restore_fn(snap)
@@ -240,6 +304,13 @@ class RaftNode:
             if e.index > self.snapshot_last_index:
                 entries.append(e)
         self.log = entries
+        # re-adopt any config entries the log carries past the snapshot point
+        for e in self.log:
+            if e.entry_type == "config":
+                cfg = msgpack.unpackb(e.data, raw=False)
+                self.voters = sorted(set(cfg["voters"]))
+                self._config_index = e.index
+                self._config_history.append((e.index, list(self.voters)))
 
     # ------------------------------------------------------------------ start
 
@@ -276,7 +347,10 @@ class RaftNode:
                 if heartbeat_due:
                     self._broadcast_append()
             elif election_due:
-                self._start_election()
+                with self._lock:
+                    is_voter = self.node_id in self.voters
+                if is_voter:  # a removed node must not disrupt the cluster
+                    self._start_election()
 
     # -------------------------------------------------------------- elections
 
@@ -299,7 +373,7 @@ class RaftNode:
             prospective = self.current_term + 1
             last_idx, last_term = self._last_log_index(), self._last_log_term()
             self._reset_election_timer()
-        needed = (len(self.peers) + 1) // 2 + 1
+        needed = self._majority()
         if needed <= 1:
             self._start_real_election(expected_term=term_at_start)
             return
@@ -347,7 +421,7 @@ class RaftNode:
             self._reset_election_timer()
             last_idx, last_term = self._last_log_index(), self._last_log_term()
         votes = 1
-        needed = (len(self.peers) + 1) // 2 + 1
+        needed = self._majority()
         if votes >= needed:
             self._become_leader(term)
             return
@@ -407,8 +481,15 @@ class RaftNode:
             if self.role != RaftRole.LEADER:
                 return
             self._next_heartbeat = time.monotonic() + self.config.heartbeat_ms / 1e3
-            peers = list(self.peers)
-        for p in peers:
+            targets = set(self.peers)
+            # courtesy appends to removed nodes until the config entry that
+            # removed them has landed there (see _adopt_config)
+            for p in list(self._retiring):
+                if self.match_index.get(p, 0) >= self._config_index:
+                    self._retiring.discard(p)
+                else:
+                    targets.add(p)
+        for p in targets:
             self._submit(self._append_to_peer, p)
 
     def _append_to_peer(self, peer: str) -> None:
@@ -465,11 +546,19 @@ class RaftNode:
             t = self._term_at(n)
             if t != self.current_term:
                 break
-            count = 1 + sum(1 for p in self.peers if self.match_index.get(p, 0) >= n)
-            if count >= (len(self.peers) + 1) // 2 + 1:
+            count = (1 if self.node_id in self.voters else 0) + sum(
+                1 for p in self.peers if self.match_index.get(p, 0) >= n)
+            if count >= self._majority():
                 self.commit_index = n
                 self._commit_cv.notify_all()
                 break
+        if (self.node_id not in self.voters
+                and self._config_index <= self.commit_index
+                and self.role == RaftRole.LEADER):
+            # thesis §4.2.2: a leader removed from the configuration keeps
+            # leading until the config entry commits, then steps down
+            self.role = RaftRole.FOLLOWER
+            self._reset_election_timer()
         self._apply_committed()
 
     def _apply_committed(self) -> None:
@@ -522,6 +611,13 @@ class RaftNode:
         self.log = [e for e in self.log if e.index > bound]
         self.snapshot_last_index = bound
         self.snapshot_last_term = last_term
+        # membership bookkeeping: the config effective at the compaction
+        # point becomes the snapshot base; adoptions above it stay tracked
+        self._snapshot_voters = self._config_at(bound)
+        self._config_history = (
+            [(bound, list(self._snapshot_voters))]
+            + [(i, v) for i, v in self._config_history if i > bound]
+        )
         if self.storage is not None:
             self.storage.put_kv(f"raft_snapshot_{self._ns}", snap)
             self._persist_state()
@@ -540,6 +636,9 @@ class RaftNode:
             "term": self.current_term, "leader_id": self.node_id,
             "last_included_index": self.snapshot_last_index,
             "last_included_term": self.snapshot_last_term,
+            # membership rides alongside the app snapshot: the receiver's log
+            # below this index is discarded, configs included
+            "voters": self._config_at(self.snapshot_last_index),
             "data": snap,
         }
 
@@ -575,6 +674,10 @@ class RaftNode:
             data = payload["data"]
             idx = self.propose(data, timeout_s=payload.get("timeout_s", 2.0),
                                wait_applied=payload.get("wait_applied", False))
+            return {"ok": True, "index": idx}
+        if method == "change_membership":
+            idx = self.change_membership(
+                payload["voters"], timeout_s=payload.get("timeout_s", 5.0))
             return {"ok": True, "index": idx}
         raise ConsensusError(f"unknown raft method {method}")
 
@@ -644,14 +747,18 @@ class RaftNode:
             for e in entries:
                 mine = self._entry_at(e.index)
                 if mine is not None and mine.term != e.term:
-                    # conflict: truncate from here (raft.rs:1240-1289)
+                    # conflict: truncate from here (raft.rs:1240-1289);
+                    # a truncated config entry reverts the voter set
                     pos = e.index - self.snapshot_last_index - 1
                     self.log = self.log[:pos]
                     self._truncate_persisted_from(e.index)
+                    self._truncate_config_from(e.index)
                     mine = None
                 if mine is None and e.index == self._last_log_index() + 1:
                     self.log.append(e)
                     new_entries.append(e)
+                    if e.entry_type == "config":
+                        self._adopt_config(e)
             if new_entries:
                 self._persist_entries(new_entries)
             # The highest index this RPC actually verified is
@@ -684,6 +791,17 @@ class RaftNode:
             self.snapshot_last_index = p["last_included_index"]
             self.snapshot_last_term = p["last_included_term"]
             self.log = [e for e in self.log if e.index > self.snapshot_last_index]
+            if p.get("voters"):
+                # rebase membership on the snapshot's config, then re-adopt
+                # any config entries the surviving log suffix still carries
+                self._snapshot_voters = list(p["voters"])
+                self.voters = list(self._snapshot_voters)
+                self._config_index = self.snapshot_last_index
+                self._config_history = [(self.snapshot_last_index,
+                                         list(self.voters))]
+                for e in self.log:
+                    if e.entry_type == "config":
+                        self._adopt_config(e)
             self.commit_index = max(self.commit_index, self.snapshot_last_index)
             self.last_applied = max(self.last_applied, self.snapshot_last_index)
             self.applied_through = max(self.applied_through, self.snapshot_last_index)
@@ -707,6 +825,11 @@ class RaftNode:
         with self._lock:
             if self.role != RaftRole.LEADER:
                 raise NotLeaderError(self.leader_id)
+            if entry_type == "config" and self._config_index > self.commit_index:
+                raise ConsensusError(
+                    "a membership change is already in flight "
+                    f"(config at index {self._config_index} not yet committed)"
+                )
             entry = LogEntry(
                 index=self._last_log_index() + 1,
                 term=self.current_term,
@@ -715,6 +838,8 @@ class RaftNode:
             )
             self.log.append(entry)
             self._persist_entries([entry])
+            if entry_type == "config":
+                self._adopt_config(entry)
             idx, term = entry.index, entry.term
             self._watch_terms[idx] = None
         self._broadcast_append()
@@ -793,6 +918,79 @@ class RaftNode:
                 last_exc = e  # hint was stale or target unreachable; re-resolve
                 time.sleep(0.02)
 
+    # ------------------------------------------------------------- membership
+
+    def change_membership(self, new_voters: List[str],
+                          timeout_s: float = 5.0) -> int:
+        """Replace the voter set via a replicated config entry (raft thesis
+        ch. 4, single-server change). Must run on the leader; at most one
+        change may be uncommitted at a time (propose enforces it). The new
+        config takes effect on append; the call returns once it commits
+        under the NEW majority. Single-server constraint: the new set must
+        differ from the current one by at most one node — two simultaneous
+        arbitrary changes can elect two leaders for disjoint majorities."""
+        with self._lock:
+            cur = set(self.voters)
+        new = set(new_voters)
+        if len(cur.symmetric_difference(new)) > 1:
+            raise ConsensusError(
+                f"membership may change by one server at a time: {sorted(cur)}"
+                f" -> {sorted(new)}"
+            )
+        data = msgpack.packb({"voters": sorted(new)}, use_bin_type=True)
+        return self.propose(data, entry_type="config", timeout_s=timeout_s)
+
+    def membership_on_leader(self, new_voters: List[str],
+                             timeout_s: float = 5.0) -> int:
+        """change_membership locally or forwarded to the leader, following
+        stale hints (same retry discipline as propose_on_leader)."""
+        deadline = time.monotonic() + timeout_s
+        last_exc: Exception = NotLeaderError(None)
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise last_exc
+            try:
+                return self.change_membership(new_voters, timeout_s=remaining)
+            except NotLeaderError as e:
+                last_exc = e
+                hint = e.leader_hint
+            if not hint or hint == self.node_id:
+                time.sleep(0.02)
+                continue
+            try:
+                resp = self.transport.call(
+                    self.node_id, hint, "change_membership",
+                    {"voters": list(new_voters),
+                     "timeout_s": max(remaining, 0.05)},
+                    timeout_s=remaining + 0.5,
+                )
+                return resp["index"]
+            except (NotLeaderError, TimeoutError_, ConsensusError,
+                    TransportError, OSError) as e:
+                last_exc = e
+                time.sleep(0.02)
+
+    def add_voter(self, node_id: str, timeout_s: float = 5.0) -> int:
+        """Add one node to the voter set (leader only). The new node catches
+        up through normal backfill/InstallSnapshot once the leader starts
+        heartbeating it."""
+        with self._lock:
+            voters = set(self.voters)
+        voters.add(node_id)
+        return self.change_membership(sorted(voters), timeout_s=timeout_s)
+
+    def remove_voter(self, node_id: str, timeout_s: float = 5.0) -> int:
+        """Remove one node from the voter set (leader only). A leader
+        removing itself keeps leading until the config commits, then steps
+        down (thesis §4.2.2)."""
+        with self._lock:
+            voters = set(self.voters)
+        voters.discard(node_id)
+        if not voters:
+            raise ConsensusError("cannot remove the last voter")
+        return self.change_membership(sorted(voters), timeout_s=timeout_s)
+
     def wait_applied_through(self, idx: int, timeout_s: float = 2.0) -> None:
         """Block until this node's state machine has applied log index idx
         (or it was compacted into a snapshot covering idx)."""
@@ -818,4 +1016,5 @@ class RaftNode:
                 "last_applied": self.last_applied,
                 "log_length": len(self.log),
                 "snapshot_last_index": self.snapshot_last_index,
+                "voters": list(self.voters),
             }

@@ -76,6 +76,16 @@ class RaftTestCluster:
         """Hard-stop a node (process crash)."""
         self.nodes[nid].stop()
 
+    def add_node(self, nid: str) -> RaftNode:
+        """Construct and start a NEW node at runtime. It only becomes a
+        voter once the leader replicates an add_voter config entry."""
+        self.node_ids.append(nid)
+        self.applied[nid] = []
+        self.storages[nid] = MemoryDocumentStore()
+        node = self._make_node(nid)
+        node.start()
+        return node
+
     def restart_node(self, nid: str) -> RaftNode:
         """Restart from its persisted storage (crash recovery)."""
         node = self._make_node(nid)

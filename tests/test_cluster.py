@@ -161,13 +161,19 @@ def test_strong_consistency_writes_via_raft():
                 break
             time.sleep(0.05)
         assert total == 80
-        # each doc lives exactly on its shard's owners
+        # each doc lives exactly on its shard's owners (bounded wait: the
+        # boot-churn absorbed copies are dropped by the relinquish sweep)
         any_node = svc.any_node()
         for d in docs[:10]:
             info = any_node.shard_map.shards[any_node.shard_map.shard_for_key(d.id)]
             owners = set(info.all_nodes())
-            holders = {nid for nid, n in svc.nodes.items()
-                       if n.db.store.get(d.id) is not None}
+            deadline = time.monotonic() + 10.0
+            while True:
+                holders = {nid for nid, n in svc.nodes.items()
+                           if n.db.store.get(d.id) is not None}
+                if holders == owners or time.monotonic() > deadline:
+                    break
+                time.sleep(0.05)
             assert holders == owners, (d.id, holders, owners)
         # search still works
         hits = svc.search(docs[5].vector, k=2)
@@ -450,9 +456,16 @@ def test_snapshot_restore_resyncs_before_bumping_versions():
                 break
             time.sleep(0.05)
         # pick a node and wipe some docs from its local store only (simulate
-        # the compacted-log gap a snapshot-installed lagging node has)
+        # the compacted-log gap a snapshot-installed lagging node has).
+        # Consider only docs of shards the victim OWNS — boot-churn absorbed
+        # copies of other shards are transient (the relinquish sweep drops
+        # them) and resync rightly does not restore them.
         victim = svc.any_node()
-        mine = [d.id for d in docs if victim.db.store.get(d.id) is not None]
+        with victim._state_lock:
+            owned = victim._owned_shard_set()
+        mine = [d.id for d in docs
+                if victim.db.store.get(d.id) is not None
+                and victim.shard_map.shard_for_key(d.id) in owned]
         assert mine, "victim holds no docs?"
         lost = mine[: max(1, len(mine) // 2)]
         victim.db.batch_delete_documents(lost)
@@ -659,5 +672,107 @@ def test_ownership_gain_triggers_data_resync():
             time.sleep(0.05)
         with newcomer._version_lock:
             assert sid not in newcomer._unready_shards
+    finally:
+        svc.stop()
+
+
+def test_runtime_node_addition_and_removal_full_stack():
+    """Runtime membership (beyond the reference's fixed seed set): a brand
+    new node splices into the RUNNING cluster — raft voter sets grow through
+    the live leaders, shard placements re-spread onto it, the ownership-gain
+    resync pulls its shards' data, and it serves coordinated reads/writes.
+    Removal shrinks everything back."""
+    ccfg = ClusterConfig(
+        shard_count=8, replica_count=2,
+        consistency=ConsistencyLevel.STRONG,
+        heartbeat_interval_s=0.2, election_timeout_ms=(80, 160),
+        raft_heartbeat_ms=25.0, data_raft_groups=2,
+    )
+    dcfg = VectorDbConfig(vector_dimension=16)
+    dcfg.device.storage_dtype = "float32"
+    dcfg.index.initial_capacity = 256
+    dcfg.cache.enabled = False
+    rcfg = RaftConfig(election_timeout_ms=(80, 160), heartbeat_ms=25.0,
+                      tick_ms=5.0)
+    svc = ClusterService([f"node-{i}" for i in range(3)], cluster_config=ccfg,
+                         db_config=dcfg, raft_config=rcfg)
+    svc.start()
+    try:
+        docs = make_docs(40)
+        assert svc.any_node().upsert(docs) == 40
+
+        newcomer = svc.add_node("node-3")
+        # every raft group on every node adopts the new voter
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            ok = all(
+                "node-3" in r.voters
+                for n in svc.nodes.values()
+                for r in [n.raft, *n.data_rafts.values()]
+            )
+            if ok:
+                break
+            time.sleep(0.05)
+        assert ok, {nid: n.raft.voters for nid, n in svc.nodes.items()}
+
+        # membership + placements reach the newcomer and include it
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            with newcomer._state_lock:
+                members_ok = len(newcomer.members) == 4
+                owned = newcomer._owned_shard_set()
+            if members_ok and owned:
+                break
+            time.sleep(0.05)
+        assert members_ok and owned
+
+        # ownership-gain resync must land the data of its shards (recompute
+        # ownership each pass — placements can re-spread while we wait)
+        deadline = time.monotonic() + 15.0
+        while time.monotonic() < deadline:
+            with newcomer._state_lock:
+                owned = newcomer._owned_shard_set()
+            with newcomer._version_lock:
+                settled = not newcomer._unready_shards
+            have = bool(owned) and all(
+                newcomer.db.store.get(d.id) is not None
+                for d in docs
+                if newcomer.shard_map.shard_for_key(d.id) in owned
+            )
+            if settled and have:
+                break
+            time.sleep(0.05)
+        assert have, "newcomer never pulled its shards' documents"
+
+        # the newcomer coordinates reads and STRONG writes
+        hits = newcomer.search(docs[7].vector, k=3)
+        assert hits and hits[0][0] == "doc-7"
+        extra = make_docs(5, seed=99)
+        for d in extra:
+            d.id = f"late-{d.id}"
+        assert newcomer.upsert(extra) == 5
+
+        # removal shrinks the voter sets and placements back to survivors
+        svc.remove_node("node-3")
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            ok = all(
+                "node-3" not in r.voters
+                for n in svc.nodes.values()
+                for r in [n.raft, *n.data_rafts.values()]
+            ) and all(
+                "node-3" not in i.all_nodes()
+                for n in svc.nodes.values()
+                for i in n.shard_map.shards.values()
+            )
+            if ok:
+                break
+            time.sleep(0.05)
+        assert ok
+        # the shrunk cluster still commits STRONG writes
+        more = make_docs(3, seed=7)
+        for d in more:
+            d.id = f"post-{d.id}"
+        assert svc.any_node().upsert(more) == 3
     finally:
         svc.stop()

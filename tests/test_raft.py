@@ -272,3 +272,114 @@ def test_propose_success_when_entry_compacted_during_wait():
         node.wait_applied_through(idx, timeout_s=0.5)
     finally:
         c.stop()
+
+
+# -- runtime membership changes (raft thesis ch. 4, single-server) ----------------
+
+
+def test_add_voter_joins_and_participates(cluster3):
+    leader = cluster3.wait_for_leader()
+    node = cluster3.nodes[leader]
+    for i in range(4):
+        node.propose(f"pre-{i}".encode())
+    cluster3.wait_applied(4)
+
+    cluster3.add_node("node-3")
+    node.add_voter("node-3")
+    # the config replicates everywhere, including the new node
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if all("node-3" in n.voters for n in cluster3.nodes.values()):
+            break
+        time.sleep(0.02)
+    assert all("node-3" in n.voters for n in cluster3.nodes.values())
+
+    # the new node backfills the pre-join log and applies post-join entries
+    node.propose(b"post-0")
+    cluster3.wait_applied(5)
+    assert cluster3.applied["node-3"][:4] == [f"pre-{i}".encode()
+                                              for i in range(4)]
+
+    # 4 voters: majority is 3 — losing one node must still commit
+    victim = next(n for n in cluster3.node_ids
+                  if n not in (leader, "node-3"))
+    cluster3.kill_node(victim)
+    leader2 = cluster3.wait_for_leader(
+        among=set(cluster3.node_ids) - {victim})
+    idx = cluster3.nodes[leader2].propose(b"post-1", timeout_s=5.0)
+    assert idx >= 6
+
+
+def test_remove_voter_shrinks_majority_and_quiesces(cluster3):
+    leader = cluster3.wait_for_leader()
+    node = cluster3.nodes[leader]
+    removed = next(n for n in cluster3.node_ids if n != leader)
+    node.remove_voter(removed)
+
+    survivors = set(cluster3.node_ids) - {removed}
+    for nid in survivors:
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            if removed not in cluster3.nodes[nid].voters:
+                break
+            time.sleep(0.02)
+        assert removed not in cluster3.nodes[nid].voters
+
+    # the removed node learns of its removal (courtesy appends) and stops
+    # standing for election
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if removed not in cluster3.nodes[removed].voters:
+            break
+        time.sleep(0.02)
+    assert removed not in cluster3.nodes[removed].voters
+
+    # 2 voters: both required for commit — still works
+    idx = node.propose(b"after-removal", timeout_s=5.0)
+    cluster3.wait_applied_index = idx
+    # the removed node must not disrupt: terms stay put while the leader lives
+    term_before = node.current_term
+    time.sleep(1.0)
+    assert node.current_term == term_before
+    assert node.role.value == "leader"
+
+
+def test_removed_leader_steps_down(cluster3):
+    leader = cluster3.wait_for_leader()
+    node = cluster3.nodes[leader]
+    node.remove_voter(leader)
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if node.role.value != "leader":
+            break
+        time.sleep(0.02)
+    assert node.role.value != "leader"
+    # the remaining two voters elect a new leader and keep committing
+    new_leader = cluster3.wait_for_leader(
+        among=set(cluster3.node_ids) - {leader})
+    cluster3.nodes[new_leader].propose(b"life-goes-on", timeout_s=5.0)
+
+
+def test_membership_changes_one_server_at_a_time(cluster3):
+    from grape_vector_db_tpu.errors import ConsensusError
+
+    leader = cluster3.wait_for_leader()
+    node = cluster3.nodes[leader]
+    others = [n for n in cluster3.node_ids if n != leader]
+    with pytest.raises(ConsensusError):
+        node.change_membership([leader])  # drops two voters at once
+
+
+def test_membership_forwarding_from_follower(cluster3):
+    leader = cluster3.wait_for_leader()
+    follower = next(n for n in cluster3.node_ids if n != leader)
+    cluster3.add_node("node-3")
+    voters = sorted(set(cluster3.nodes[leader].voters) | {"node-3"})
+    idx = cluster3.nodes[follower].membership_on_leader(voters)
+    assert idx >= 1
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if "node-3" in cluster3.nodes[leader].voters:
+            break
+        time.sleep(0.02)
+    assert "node-3" in cluster3.nodes[leader].voters

@@ -672,6 +672,11 @@ class ClusterNode:
             if op == "join":
                 info = NodeInfo(node_id=cmd["node_id"], address=cmd["address"])
                 self.members[cmd["node_id"]] = info
+                # runtime joins carry the new node's address — teach the
+                # transport (gRPC address book) so every applier can reach it
+                set_addr = getattr(self.transport, "set_address", None)
+                if set_addr is not None and cmd.get("address"):
+                    set_addr(cmd["node_id"], cmd["address"])
                 self.load_balancer.add_node(info)
                 if cmd["node_id"] != self.node_id:
                     self.detector.watch(cmd["node_id"])
@@ -738,6 +743,7 @@ class ClusterNode:
         with self._state_lock:
             owned_before = self._owned_shard_set()
             self.members = {}
+            set_addr = getattr(self.transport, "set_address", None)
             for m in st["members"]:
                 info = NodeInfo(node_id=m["node_id"], address=m["address"],
                                 state=NodeState(m["state"]))
@@ -745,6 +751,8 @@ class ClusterNode:
                 self.load_balancer.add_node(info)
                 if m["node_id"] != self.node_id:
                     self.detector.watch(m["node_id"])
+                if set_addr is not None and m.get("address"):
+                    set_addr(m["node_id"], m["address"])
             for sid, (primary, replicas) in st["placements"].items():
                 if primary:
                     self.shard_map.set_placement(int(sid), primary, replicas)
@@ -766,8 +774,41 @@ class ClusterNode:
     # -- membership API ------------------------------------------------------------
 
     def join_cluster(self) -> None:
-        """Propose own membership (cluster.rs:97-182)."""
-        self._propose({"op": "join", "node_id": self.node_id, "address": self.address})
+        """Propose own membership (cluster.rs:97-182). A seeded node is
+        already a raft voter, so the proposal forwards to the leader; a
+        runtime joiner is NOT a voter yet — the leader never contacts it, no
+        hint arrives, and the proposal cannot land. In that case ask a seed
+        peer to splice us in (raft voter sets + join) via cluster_join."""
+        try:
+            self._propose({"op": "join", "node_id": self.node_id,
+                           "address": self.address}, timeout_s=3.0)
+            return
+        except Exception as e:
+            last: Exception = e
+        for peer in [v for v in self.raft.voters if v != self.node_id]:
+            try:
+                self._call(peer, "cluster_join",
+                           {"node_id": self.node_id, "address": self.address},
+                           timeout_s=20.0)
+                return
+            except Exception as e:
+                last = e
+        raise last
+
+    def _rpc_cluster_join(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Peer-side runtime join: splice a NEW node into every raft group's
+        voter set, or just re-announce a seeded one."""
+        node_id = payload["node_id"]
+        address = payload.get("address") or None
+        set_addr = getattr(self.transport, "set_address", None)
+        if set_addr is not None and address:
+            set_addr(node_id, address)
+        if node_id not in self.raft.voters:
+            self.add_member(node_id, address=address)
+        else:
+            self._propose({"op": "join", "node_id": node_id,
+                           "address": address or node_id})
+        return {"ok": True}
 
     def leave_cluster(self) -> None:
         """Graceful leave with shard handoff via re-assignment (cluster.rs:184-276)."""

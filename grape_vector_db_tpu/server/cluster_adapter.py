@@ -48,9 +48,11 @@ class GrpcClusterAdapter:
 
     def handle_join(self, req: pb.JoinClusterRequest) -> pb.JoinClusterResponse:
         try:
-            # Joining is Raft-proposed; members reflect the replicated state.
-            self.node._propose({
-                "op": "join",
+            # Runtime membership: a NEW node is spliced into every raft
+            # group's voter set; a seeded node just re-announces (the
+            # reference's JoinCluster stub accepted everyone and changed
+            # nothing, grpc/server.rs:456).
+            self.node._rpc_cluster_join({
                 "node_id": req.node.node_id,
                 "address": req.node.address,
             })
@@ -65,7 +67,12 @@ class GrpcClusterAdapter:
 
     def handle_leave(self, req: pb.LeaveClusterRequest) -> pb.LeaveClusterResponse:
         try:
-            self.node._propose({"op": "leave", "node_id": req.node_id})
+            if req.node_id in self.node.raft.voters:
+                # full runtime removal: shrink every raft group's voter set
+                # and re-assign the node's shards to survivors
+                self.node.remove_member(req.node_id)
+            else:
+                self.node._propose({"op": "leave", "node_id": req.node_id})
             return pb.LeaveClusterResponse(ok=True)
         except Exception:
             return pb.LeaveClusterResponse(ok=False)

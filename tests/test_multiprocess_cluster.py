@@ -99,3 +99,107 @@ def test_three_process_cluster(tmp_path):
                 p.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 p.kill()
+
+
+def test_runtime_join_fourth_process(tmp_path):
+    """Runtime membership over the production transport: a FOURTH OS process
+    joins a live 3-process gRPC cluster — raft voter sets grow through the
+    JoinCluster path, the joiner backfills, and it serves reads."""
+    ports = {f"n{i}": _free_port() for i in range(3)}
+    peers3 = ",".join(f"{nid}=127.0.0.1:{p}" for nid, p in ports.items())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+
+    def launch(nid, peers):
+        return subprocess.Popen(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             "from grape_vector_db_tpu.cli import main;"
+             f"main(['serve','--host','127.0.0.1','--rest-port','0',"
+             f"'--node-id',{nid!r},'--peers',{peers!r},"
+             f"'--shard-count','4','--replica-count','2',"
+             f"'--data-dir',{str(tmp_path / nid)!r},"
+             "'--config','/dev/null'])"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    procs = [launch(nid, peers3) for nid in ports]
+    try:
+        for p in procs:
+            deadline = time.monotonic() + 90
+            while time.monotonic() < deadline:
+                if "serving:" in p.stdout.readline():
+                    break
+            else:
+                pytest.fail("node never served")
+
+        clients = {nid: VectorDbClient(f"127.0.0.1:{p}")
+                   for nid, p in ports.items()}
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            infos = [c.call("GetClusterInfo", pb.GetClusterInfoRequest(),
+                            timeout_s=5) for c in clients.values()]
+            if all(len(i.members) == 3 for i in infos) and any(
+                i.leader_id for i in infos
+            ):
+                break
+            time.sleep(0.3)
+
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((20, 768)).astype(float)
+        resp = clients["n0"].upsert_points([
+            pb.Point(id=f"rj{i}", vector=pb.Vector(values=vecs[i]))
+            for i in range(20)
+        ])
+        assert resp.upserted == 20, resp.error
+
+        # launch the runtime joiner: its peer list = seeds + itself
+        ports["n3"] = _free_port()
+        peers4 = ",".join(f"{nid}=127.0.0.1:{p}" for nid, p in ports.items())
+        p4 = launch("n3", peers4)
+        procs.append(p4)
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if "serving:" in p4.stdout.readline():
+                break
+        else:
+            pytest.fail("joiner never served")
+
+        clients["n3"] = VectorDbClient(f"127.0.0.1:{ports['n3']}")
+        # every process converges on 4 members
+        deadline = time.monotonic() + 60
+        ok = False
+        while time.monotonic() < deadline:
+            try:
+                infos = [c.call("GetClusterInfo", pb.GetClusterInfoRequest(),
+                                timeout_s=5) for c in clients.values()]
+                if all(len(i.members) == 4 for i in infos):
+                    ok = True
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        assert ok, "4-node membership never converged"
+
+        # the joiner serves scatter-gather reads of pre-join data
+        deadline = time.monotonic() + 20
+        while True:
+            sr = clients["n3"].search(list(vecs[7]), limit=3)
+            if not sr.error and sr.results and sr.results[0].id == "rj7":
+                break
+            if time.monotonic() > deadline:
+                pytest.fail(f"joiner search never converged: {sr.results[:3]}")
+            time.sleep(0.5)
+        assert sr.results[0].score > 0.99
+        for c in clients.values():
+            c.close()
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()

@@ -53,7 +53,11 @@ from grape_vector_db_tpu.distributed.types import (
     NodeState,
     SessionToken,
 )
-from grape_vector_db_tpu.errors import NotLeaderError, UnavailableError
+from grape_vector_db_tpu.errors import (
+    ConsensusError,
+    NotLeaderError,
+    UnavailableError,
+)
 from grape_vector_db_tpu.types import Document, DocumentRecord
 
 __all__ = ["ClusterNode"]
@@ -159,8 +163,16 @@ class ClusterNode:
         # that loses ownership KEEPS absorbing a complete shard's writes
         # until the new owners finish their resyncs (anti-entropy
         # relinquish), so at least one complete source always exists.
-        # Guarded by _version_lock.
+        # Guarded by _version_lock. PERSISTED (store KV): a restarted node
+        # re-establishes its flags and replays the raft log back to
+        # completeness — without persistence a full-cluster restart would
+        # leave zero complete holders and deadlock every resync. A
+        # compacted-log gap (InstallSnapshot) demotes the flag
+        # (_restore_versions): replay can no longer prove completeness.
         self._complete_shards: Set[int] = set()
+        raw = self.db.store.get_kv(f"gvdb_complete_{node_id}")
+        if raw:
+            self._complete_shards = set(msgpack.unpackb(raw, raw=False))
         # sid -> version counter to adopt once the shard's data landed
         # (0 = just pull; counters already advanced through the group log).
         self._resync_lock = threading.Lock()
@@ -423,8 +435,22 @@ class ClusterNode:
             int(k): v for k, v in st.get("versions", {}).items()
             if group < 0 or self._group_of_shard(int(k)) == group
         }
-        if versions:
-            self._schedule_resync(versions)
+        if not versions:
+            return
+        # A snapshot install means this node's replay has a compacted gap:
+        # whatever completeness it held (possibly restored from disk) is no
+        # longer provable for shards the snapshot advances past its local
+        # counters — demote them before the resync re-earns the flag.
+        with self._version_cv:
+            changed = False
+            for sid, v in versions.items():
+                if (v > self.shard_versions.get(sid, 0)
+                        and sid in self._complete_shards):
+                    self._complete_shards.discard(sid)
+                    changed = True
+            if changed:
+                self._persist_complete()
+        self._schedule_resync(versions)
 
     # -------------------------------------------------- shard data resync
 
@@ -494,41 +520,51 @@ class ClusterNode:
         with self._version_lock:
             complete = set(self._complete_shards)
         with self._state_lock:
-            not_owned = [
-                sid for sid in complete
-                if (info := self.shard_map.shards.get(sid)) is not None
-                and info.primary_node
-                and self.node_id not in info.all_nodes()
-            ]
-            owner_sets = {
-                sid: [n for n in [self.shard_map.shards[sid].primary_node,
-                                  *self.shard_map.shards[sid].replica_nodes]
-                      if n and n != self.node_id]
-                for sid in not_owned
-            }
-        for sid in not_owned:
-            owners = owner_sets[sid]
-            if not owners:
-                continue
+            owner_sets: Dict[int, List[str]] = {}
+            for sid in complete:
+                info = self.shard_map.shards.get(sid)
+                if (info is None or not info.primary_node
+                        or self.node_id in info.all_nodes()):
+                    continue
+                owner_sets[sid] = [
+                    n for n in [info.primary_node, *info.replica_nodes]
+                    if n and n != self.node_id
+                ]
+        if not owner_sets:
+            return
+        # One batched data_version call per owner node — serial per-shard
+        # probes would block the resync worker (2 s timeout each) and starve
+        # the actual resyncs this thread exists for.
+        by_node: Dict[str, List[int]] = {}
+        for sid, owners in owner_sets.items():
+            for n in owners:
+                by_node.setdefault(n, []).append(sid)
+        complete_on: Dict[str, Optional[Set[int]]] = {}
+        for n, sids in by_node.items():
             try:
-                done = all(
-                    sid in self._call(n, "data_version", {"shards": [sid]},
-                                      timeout_s=2.0).get("complete", [])
-                    for n in owners
-                )
+                resp = self._call(n, "data_version", {"shards": sids},
+                                  timeout_s=2.0)
+                complete_on[n] = set(resp.get("complete", []))
             except Exception:
+                complete_on[n] = None  # unreachable — keep absorbing
+        for sid, owners in owner_sets.items():
+            done = owners and all(
+                complete_on.get(n) is not None and sid in complete_on[n]
+                for n in owners
+            )
+            if not done:
                 continue
-            if done:
-                with self._version_lock:
-                    self._complete_shards.discard(sid)
-                # Drop the absorbed copy: every current owner provably holds
-                # the shard in full, and a lingering local copy would serve
-                # stale hits from this node's whole-corpus local search (and
-                # double-count capacity). Placement decides redundancy.
-                drop = [rid for rid in self.db.store.iter_ids()
-                        if self._shard_of_record(rid) == sid]
-                if drop:
-                    self.db.batch_delete_documents(drop)
+            with self._version_lock:
+                self._complete_shards.discard(sid)
+                self._persist_complete()
+            # Drop the absorbed copy: every current owner provably holds
+            # the shard in full, and a lingering local copy would serve
+            # stale hits from this node's whole-corpus local search (and
+            # double-count capacity). Placement decides redundancy.
+            drop = [rid for rid in self.db.store.iter_ids()
+                    if self._shard_of_record(rid) == sid]
+            if drop:
+                self.db.batch_delete_documents(drop)
 
     def _try_resync_shard(self, sid: int, target: int) -> bool:
         """One resync attempt; returns True when the shard is settled (data
@@ -551,10 +587,6 @@ class ClusterNode:
             # Not an owner: adopt the counter (harmless — this node is never
             # targeted for the shard) and stop tracking it.
             self._settle_shard(sid, target, complete=False)
-            return True
-        if not owners and not others:
-            # Sole node: nobody can be ahead of us — nothing to pull.
-            self._settle_shard(sid, target)
             return True
         # Source selection: highest-counter COMPLETE holder, current owners
         # preferred. Counters bump on every applier (pure function of the
@@ -586,6 +618,13 @@ class ClusterNode:
                 # complete.
                 self._settle_shard(sid, 0)
                 return True
+            if not owners and not any_unreachable:
+                # Sole owner, and no reachable node anywhere holds the shard
+                # complete: our local copy is the best that exists (e.g. a
+                # replica_count=1 restart) — settle rather than wait forever
+                # on non-owners that will never have the data.
+                self._settle_shard(sid, target)
+                return True
             return False  # no complete holder reachable — retry later
         try:
             resp = self._call(best_src, "data_pull", {"shard_id": sid},
@@ -608,14 +647,25 @@ class ClusterNode:
         self._settle_shard(sid, max(target, best_v))
         return True
 
+    def _persist_complete(self) -> None:
+        """Caller holds _version_lock."""
+        try:
+            self.db.store.put_kv(
+                f"gvdb_complete_{self.node_id}",
+                msgpack.packb(sorted(self._complete_shards)),
+            )
+        except Exception:  # store closing during shutdown
+            pass
+
     def _settle_shard(self, sid: int, version: int,
                       complete: bool = True) -> None:
         with self._version_cv:
             self.shard_versions[sid] = max(
                 self.shard_versions.get(sid, 0), version)
             self._unready_shards.discard(sid)
-            if complete:
+            if complete and sid not in self._complete_shards:
                 self._complete_shards.add(sid)
+                self._persist_complete()
             self._version_cv.notify_all()
 
     def _apply_command(self, entry: LogEntry) -> None:
@@ -803,11 +853,20 @@ class ClusterNode:
         set_addr = getattr(self.transport, "set_address", None)
         if set_addr is not None and address:
             set_addr(node_id, address)
-        if node_id not in self.raft.voters:
+        # Check EVERY group, not just the metadata raft: a retried join after
+        # a partial add_member (some groups spliced, some timed out) must
+        # finish the remaining groups, or the joiner silently misses those
+        # groups' writes forever. add_member skips groups that already have
+        # the voter, so the retry converges.
+        missing = any(
+            node_id not in r.voters
+            for r in [self.raft, *self.data_rafts.values()]
+        )
+        if missing:
             self.add_member(node_id, address=address)
         else:
             self._propose({"op": "join", "node_id": node_id,
-                           "address": address or node_id})
+                           "address": address or ""})
         return {"ok": True}
 
     def leave_cluster(self) -> None:
@@ -827,10 +886,10 @@ class ClusterNode:
         it needs to answer append_entries to catch up."""
         if address is None:
             info = self.members.get(node_id)
-            address = info.address if info else node_id
+            address = info.address if info else ""
         for raft in [self.raft, *self.data_rafts.values()]:
-            voters = sorted(set(raft.voters) | {node_id})
-            raft.membership_on_leader(voters, timeout_s=timeout_s)
+            self._change_group_membership(raft, add=node_id,
+                                          timeout_s=timeout_s)
         self._propose({"op": "join", "node_id": node_id, "address": address})
 
     def remove_member(self, node_id: str, timeout_s: float = 10.0) -> None:
@@ -838,9 +897,40 @@ class ClusterNode:
         voter set and replicate the leave (shards re-assign to survivors)."""
         self._propose({"op": "leave", "node_id": node_id})
         for raft in [self.raft, *self.data_rafts.values()]:
-            voters = sorted(set(raft.voters) - {node_id})
-            if voters:
-                raft.membership_on_leader(voters, timeout_s=timeout_s)
+            self._change_group_membership(raft, remove=node_id,
+                                          timeout_s=timeout_s)
+
+    @staticmethod
+    def _change_group_membership(raft: RaftNode, add: Optional[str] = None,
+                                 remove: Optional[str] = None,
+                                 timeout_s: float = 10.0) -> None:
+        """Idempotent single-node add/remove on one raft group. Recomputes
+        the target set from the group's CURRENT voters on every attempt and
+        retries conflicts (concurrent membership ops, in-flight configs) —
+        a one-shot set computed from a stale view could change two servers
+        at once or undo a concurrent change."""
+        deadline = time.monotonic() + timeout_s
+        while True:
+            voters = set(raft.voters)
+            if add is not None:
+                if add in voters:
+                    return  # already spliced (retry after partial failure)
+                desired = voters | {add}
+            else:
+                if remove not in voters:
+                    return
+                desired = voters - {remove}
+                if not desired:
+                    raise ConsensusError("cannot remove the last voter")
+            try:
+                raft.membership_on_leader(
+                    sorted(desired),
+                    timeout_s=max(deadline - time.monotonic(), 0.05))
+                return
+            except ConsensusError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.05)  # conflicting change in flight — recompute
 
     def healthy_node_ids(self) -> List[str]:
         with self._state_lock:
@@ -1151,6 +1241,10 @@ class ClusterNode:
         # node that just joined sees placements populate as the replicated
         # join/assign commands apply — serving an empty result in that window
         # reads as "no data" to the client, which is worse than a short wait.
+        # Wait ONLY while the map has no placements at all: placements whose
+        # owners are all unhealthy are a degraded cluster, and stalling every
+        # query 5 s exactly then would turn a fast degraded answer into a
+        # thundering pile-up of blocked server threads.
         deadline = time.monotonic() + 5.0
         while True:
             with self._state_lock:
@@ -1158,6 +1252,7 @@ class ClusterNode:
                 healthy = set(self.healthy_node_ids())
                 primaries = {sid: info.primary_node
                              for sid, info in self.shard_map.shards.items()}
+                any_placed = any(p for p in primaries.values())
                 for sid, info in self.shard_map.shards.items():
                     target = None
                     if info.primary_node in healthy:
@@ -1169,7 +1264,7 @@ class ClusterNode:
                                 break
                     if target is not None:
                         owners.setdefault(target, set()).add(sid)
-            if owners or time.monotonic() >= deadline:
+            if owners or any_placed or time.monotonic() >= deadline:
                 break
             time.sleep(0.02)
 

@@ -111,6 +111,9 @@ class RaftNode:
         self._config_history: List[Tuple[int, List[str]]] = [(0, list(self.voters))]
         self._snapshot_voters: List[str] = list(self.voters)
         self._retiring: set = set()  # removed nodes still owed the config entry
+        # set when a majority of probed peers reports this node removed from
+        # the configuration; cleared on any valid leader contact (re-add)
+        self._suppress_elections = False
         self.transport = transport
         self.apply_fn = apply_fn
         self.storage = storage
@@ -348,8 +351,11 @@ class RaftNode:
                     self._broadcast_append()
             elif election_due:
                 with self._lock:
-                    is_voter = self.node_id in self.voters
-                if is_voter:  # a removed node must not disrupt the cluster
+                    # a removed node must not disrupt the cluster — by its
+                    # own config, or by a majority of probed peers saying so
+                    is_voter = (self.node_id in self.voters
+                                and not self._suppress_elections)
+                if is_voter:
                     self._start_election()
 
     # -------------------------------------------------------------- elections
@@ -379,7 +385,7 @@ class RaftNode:
             return
 
         vote_lock = threading.Lock()
-        state = {"votes": 1, "done": False}
+        state = {"votes": 1, "removed": 0, "done": False}
 
         def ask(peer: str) -> None:
             try:
@@ -394,6 +400,20 @@ class RaftNode:
             with self._lock:
                 if resp["term"] > self.current_term:
                     self._step_down(resp["term"])
+                    return
+            if resp.get("removed"):
+                with vote_lock:
+                    state["removed"] += 1
+                    quiesce = state["removed"] >= needed
+                if quiesce:
+                    # A majority of the voters we would need says we are not
+                    # in the configuration — we can never win; stop
+                    # campaigning (the courtesy-append path covers the
+                    # common case, but it is leader-local state and dies
+                    # with a crashed leader). A later legitimate re-add
+                    # clears this via AppendEntries leader contact.
+                    with self._lock:
+                        self._suppress_elections = True
                     return
             if resp.get("vote_granted"):
                 with vote_lock:
@@ -699,7 +719,11 @@ class RaftNode:
                     time.monotonic() - self._last_leader_contact
                 ) >= quiet_s
                 granted = up_to_date and leader_quiet
-            return {"term": self.current_term, "vote_granted": granted}
+            return {"term": self.current_term, "vote_granted": granted,
+                    # membership hint: a node removed while partitioned (its
+                    # courtesy appends lost with the old leader) only learns
+                    # of its removal through the peers it keeps probing
+                    "removed": p["candidate_id"] not in self.voters}
 
     def handle_request_vote(self, p: Dict[str, Any]) -> Dict[str, Any]:
         with self._lock:
@@ -728,6 +752,7 @@ class RaftNode:
             self.leader_id = p["leader_id"]
             self._reset_election_timer()
             self._last_leader_contact = time.monotonic()
+            self._suppress_elections = False  # live leader: hint was stale
 
             prev_idx, prev_term = p["prev_log_index"], p["prev_log_term"]
             my_term = self._term_at(prev_idx)
@@ -825,11 +850,25 @@ class RaftNode:
         with self._lock:
             if self.role != RaftRole.LEADER:
                 raise NotLeaderError(self.leader_id)
-            if entry_type == "config" and self._config_index > self.commit_index:
-                raise ConsensusError(
-                    "a membership change is already in flight "
-                    f"(config at index {self._config_index} not yet committed)"
-                )
+            if entry_type == "config":
+                if self._config_index > self.commit_index:
+                    raise ConsensusError(
+                        "a membership change is already in flight "
+                        f"(config at index {self._config_index} not yet "
+                        "committed)"
+                    )
+                # Authoritative single-server check under the SAME lock as
+                # the append: change_membership's early check reads a voter
+                # snapshot that a concurrent config commit can invalidate,
+                # which would let a stale-based config change two servers at
+                # once (disjoint-majority risk) or silently undo the
+                # concurrent change.
+                new = set(msgpack.unpackb(data, raw=False)["voters"])
+                if len(set(self.voters) ^ new) > 1:
+                    raise ConsensusError(
+                        "membership may change by one server at a time: "
+                        f"{sorted(self.voters)} -> {sorted(new)}"
+                    )
             entry = LogEntry(
                 index=self._last_log_index() + 1,
                 term=self.current_term,
@@ -955,6 +994,13 @@ class RaftNode:
             except NotLeaderError as e:
                 last_exc = e
                 hint = e.leader_hint
+            except ConsensusError as e:
+                # in-flight config or a conflicting concurrent change — both
+                # resolve; retry locally (the forwarded path below already
+                # retries the same errors, keep the two paths symmetric)
+                last_exc = e
+                time.sleep(0.02)
+                continue
             if not hint or hint == self.node_id:
                 time.sleep(0.02)
                 continue

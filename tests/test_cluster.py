@@ -776,3 +776,86 @@ def test_runtime_node_addition_and_removal_full_stack():
         assert svc.any_node().upsert(more) == 3
     finally:
         svc.stop()
+
+
+def test_full_cluster_restart_resettles_completeness(tmp_path):
+    """Regression: shard data-completeness flags were in-memory only, so a
+    FULL cluster restart left zero complete holders anywhere and every
+    resync deadlocked (shards unready forever, all session reads stale).
+    Flags are now persisted and re-established on restart."""
+    from grape_vector_db_tpu.distributed.cluster import ClusterNode
+    from grape_vector_db_tpu.distributed.transport import (
+        InProcessTransport,
+        NetworkSimulator,
+    )
+
+    ids = [f"node-{i}" for i in range(3)]
+    ccfg = ClusterConfig(
+        shard_count=8, replica_count=2, consistency=ConsistencyLevel.STRONG,
+        heartbeat_interval_s=0.2, election_timeout_ms=(80, 160),
+        raft_heartbeat_ms=25.0,
+    )
+    dcfg = VectorDbConfig(vector_dimension=16)
+    dcfg.device.storage_dtype = "float32"
+    dcfg.index.initial_capacity = 256
+    dcfg.cache.enabled = False
+    rcfg = RaftConfig(election_timeout_ms=(80, 160), heartbeat_ms=25.0,
+                      tick_ms=5.0)
+
+    def boot(transport):
+        nodes = {
+            nid: ClusterNode(
+                node_id=nid, address=f"inproc://{nid}", seed_nodes=ids,
+                transport=transport, cluster_config=ccfg, db_config=dcfg,
+                raft_config=rcfg, data_path=str(tmp_path / nid),
+            )
+            for nid in ids
+        }
+        for n in nodes.values():
+            n.start()
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            if any(n.raft.leader_id for n in nodes.values()):
+                break
+            time.sleep(0.05)
+        for n in nodes.values():
+            n.join_cluster()
+        return nodes
+
+    transport = InProcessTransport(NetworkSimulator())
+    nodes = boot(transport)
+    try:
+        docs = make_docs(30)
+        assert nodes["node-0"].upsert(docs) == 30
+        # wait until completeness settles everywhere (flags hit disk)
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            if all(
+                not n._unready_shards and n._owned_shard_set() <= n._complete_shards
+                for n in nodes.values()
+            ):
+                break
+            time.sleep(0.05)
+    finally:
+        for n in nodes.values():
+            n.stop()
+
+    # FULL restart from the persisted stores
+    transport2 = InProcessTransport(NetworkSimulator())
+    nodes = boot(transport2)
+    try:
+        deadline = time.monotonic() + 15.0
+        while time.monotonic() < deadline:
+            with_unready = [nid for nid, n in nodes.items()
+                            if n._unready_shards]
+            if not with_unready:
+                break
+            time.sleep(0.05)
+        assert not with_unready, (
+            f"resync deadlocked after full restart: {with_unready}"
+        )
+        hits = nodes["node-1"].search(docs[7].vector, k=3)
+        assert hits and hits[0][0] == "doc-7", hits
+    finally:
+        for n in nodes.values():
+            n.stop()

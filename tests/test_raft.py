@@ -334,9 +334,15 @@ def test_remove_voter_shrinks_majority_and_quiesces(cluster3):
         time.sleep(0.02)
     assert removed not in cluster3.nodes[removed].voters
 
-    # 2 voters: both required for commit — still works
-    idx = node.propose(b"after-removal", timeout_s=5.0)
-    cluster3.wait_applied_index = idx
+    # 2 voters: both required for commit — still works, and BOTH survivors
+    # apply it
+    node.propose(b"after-removal", timeout_s=5.0)
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if all(b"after-removal" in cluster3.applied[nid] for nid in survivors):
+            break
+        time.sleep(0.02)
+    assert all(b"after-removal" in cluster3.applied[nid] for nid in survivors)
     # the removed node must not disrupt: terms stay put while the leader lives
     term_before = node.current_term
     time.sleep(1.0)
@@ -383,3 +389,43 @@ def test_membership_forwarding_from_follower(cluster3):
             break
         time.sleep(0.02)
     assert "node-3" in cluster3.nodes[leader].voters
+
+
+def test_removed_node_quiesces_after_leader_crash():
+    """Regression: courtesy appends informing a removed node live only on
+    the removing leader. If that leader dies before the removed node hears,
+    the node campaigns forever on its stale config — a majority of probed
+    peers now answers 'you are removed' and the node suppresses elections."""
+    c = RaftTestCluster(5, config=FAST)
+    c.start()
+    try:
+        leader = c.wait_for_leader()
+        node = c.nodes[leader]
+        removed = next(n for n in c.node_ids if n != leader)
+        # cut the victim off BEFORE the removal commits, so it never
+        # receives the config entry removing it
+        c.sim.fail_node(removed)
+        node.remove_voter(removed, timeout_s=5.0)
+        # the removing leader crashes — its courtesy-append bookkeeping dies
+        # with it (4 voters remain, 3 alive: quorum holds)
+        c.kill_node(leader)
+        survivors = set(c.node_ids) - {leader, removed}
+        new_leader = c.wait_for_leader(among=survivors, timeout_s=10.0)
+        # heal the victim: it still believes it is a voter of the old config
+        c.sim.recover_node(removed)
+        victim = c.nodes[removed]
+        assert removed in victim.voters  # stale self-view
+        deadline = time.monotonic() + 8.0
+        while time.monotonic() < deadline:
+            if victim._suppress_elections:
+                break
+            time.sleep(0.02)
+        assert victim._suppress_elections, \
+            "removed node never learned of its removal via prevote probes"
+        # and the live cluster's term stays stable under its probes
+        term = c.nodes[new_leader].current_term
+        time.sleep(1.0)
+        assert c.nodes[new_leader].current_term == term
+        assert c.nodes[new_leader].role.value == "leader"
+    finally:
+        c.stop()

@@ -368,12 +368,20 @@ def main() -> None:
     qc = (iv[:, :take, :].reshape(-1, DIM)[:BATCH].astype(jnp.float32)
           + 0.05 * random.normal(kq2, (BATCH, DIM), jnp.float32))
 
-    def step_np(q, cents, iv, recip):
+    # ragged block fetch: only occupied RB-row blocks DMA (cap is sized to
+    # the LARGEST list; average fill is ~40% of it, and the probe is
+    # bandwidth-bound)
+    from grape_vector_db_tpu.ops.ivf_pallas import RB
+
+    nblk = jnp.ceil(counts.astype(jnp.float32) / RB).astype(jnp.int32)
+
+    def step_np(q, cents, iv, recip, nblk):
         return pallas_ivf_topk(q, cents, iv, recip, k=K, nprobe=1,
-                               metric="cosine", interpret=interp)
+                               metric="cosine", nblocks=nblk,
+                               interpret=interp)
 
     its_np = 32 if SCALE == 1 else 1
-    ms = timed_fori(step_np, qc, cents, iv, recip, its=its_np)
+    ms = timed_fori(step_np, qc, cents, iv, recip, nblk, its=its_np)
 
     # recall vs the exact oracle over the same (padded) universe
     nn_tot = nlist * cap1
@@ -386,7 +394,7 @@ def main() -> None:
                            chunk=ch, mode="exact")
 
     _, oi = oracle_1m(qc, iv, inr, ival)
-    _, si = jax.jit(step_np)(qc, cents, iv, recip)
+    _, si = jax.jit(step_np)(qc, cents, iv, recip, nblk)
     oi, si = np.asarray(oi), np.asarray(si)
     rec_np = np.mean([
         len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(si, oi)
@@ -424,12 +432,13 @@ def main() -> None:
     factor1m = make_factor(jnp.concatenate(ps), inr, ival)
     del pc, ps
 
-    def step_np8(q, cents, codes, factor):
+    def step_np8(q, cents, codes, factor, nblk):
         return pallas_ivf_topk_int8(q, cents, codes, factor, k=K, nprobe=1,
-                                    metric="cosine", interpret=interp)
+                                    metric="cosine", nblocks=nblk,
+                                    interpret=interp)
 
-    ms8 = timed_fori(step_np8, qc, cents, codes1m, factor1m, its=its_np)
-    _, s8 = jax.jit(step_np8)(qc, cents, codes1m, factor1m)
+    ms8 = timed_fori(step_np8, qc, cents, codes1m, factor1m, nblk, its=its_np)
+    _, s8 = jax.jit(step_np8)(qc, cents, codes1m, factor1m, nblk)
     rec_8 = np.mean([
         len(set(a.tolist()) & set(b.tolist())) / K
         for a, b in zip(np.asarray(s8), oi)

@@ -285,6 +285,64 @@ def main() -> None:
                 int8_rescore_recall=round(
                     recall_at_k(np.asarray(s8r), oracle_i), 4))
 
+    # ---------------------------------------------------------------- ragged
+    if "ragged" in STAGES:
+        # Ragged block-DMA fetch A/B: lists average well under the padded
+        # capacity (max-list sizing), so skipping blocks past each list's
+        # high-water mark cuts DMA bytes by cap/avg_fill. The probe is
+        # bandwidth-bound — QPS should scale with bytes saved.
+        from grape_vector_db_tpu.ops.ivf_pallas import RB
+
+        n, nlist = 1_048_576 // SCALE, 4096 // SCALE
+        cents, iv, inr, ival, codes, scales = build_clustered_layout(
+            n, nlist, n_centers=16_384 // SCALE, seed=2, which="both")
+        cap = codes.shape[1]
+        recip = make_recip(inr, ival)
+        factor = make_factor(scales, inr, ival)
+        q0 = corpus_queries(None, nlist, iv)
+        counts = np.asarray(jnp.sum(ival, axis=1))   # packed from pos 0
+        nblocks = jnp.asarray(np.ceil(counts / RB).astype(np.int32))
+        log("ragged_layout", cap=cap, avg_fill=round(float(counts.mean()), 1),
+            avg_blocks=round(float(np.ceil(counts / RB).mean()), 2),
+            full_blocks=cap // RB)
+
+        nn = nlist * cap
+        chunk = nn // 8 if nn % 8 == 0 and (nn // 8) % 32 == 0 else nn
+
+        @jax.jit
+        def f_oracle(q, iv, inr, ival):
+            return scored_topk(q, iv.reshape(nn, DIM), inr.reshape(nn),
+                               ival.reshape(nn), k=K, metric="cosine",
+                               chunk=chunk, mode="exact")
+
+        _, oi = f_oracle(q0, iv, inr, ival)
+        oracle_i = np.asarray(oi)
+
+        for nprobe in (1, 4):
+            for tag, nb in (("full", None), ("ragged", nblocks)):
+                def step_b(q, cents, iv, recip, nprobe=nprobe, nb=nb):
+                    return pallas_ivf_topk(q, cents, iv, recip, k=K,
+                                           nprobe=nprobe, metric="cosine",
+                                           nblocks=nb, interpret=interpret)
+
+                def step_8(q, cents, codes, factor, nprobe=nprobe, nb=nb):
+                    return pallas_ivf_topk_int8(q, cents, codes, factor, k=K,
+                                                nprobe=nprobe, metric="cosine",
+                                                nblocks=nb,
+                                                interpret=interpret)
+
+                ms_b = timed_fori(step_b, q0, cents, iv, recip)
+                ms_8 = timed_fori(step_8, q0, cents, codes, factor)
+                _, sb = jax.jit(step_b)(q0, cents, iv, recip)
+                _, s8 = jax.jit(step_8)(q0, cents, codes, factor)
+                log("ragged_ab_1M", nprobe=nprobe, fetch=tag,
+                    bf16_ms=round(ms_b, 3),
+                    bf16_qps=round(B / ms_b * 1e3, 0),
+                    bf16_recall=round(recall_at_k(np.asarray(sb), oracle_i), 4),
+                    int8_ms=round(ms_8, 3),
+                    int8_qps=round(B / ms_8 * 1e3, 0),
+                    int8_recall=round(recall_at_k(np.asarray(s8), oracle_i), 4))
+
     # --------------------------------------------------------------- resweep
     if "resweep" in STAGES:
         n, nlist = 1_048_576 // SCALE, 4096 // SCALE

@@ -24,7 +24,7 @@ import numpy as np
 from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
 from grape_vector_db_tpu.ops.distance import scored_topk
-from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+from grape_vector_db_tpu.utils.buckets import PAD_SLOT, next_bucket, pad_rows
 
 __all__ = ["FlatDeviceIndex"]
 
@@ -167,7 +167,7 @@ class FlatDeviceIndex(VectorIndex):
             slots = self._assign_slots(ids)
             norms = np.linalg.norm(vectors, axis=1).astype(np.float32)
             m = next_bucket(len(ids), base=64)
-            slots_p = pad_rows(slots, m, fill=-1)
+            slots_p = pad_rows(slots, m, fill=PAD_SLOT)
             vecs_p = pad_rows(vectors, m)
             norms_p = pad_rows(norms, m)
             self._write(jnp.asarray(slots_p), jnp.asarray(vecs_p), jnp.asarray(norms_p))
@@ -187,7 +187,7 @@ class FlatDeviceIndex(VectorIndex):
                 self._slot_to_id[s] = None
                 self._free.append(s)
             m = next_bucket(len(slots), base=64)
-            slots_p = pad_rows(np.asarray(slots, dtype=np.int32), m, fill=-1)
+            slots_p = pad_rows(np.asarray(slots, dtype=np.int32), m, fill=PAD_SLOT)
             self.valid = _scatter_invalidate(self.valid, jnp.asarray(slots_p))
             return len(slots)
 

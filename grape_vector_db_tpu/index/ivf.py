@@ -34,7 +34,7 @@ from grape_vector_db_tpu.index.flat import FlatDeviceIndex
 from grape_vector_db_tpu.ops.distance import prepare_queries
 from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
 from grape_vector_db_tpu.ops.topk import merge_topk
-from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+from grape_vector_db_tpu.utils.buckets import PAD_SLOT, next_bucket, pad_rows
 
 __all__ = ["IvfDeviceIndex"]
 
@@ -295,8 +295,8 @@ class IvfDeviceIndex(VectorIndex):
         if keep.any():
             kv = vectors[keep]
             m = next_bucket(int(keep.sum()), base=64)
-            lists_p = jnp.asarray(pad_rows(list_ids[keep], m, fill=-1))
-            pos_p = jnp.asarray(pad_rows(positions[keep], m, fill=-1))
+            lists_p = jnp.asarray(pad_rows(list_ids[keep], m, fill=PAD_SLOT))
+            pos_p = jnp.asarray(pad_rows(positions[keep], m, fill=PAD_SLOT))
             vecs_p = jnp.asarray(pad_rows(kv, m))
             norms_p = jnp.asarray(
                 pad_rows(np.linalg.norm(kv, axis=1).astype(np.float32), m))
@@ -336,8 +336,8 @@ class IvfDeviceIndex(VectorIndex):
             if cells:
                 arr = np.asarray(cells, dtype=np.int32)
                 m = next_bucket(len(cells), base=64)
-                lists_p = jnp.asarray(pad_rows(arr[:, 0], m, fill=-1))
-                pos_p = jnp.asarray(pad_rows(arr[:, 1], m, fill=-1))
+                lists_p = jnp.asarray(pad_rows(arr[:, 0], m, fill=PAD_SLOT))
+                pos_p = jnp.asarray(pad_rows(arr[:, 1], m, fill=PAD_SLOT))
                 self._invalidate_cells(lists_p, pos_p)
             return n
 
@@ -369,6 +369,15 @@ class IvfDeviceIndex(VectorIndex):
                     main[cell[0], cell[1]] = True
             return main, self._overflow.compile_mask(allowed_ids)
 
+    def _pallas_nblocks(self) -> np.ndarray:
+        """Per-list occupied RB-row DMA blocks (ragged fetch: the probe skips
+        blocks past each list's high-water mark — padding costs no
+        bandwidth). Free-list holes below the mark stay fetched and are
+        masked, as before."""
+        from grape_vector_db_tpu.ops.ivf_pallas import RB
+
+        return np.ceil(self._next_pos / RB).astype(np.int32)
+
     def _main_topk(self, qp: np.ndarray, k: int, mask):
         """Top-k over the bucketed main region (subclass seam; lock held)."""
         if self._use_pallas:
@@ -384,6 +393,7 @@ class IvfDeviceIndex(VectorIndex):
                 k=k, nprobe=self.nprobe, metric=self.metric,
                 interpret=self._pallas_interpret,
                 cell_mask=None if mask is None else jnp.asarray(mask[0]),
+                nblocks=jnp.asarray(self._pallas_nblocks()),
             )
         # Filter mask ANDs into cell validity so probed lists score
         # only allowed rows (masked top-k in-kernel). Caveat inherent

@@ -100,23 +100,49 @@ def finalize_probe_topk(
     return vals, slots
 
 
-def _probe_kernel(probe_smem, q_vmem, vecs_hbm, recip_hbm, out_vmem,
-                  scratch_v, scratch_r, sem_v, sem_r):
+# DMA block granularity (rows). Lists are fetched in RB-row blocks and only
+# blocks below the list's high-water mark move — padding beyond it costs no
+# bandwidth. >= 8 sublanes (Mosaic tiling) and divides every legal list
+# capacity (multiples of 128).
+RB = 64
+
+
+def _probe_kernel(probe_smem, nblk_smem, q_vmem, vecs_hbm, recip_hbm,
+                  out_vmem, scratch_v, scratch_r, sem_v, sem_r):
     ncells = out_vmem.shape[0]          # B * P
 
-    def get_dma(slot, cell):
-        lst = probe_smem[cell]
-        return (
-            pltpu.make_async_copy(vecs_hbm.at[lst], scratch_v.at[slot],
-                                  sem_v.at[slot]),
-            pltpu.make_async_copy(recip_hbm.at[lst], scratch_r.at[slot],
-                                  sem_r.at[slot]),
+    def block_dma(slot, lst, i):
+        return pltpu.make_async_copy(
+            vecs_hbm.at[lst, pl.ds(i * RB, RB)],
+            scratch_v.at[slot, pl.ds(i * RB, RB)],
+            sem_v.at[slot, i],
         )
 
-    dv, dr = get_dma(0, 0)
-    dv.start()
-    dr.start()
+    def recip_dma(slot, lst):
+        return pltpu.make_async_copy(recip_hbm.at[lst], scratch_r.at[slot],
+                                     sem_r.at[slot])
 
+    def start_cell(slot, cell):
+        lst = probe_smem[cell]
+        recip_dma(slot, lst).start()
+
+        def blk(i, _):
+            block_dma(slot, lst, i).start()
+            return _
+
+        lax.fori_loop(0, nblk_smem[lst], blk, None)
+
+    def wait_cell(slot, cell):
+        lst = probe_smem[cell]
+        recip_dma(slot, lst).wait()
+
+        def blk(i, _):
+            block_dma(slot, lst, i).wait()
+            return _
+
+        lax.fori_loop(0, nblk_smem[lst], blk, None)
+
+    start_cell(0, 0)
     n_q = q_vmem.shape[0]
 
     def body(cell, _):
@@ -125,24 +151,25 @@ def _probe_kernel(probe_smem, q_vmem, vecs_hbm, recip_hbm, out_vmem,
 
         @pl.when(cell + 1 < ncells)
         def _():
-            nv, nr = get_dma(nxt, cell + 1)
-            nv.start()
-            nr.start()
+            start_cell(nxt, cell + 1)
 
-        cv, cr = get_dma(slot, cell)
-        cv.wait()
-        cr.wait()
+        wait_cell(slot, cell)
 
         b = cell // (ncells // n_q)     # query index (cells ordered b-major)
         qrow = q_vmem[pl.ds(b, 1), :]                       # [1, D] f32
         lst_v = scratch_v[slot]                              # [C, D] bf16
+        # Rows beyond the fetched blocks hold a previous list's (finite)
+        # data — their recip entries are 0, so they score -1e9 regardless.
         dots = jax.lax.dot_general(
             qrow.astype(lst_v.dtype), lst_v,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                    # [1, C]
         recip = scratch_r[slot][0:1, :]                      # [1, C] f32
-        scores = dots * recip + jnp.where(recip == 0.0, -1e9, 0.0)
+        # select-style mask: rows beyond the fetched blocks may be
+        # UNINITIALIZED VMEM (first cells) — a multiplicative mask would
+        # leak nan*0 = nan through the additive bias
+        scores = jnp.where(recip == 0.0, -1e9, dots * recip)
         out_vmem[pl.ds(cell, 1), :] = scores
         return _
 
@@ -155,11 +182,16 @@ def ivf_probe_scores(
     probe: jax.Array,   # [B, P] int32 list ids
     vecs: jax.Array,    # [L, C, D] bf16 (C % 64 == 0, D % 128 == 0)
     recip: jax.Array,   # [L, 8, C] f32 weight plane from make_recip (0 = invalid)
+    nblocks: jax.Array | None = None,  # [L] int32 ceil(high_water / RB);
+                                       # None = fetch full capacity
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9).
 
     Requires C %% 128 == 0 (Mosaic DMA lane alignment for the recip plane).
+    With ``nblocks`` (per-list occupied RB-row blocks) only occupied blocks
+    are fetched — on half-full lists that halves the DMA bytes, and the
+    probe is bandwidth-bound, so QPS scales ~linearly with bytes saved.
     """
     b, d = q.shape
     p = probe.shape[1]
@@ -172,12 +204,14 @@ def ivf_probe_scores(
                          "Pallas probe (Mosaic DMA lane alignment); use the "
                          "XLA probe for unaligned dims")
     ncells = b * p
+    if nblocks is None:
+        nblocks = jnp.full((l,), c // RB, dtype=jnp.int32)
 
     out = pl.pallas_call(
         _probe_kernel,
         out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # q
@@ -188,12 +222,12 @@ def ivf_probe_scores(
             scratch_shapes=[
                 pltpu.VMEM((2, c, d), vecs.dtype),
                 pltpu.VMEM((2, 8, c), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, c // RB)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=interpret,
-    )(probe.reshape(ncells), q, vecs, recip)
+    )(probe.reshape(ncells), nblocks.astype(jnp.int32), q, vecs, recip)
     return out.reshape(b, p, c)
 
 
@@ -209,6 +243,7 @@ def pallas_ivf_topk(
     metric: str = "cosine",
     interpret: bool = False,
     cell_mask: jax.Array | None = None,  # [L, C] bool filter (True = allowed)
+    nblocks: jax.Array | None = None,    # [L] int32 occupied RB-row blocks
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in for ops/ivf._ivf_topk's (vals, slots) contract (cosine/dot),
     with the stage-2 gather+score replaced by the DMA kernel.
@@ -228,32 +263,53 @@ def pallas_ivf_topk(
     _, probe = lax.top_k(cq, min(nprobe, l))                    # [B, P]
 
     scores = ivf_probe_scores(qp, probe.astype(jnp.int32), vecs, recip,
+                              nblocks=nblocks,
                               interpret=interpret)              # [B, P, C]
     return finalize_probe_topk(qp, probe, scores, k, metric,
                                cell_mask=cell_mask)
 
 
-def _probe_kernel_int8(probe_smem, q_vmem, codes_hbm, factor_hbm, out_vmem,
-                       scratch_c, scratch_f, sem_c, sem_f):
+def _probe_kernel_int8(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
+                       out_vmem, scratch_c, scratch_f, sem_c, sem_f):
     """Int8 variant of ``_probe_kernel``: DMAs int8 code blocks (half the
     bytes/list of bf16), upcasts in VMEM, and scores with an asymmetric
     bf16-query x dequantized-int8-corpus MXU dot. ``factor`` folds the
-    per-row dequant scale and the cosine norm division (0 = invalid)."""
+    per-row dequant scale and the cosine norm division (0 = invalid).
+    Ragged fetch as in the bf16 kernel: only occupied RB-row blocks move."""
     ncells = out_vmem.shape[0]          # B * P
 
-    def get_dma(slot, cell):
-        lst = probe_smem[cell]
-        return (
-            pltpu.make_async_copy(codes_hbm.at[lst], scratch_c.at[slot],
-                                  sem_c.at[slot]),
-            pltpu.make_async_copy(factor_hbm.at[lst], scratch_f.at[slot],
-                                  sem_f.at[slot]),
+    def block_dma(slot, lst, i):
+        return pltpu.make_async_copy(
+            codes_hbm.at[lst, pl.ds(i * RB, RB)],
+            scratch_c.at[slot, pl.ds(i * RB, RB)],
+            sem_c.at[slot, i],
         )
 
-    dc, df = get_dma(0, 0)
-    dc.start()
-    df.start()
+    def factor_dma(slot, lst):
+        return pltpu.make_async_copy(factor_hbm.at[lst], scratch_f.at[slot],
+                                     sem_f.at[slot])
 
+    def start_cell(slot, cell):
+        lst = probe_smem[cell]
+        factor_dma(slot, lst).start()
+
+        def blk(i, _):
+            block_dma(slot, lst, i).start()
+            return _
+
+        lax.fori_loop(0, nblk_smem[lst], blk, None)
+
+    def wait_cell(slot, cell):
+        lst = probe_smem[cell]
+        factor_dma(slot, lst).wait()
+
+        def blk(i, _):
+            block_dma(slot, lst, i).wait()
+            return _
+
+        lax.fori_loop(0, nblk_smem[lst], blk, None)
+
+    start_cell(0, 0)
     n_q = q_vmem.shape[0]
 
     def body(cell, _):
@@ -262,13 +318,9 @@ def _probe_kernel_int8(probe_smem, q_vmem, codes_hbm, factor_hbm, out_vmem,
 
         @pl.when(cell + 1 < ncells)
         def _():
-            nc, nf = get_dma(nxt, cell + 1)
-            nc.start()
-            nf.start()
+            start_cell(nxt, cell + 1)
 
-        cc, cf = get_dma(slot, cell)
-        cc.wait()
-        cf.wait()
+        wait_cell(slot, cell)
 
         b = cell // (ncells // n_q)     # query index (cells ordered b-major)
         qrow = q_vmem[pl.ds(b, 1), :]                        # [1, D] f32
@@ -279,7 +331,8 @@ def _probe_kernel_int8(probe_smem, q_vmem, codes_hbm, factor_hbm, out_vmem,
             preferred_element_type=jnp.float32,
         )                                                    # [1, C]
         factor = scratch_f[slot][0:1, :]                     # [1, C] f32
-        scores = dots * factor + jnp.where(factor == 0.0, -1e9, 0.0)
+        # select-style mask: see _probe_kernel (nan-safe vs uninit VMEM)
+        scores = jnp.where(factor == 0.0, -1e9, dots * factor)
         out_vmem[pl.ds(cell, 1), :] = scores
         return _
 
@@ -292,6 +345,7 @@ def ivf_probe_scores_int8(
     probe: jax.Array,   # [B, P] int32 list ids
     codes: jax.Array,   # [L, C, D] int8 (C % 128 == 0, D % 128 == 0)
     factor: jax.Array,  # [L, 8, C] f32: masked scale/norm (0 = invalid)
+    nblocks: jax.Array | None = None,  # [L] int32 occupied RB-row blocks
     interpret: bool = False,
 ) -> jax.Array:
     """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9)."""
@@ -306,12 +360,14 @@ def ivf_probe_scores_int8(
                          "Pallas probe (Mosaic DMA lane alignment); use the "
                          "XLA probe for unaligned dims")
     ncells = b * p
+    if nblocks is None:
+        nblocks = jnp.full((l,), c // RB, dtype=jnp.int32)
 
     out = pl.pallas_call(
         _probe_kernel_int8,
         out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # q
@@ -322,12 +378,12 @@ def ivf_probe_scores_int8(
             scratch_shapes=[
                 pltpu.VMEM((2, c, d), codes.dtype),
                 pltpu.VMEM((2, 8, c), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, c // RB)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=interpret,
-    )(probe.reshape(ncells), q, codes, factor)
+    )(probe.reshape(ncells), nblocks.astype(jnp.int32), q, codes, factor)
     return out.reshape(b, p, c)
 
 
@@ -346,6 +402,7 @@ def pallas_ivf_topk_int8(
     recip: jax.Array | None = None,  # [L, 8, C] f32 (rescore > 0)
     interpret: bool = False,
     cell_mask: jax.Array | None = None,  # [L, C] bool filter
+    nblocks: jax.Array | None = None,    # [L] int32 occupied RB-row blocks
 ) -> Tuple[jax.Array, jax.Array]:
     """(vals, slots) over an int8-resident IVF layout via the DMA probe.
 
@@ -364,6 +421,7 @@ def pallas_ivf_topk_int8(
     _, probe = lax.top_k(cq, min(nprobe, l))                    # [B, P]
 
     scores = ivf_probe_scores_int8(qp, probe.astype(jnp.int32), codes, factor,
+                                   nblocks=nblocks,
                                    interpret=interpret)         # [B, P, C]
     return finalize_probe_topk(
         qp, probe, scores, k, metric, cell_mask=cell_mask,

@@ -33,7 +33,7 @@ from grape_vector_db_tpu.index.ivf_int8 import (Int8IvfDeviceIndex,
     _factor_invalidate, _int8_cell_scatter, _nv_scatter)
 from grape_vector_db_tpu.ops.distance import score_block, prepare_queries
 from grape_vector_db_tpu.ops.topk import take_topk
-from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+from grape_vector_db_tpu.utils.buckets import PAD_SLOT, next_bucket, pad_rows
 
 __all__ = ["make_mesh", "sharded_scored_topk", "sharded_ivf_topk",
            "sharded_ivf_int8_topk", "ShardedInt8IvfIndex",
@@ -308,7 +308,7 @@ class ShardedFlatIndex(VectorIndex):
         m = next_bucket(len(ids), base=64)
         self.vectors, self.norms, self.valid = _sharded_scatter_set(
             self.vectors, self.norms, self.valid,
-            jax.device_put(jnp.asarray(pad_rows(slots, m, fill=-1)), self._repl),
+            jax.device_put(jnp.asarray(pad_rows(slots, m, fill=PAD_SLOT)), self._repl),
             jax.device_put(jnp.asarray(pad_rows(vectors, m)), self._repl),
             jax.device_put(jnp.asarray(pad_rows(norms, m)), self._repl),
         )
@@ -327,7 +327,7 @@ class ShardedFlatIndex(VectorIndex):
         self.valid = _sharded_invalidate(
             self.valid,
             jax.device_put(
-                jnp.asarray(pad_rows(np.asarray(slots, np.int32), m, fill=-1)), self._repl
+                jnp.asarray(pad_rows(np.asarray(slots, np.int32), m, fill=PAD_SLOT)), self._repl
             ),
         )
         return len(slots)

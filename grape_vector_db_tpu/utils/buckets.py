@@ -25,6 +25,13 @@ def next_bucket(n: int, base: int = 8, factor: int = 2) -> int:
     return b
 
 
+# Sentinel slot index for padded scatter rows. MUST be out-of-range-high:
+# JAX scatter wraps NEGATIVE indices (numpy semantics) BEFORE mode="drop"'s
+# bounds check, so a -1 fill silently writes the array's LAST row (phantom
+# valid zero-vectors that eat result slots).
+PAD_SLOT = 1 << 30
+
+
 def pad_rows(x: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
     """Pad a [n, ...] array with fill rows up to ``rows``."""
     n = x.shape[0]

@@ -198,3 +198,27 @@ def test_int8_index_rejects_euclidean():
 
     with pytest.raises(ValueError):
         Int8DeviceIndex(16, metric="euclidean", storage_dtype="float32")
+
+
+def test_padded_scatter_writes_no_phantom_slots(rng):
+    """Regression: scatter padding used fill=-1, and JAX scatter wraps
+    negative indices BEFORE mode='drop' checks bounds — every padded batch
+    wrote a phantom valid zero-vector into the LAST slot (flat) / last cell
+    of the last list (IVF recip plane), silently eating one result slot."""
+    import jax.numpy as jnp
+
+    from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+    from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+
+    idx = FlatDeviceIndex(16, storage_dtype="float32", initial_capacity=128)
+    idx.add_batch(["a", "b", "c"], rng.standard_normal((3, 16)).astype(np.float32))
+    valid = np.asarray(idx.valid)
+    assert valid.sum() == 3 and not valid[-1]
+
+    ivf = IvfDeviceIndex(16, storage_dtype="float32", nlist=4, nprobe=4,
+                         use_pallas="force")
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    ivf.add_batch([f"r{i}" for i in range(40)], vecs)
+    # 40 docs pad to 64: the phantom would land at (last list, last cell)
+    assert np.asarray(ivf.valid).sum() == 40
+    assert float(np.asarray(ivf.recip)[-1, 0, -1]) == 0.0

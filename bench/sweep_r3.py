@@ -397,14 +397,18 @@ def main() -> None:
 
         _, oi = f_oracle4(q0, iv, inr, ival)
         oracle_i = np.asarray(oi)
+        from grape_vector_db_tpu.ops.ivf_pallas import RB as _RB
+
+        counts4 = jnp.sum(ival, axis=1)
+        nblk4 = jnp.ceil(counts4.astype(jnp.float32) / _RB).astype(jnp.int32)
         for nprobe in (1, 4, 8):
-            def step_p(q, cents, iv, recip, nprobe=nprobe):
+            def step_p(q, cents, iv, recip, nblk, nprobe=nprobe):
                 return pallas_ivf_topk(q, cents, iv, recip, k=K,
                                        nprobe=nprobe, metric="cosine",
-                                       interpret=interpret)
-            ms = timed_fori(step_p, q0, cents, iv, recip)
-            _, sp = jax.jit(step_p)(q0, cents, iv, recip)
-            log("pallas_4M_bf16", n=n, nlist=nlist, list_cap=cap,
+                                       nblocks=nblk, interpret=interpret)
+            ms = timed_fori(step_p, q0, cents, iv, recip, nblk4)
+            _, sp = jax.jit(step_p)(q0, cents, iv, recip, nblk4)
+            log("pallas_4M_bf16_ragged", n=n, nlist=nlist, list_cap=cap,
                 nprobe=nprobe, ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
                 recall=round(recall_at_k(np.asarray(sp), oracle_i), 4))
 
@@ -456,14 +460,18 @@ def main() -> None:
         _, oi = f_oracle8(q0, codes, factor)
         oracle_i = np.asarray(oi)
 
+        from grape_vector_db_tpu.ops.ivf_pallas import RB as _RB
+
+        counts8 = jnp.sum(ival, axis=1)
+        nblk8 = jnp.ceil(counts8.astype(jnp.float32) / _RB).astype(jnp.int32)
         for nprobe in (1, 4, 8):
-            def step_8(q, cents, codes, factor, nprobe=nprobe):
+            def step_8(q, cents, codes, factor, nblk, nprobe=nprobe):
                 return pallas_ivf_topk_int8(q, cents, codes, factor, k=K,
                                             nprobe=nprobe, metric="cosine",
-                                            interpret=interpret)
-            ms = timed_fori(step_8, q0, cents, codes, factor)
-            _, sp = jax.jit(step_8)(q0, cents, codes, factor)
-            log("int8_8M_capacity", n=n, nlist=nlist, list_cap=cap,
+                                            nblocks=nblk, interpret=interpret)
+            ms = timed_fori(step_8, q0, cents, codes, factor, nblk8)
+            _, sp = jax.jit(step_8)(q0, cents, codes, factor, nblk8)
+            log("int8_8M_capacity_ragged", n=n, nlist=nlist, list_cap=cap,
                 nprobe=nprobe, ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
                 recall_vs_int8_oracle=round(
                     recall_at_k(np.asarray(sp), oracle_i), 4),

@@ -397,10 +397,9 @@ def main() -> None:
 
         _, oi = f_oracle4(q0, iv, inr, ival)
         oracle_i = np.asarray(oi)
-        from grape_vector_db_tpu.ops.ivf_pallas import RB as _RB
+        from grape_vector_db_tpu.ops.ivf_pallas import nblocks_from_counts
 
-        counts4 = jnp.sum(ival, axis=1)
-        nblk4 = jnp.ceil(counts4.astype(jnp.float32) / _RB).astype(jnp.int32)
+        nblk4 = nblocks_from_counts(jnp.sum(ival, axis=1))
         for nprobe in (1, 4, 8):
             def step_p(q, cents, iv, recip, nblk, nprobe=nprobe):
                 return pallas_ivf_topk(q, cents, iv, recip, k=K,
@@ -460,10 +459,9 @@ def main() -> None:
         _, oi = f_oracle8(q0, codes, factor)
         oracle_i = np.asarray(oi)
 
-        from grape_vector_db_tpu.ops.ivf_pallas import RB as _RB
+        from grape_vector_db_tpu.ops.ivf_pallas import nblocks_from_counts
 
-        counts8 = jnp.sum(ival, axis=1)
-        nblk8 = jnp.ceil(counts8.astype(jnp.float32) / _RB).astype(jnp.int32)
+        nblk8 = nblocks_from_counts(jnp.sum(ival, axis=1))
         for nprobe in (1, 4, 8):
             def step_8(q, cents, codes, factor, nblk, nprobe=nprobe):
                 return pallas_ivf_topk_int8(q, cents, codes, factor, k=K,

@@ -56,7 +56,7 @@ def _is_cjk(ch: str) -> bool:
         0x4E00 <= cp <= 0x9FFF      # CJK Unified Ideographs
         or 0x3400 <= cp <= 0x4DBF   # Extension A
         or 0xF900 <= cp <= 0xFAFF   # Compatibility Ideographs
-        or 0x20000 <= cp <= 0x3134F  # Extensions B..G (SIP/TIP)
+        or 0x20000 <= cp <= 0x323AF  # Extensions B..H (SIP/TIP)
         or 0x2E80 <= cp <= 0x2EFF   # CJK Radicals Supplement
         or 0x31C0 <= cp <= 0x31EF   # CJK Strokes
     )

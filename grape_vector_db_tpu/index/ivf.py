@@ -192,6 +192,7 @@ class IvfDeviceIndex(VectorIndex):
         # id -> (list, pos) or ("overflow", id kept in _overflow)
         self._id_to_cell: Dict[str, Tuple[int, int]] = {}
         self._next_pos = np.zeros(nlist, dtype=np.int64)
+        self._nblocks_cache = None  # device [L] int32; rebuilt when _next_pos moves
         self._free: List[List[int]] = [[] for _ in range(nlist)]
         self._cell_to_id: Dict[int, str] = {}
 
@@ -291,6 +292,7 @@ class IvfDeviceIndex(VectorIndex):
             positions[i] = pos
             self._id_to_cell[id_] = (lst, pos)
             self._cell_to_id[lst * self.list_cap + pos] = id_
+        self._nblocks_cache = None  # _next_pos may have advanced
         keep = list_ids >= 0
         if keep.any():
             kv = vectors[keep]
@@ -355,6 +357,7 @@ class IvfDeviceIndex(VectorIndex):
             self._id_to_cell.clear()
             self._cell_to_id.clear()
             self._next_pos = np.zeros(self.nlist, dtype=np.int64)
+            self._nblocks_cache = None
             self._free = [[] for _ in range(self.nlist)]
 
     # -- search -------------------------------------------------------------------
@@ -369,14 +372,18 @@ class IvfDeviceIndex(VectorIndex):
                     main[cell[0], cell[1]] = True
             return main, self._overflow.compile_mask(allowed_ids)
 
-    def _pallas_nblocks(self) -> np.ndarray:
+    def _pallas_nblocks(self) -> jax.Array:
         """Per-list occupied RB-row DMA blocks (ragged fetch: the probe skips
         blocks past each list's high-water mark — padding costs no
         bandwidth). Free-list holes below the mark stay fetched and are
-        masked, as before."""
-        from grape_vector_db_tpu.ops.ivf_pallas import RB
+        masked, as before. Cached as a device array: _next_pos only changes
+        in _place/clear/optimize, and a per-search host upload would pay a
+        relay round trip per query batch."""
+        if self._nblocks_cache is None:
+            from grape_vector_db_tpu.ops.ivf_pallas import nblocks_from_counts
 
-        return np.ceil(self._next_pos / RB).astype(np.int32)
+            self._nblocks_cache = nblocks_from_counts(self._next_pos)
+        return self._nblocks_cache
 
     def _main_topk(self, qp: np.ndarray, k: int, mask):
         """Top-k over the bucketed main region (subclass seam; lock held)."""
@@ -393,7 +400,7 @@ class IvfDeviceIndex(VectorIndex):
                 k=k, nprobe=self.nprobe, metric=self.metric,
                 interpret=self._pallas_interpret,
                 cell_mask=None if mask is None else jnp.asarray(mask[0]),
-                nblocks=jnp.asarray(self._pallas_nblocks()),
+                nblocks=self._pallas_nblocks(),
             )
         # Filter mask ANDs into cell validity so probed lists score
         # only allowed rows (masked top-k in-kernel). Caveat inherent

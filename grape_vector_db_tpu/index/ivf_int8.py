@@ -193,7 +193,7 @@ class Int8IvfDeviceIndex(IvfDeviceIndex):
                 vecs=self.vecs if r else None,
                 recip=self.recip if r else None,
                 interpret=self._pallas_interpret, cell_mask=cm,
-                nblocks=jnp.asarray(self._pallas_nblocks()),
+                nblocks=self._pallas_nblocks(),
             )
         return _ivf_int8_topk(
             jnp.asarray(qp), self.centroids, self.codes, self.factor,

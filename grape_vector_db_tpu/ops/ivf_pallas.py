@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ivf_probe_scores", "ivf_pallas_supported", "pallas_ivf_topk",
+           "nblocks_from_counts",
            "ivf_probe_scores_int8", "pallas_ivf_topk_int8", "make_factor",
            "finalize_probe_topk"]
 
@@ -107,24 +108,27 @@ def finalize_probe_topk(
 RB = 64
 
 
-def _probe_kernel(probe_smem, nblk_smem, q_vmem, vecs_hbm, recip_hbm,
-                  out_vmem, scratch_v, scratch_r, sem_v, sem_r):
-    ncells = out_vmem.shape[0]          # B * P
+def _ragged_cell_dma(probe_smem, nblk_smem, data_hbm, plane_hbm,
+                     scratch_d, scratch_p, sem_d, sem_p):
+    """(start_cell, wait_cell) for the ragged double-buffered fetch: the
+    [8, C] weight plane moves whole; the [C, D] data block moves in RB-row
+    blocks, skipping blocks past the list's high-water mark (nblk_smem).
+    Shared by the bf16 and int8 kernels so fixes cannot drift."""
 
     def block_dma(slot, lst, i):
         return pltpu.make_async_copy(
-            vecs_hbm.at[lst, pl.ds(i * RB, RB)],
-            scratch_v.at[slot, pl.ds(i * RB, RB)],
-            sem_v.at[slot, i],
+            data_hbm.at[lst, pl.ds(i * RB, RB)],
+            scratch_d.at[slot, pl.ds(i * RB, RB)],
+            sem_d.at[slot, i],
         )
 
-    def recip_dma(slot, lst):
-        return pltpu.make_async_copy(recip_hbm.at[lst], scratch_r.at[slot],
-                                     sem_r.at[slot])
+    def plane_dma(slot, lst):
+        return pltpu.make_async_copy(plane_hbm.at[lst], scratch_p.at[slot],
+                                     sem_p.at[slot])
 
     def start_cell(slot, cell):
         lst = probe_smem[cell]
-        recip_dma(slot, lst).start()
+        plane_dma(slot, lst).start()
 
         def blk(i, _):
             block_dma(slot, lst, i).start()
@@ -134,13 +138,23 @@ def _probe_kernel(probe_smem, nblk_smem, q_vmem, vecs_hbm, recip_hbm,
 
     def wait_cell(slot, cell):
         lst = probe_smem[cell]
-        recip_dma(slot, lst).wait()
+        plane_dma(slot, lst).wait()
 
         def blk(i, _):
             block_dma(slot, lst, i).wait()
             return _
 
         lax.fori_loop(0, nblk_smem[lst], blk, None)
+
+    return start_cell, wait_cell
+
+
+def _probe_kernel(probe_smem, nblk_smem, q_vmem, vecs_hbm, recip_hbm,
+                  out_vmem, scratch_v, scratch_r, sem_v, sem_r):
+    ncells = out_vmem.shape[0]          # B * P
+    start_cell, wait_cell = _ragged_cell_dma(
+        probe_smem, nblk_smem, vecs_hbm, recip_hbm,
+        scratch_v, scratch_r, sem_v, sem_r)
 
     start_cell(0, 0)
     n_q = q_vmem.shape[0]
@@ -206,6 +220,14 @@ def ivf_probe_scores(
     ncells = b * p
     if nblocks is None:
         nblocks = jnp.full((l,), c // RB, dtype=jnp.int32)
+    else:
+        if nblocks.shape != (l,):
+            raise ValueError(
+                f"nblocks shape {nblocks.shape} != ({l},) — stale layout? "
+                "(list count changed since the counts were taken)")
+        # clamp in-graph: an overshooting count (stale after a regrow) must
+        # not drive OOB DMA trip counts
+        nblocks = jnp.clip(nblocks, 0, c // RB)
 
     out = pl.pallas_call(
         _probe_kernel,
@@ -277,37 +299,9 @@ def _probe_kernel_int8(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
     per-row dequant scale and the cosine norm division (0 = invalid).
     Ragged fetch as in the bf16 kernel: only occupied RB-row blocks move."""
     ncells = out_vmem.shape[0]          # B * P
-
-    def block_dma(slot, lst, i):
-        return pltpu.make_async_copy(
-            codes_hbm.at[lst, pl.ds(i * RB, RB)],
-            scratch_c.at[slot, pl.ds(i * RB, RB)],
-            sem_c.at[slot, i],
-        )
-
-    def factor_dma(slot, lst):
-        return pltpu.make_async_copy(factor_hbm.at[lst], scratch_f.at[slot],
-                                     sem_f.at[slot])
-
-    def start_cell(slot, cell):
-        lst = probe_smem[cell]
-        factor_dma(slot, lst).start()
-
-        def blk(i, _):
-            block_dma(slot, lst, i).start()
-            return _
-
-        lax.fori_loop(0, nblk_smem[lst], blk, None)
-
-    def wait_cell(slot, cell):
-        lst = probe_smem[cell]
-        factor_dma(slot, lst).wait()
-
-        def blk(i, _):
-            block_dma(slot, lst, i).wait()
-            return _
-
-        lax.fori_loop(0, nblk_smem[lst], blk, None)
+    start_cell, wait_cell = _ragged_cell_dma(
+        probe_smem, nblk_smem, codes_hbm, factor_hbm,
+        scratch_c, scratch_f, sem_c, sem_f)
 
     start_cell(0, 0)
     n_q = q_vmem.shape[0]
@@ -362,6 +356,12 @@ def ivf_probe_scores_int8(
     ncells = b * p
     if nblocks is None:
         nblocks = jnp.full((l,), c // RB, dtype=jnp.int32)
+    else:
+        if nblocks.shape != (l,):
+            raise ValueError(
+                f"nblocks shape {nblocks.shape} != ({l},) — stale layout? "
+                "(list count changed since the counts were taken)")
+        nblocks = jnp.clip(nblocks, 0, c // RB)
 
     out = pl.pallas_call(
         _probe_kernel_int8,
@@ -428,6 +428,13 @@ def pallas_ivf_topk_int8(
         rescore=rescore, vecs=vecs,
         weight_fn=None if vecs is None else (lambda rl, rp: recip[rl, 0, rp]),
     )
+
+
+def nblocks_from_counts(counts) -> "jax.Array":
+    """Per-list occupied RB-row DMA block counts from per-list row counts
+    (high-water marks) — the single home for the ceil(counts / RB) rule."""
+    c = jnp.asarray(counts)
+    return jnp.ceil(c.astype(jnp.float32) / RB).astype(jnp.int32)
 
 
 def make_factor(scales: jax.Array, norms: jax.Array,

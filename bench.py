@@ -371,9 +371,9 @@ def main() -> None:
     # ragged block fetch: only occupied RB-row blocks DMA (cap is sized to
     # the LARGEST list; average fill is ~40% of it, and the probe is
     # bandwidth-bound)
-    from grape_vector_db_tpu.ops.ivf_pallas import RB
+    from grape_vector_db_tpu.ops.ivf_pallas import nblocks_from_counts
 
-    nblk = jnp.ceil(counts.astype(jnp.float32) / RB).astype(jnp.int32)
+    nblk = nblocks_from_counts(counts)
 
     def step_np(q, cents, iv, recip, nblk):
         return pallas_ivf_topk(q, cents, iv, recip, k=K, nprobe=1,

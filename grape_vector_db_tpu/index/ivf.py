@@ -281,7 +281,10 @@ class IvfDeviceIndex(VectorIndex):
             if self._free[lst]:
                 pos = self._free[lst].pop()
             elif self._next_pos[lst] < self.list_cap:
-                pos = int(self._next_pos[lst])
+                # _next_pos counts occupancy; _phys_pos maps the logical
+                # insert order to a physical column (identity here; the
+                # sharded index stripes across devices for balance)
+                pos = self._phys_pos(int(self._next_pos[lst]))
                 self._next_pos[lst] += 1
             else:
                 spill_idx.append(i)
@@ -371,6 +374,11 @@ class IvfDeviceIndex(VectorIndex):
                 if cell is not None:
                     main[cell[0], cell[1]] = True
             return main, self._overflow.compile_mask(allowed_ids)
+
+    def _phys_pos(self, n: int) -> int:
+        """Logical insert order -> physical column (seam: sharded layouts
+        stripe across the device axis so every slice fills uniformly)."""
+        return n
 
     def _pallas_nblocks(self) -> jax.Array:
         """Per-list occupied RB-row DMA blocks (ragged fetch: the probe skips

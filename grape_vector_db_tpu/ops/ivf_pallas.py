@@ -109,16 +109,18 @@ RB = 64
 
 
 def _ragged_cell_dma(probe_smem, nblk_smem, data_hbm, plane_hbm,
-                     scratch_d, scratch_p, sem_d, sem_p):
+                     scratch_d, scratch_p, sem_d, sem_p, rb=RB):
     """(start_cell, wait_cell) for the ragged double-buffered fetch: the
-    [8, C] weight plane moves whole; the [C, D] data block moves in RB-row
+    [8, C] weight plane moves whole; the [C, D] data block moves in rb-row
     blocks, skipping blocks past the list's high-water mark (nblk_smem).
-    Shared by the bf16 and int8 kernels so fixes cannot drift."""
+    Shared by the bf16 and int8 kernels so fixes cannot drift. ``rb``
+    defaults to RB; callers pass rb=C when C is not a multiple of RB (tiny
+    interpret-mode slices), degrading to whole-list fetch."""
 
     def block_dma(slot, lst, i):
         return pltpu.make_async_copy(
-            data_hbm.at[lst, pl.ds(i * RB, RB)],
-            scratch_d.at[slot, pl.ds(i * RB, RB)],
+            data_hbm.at[lst, pl.ds(i * rb, rb)],
+            scratch_d.at[slot, pl.ds(i * rb, rb)],
             sem_d.at[slot, i],
         )
 
@@ -150,11 +152,11 @@ def _ragged_cell_dma(probe_smem, nblk_smem, data_hbm, plane_hbm,
 
 
 def _probe_kernel(probe_smem, nblk_smem, q_vmem, vecs_hbm, recip_hbm,
-                  out_vmem, scratch_v, scratch_r, sem_v, sem_r):
+                  out_vmem, scratch_v, scratch_r, sem_v, sem_r, rb=RB):
     ncells = out_vmem.shape[0]          # B * P
     start_cell, wait_cell = _ragged_cell_dma(
         probe_smem, nblk_smem, vecs_hbm, recip_hbm,
-        scratch_v, scratch_r, sem_v, sem_r)
+        scratch_v, scratch_r, sem_v, sem_r, rb=rb)
 
     start_cell(0, 0)
     n_q = q_vmem.shape[0]
@@ -218,19 +220,20 @@ def ivf_probe_scores(
                          "Pallas probe (Mosaic DMA lane alignment); use the "
                          "XLA probe for unaligned dims")
     ncells = b * p
+    rb = RB if (c >= RB and c % RB == 0) else c
     if nblocks is None:
-        nblocks = jnp.full((l,), c // RB, dtype=jnp.int32)
+        nblocks = jnp.full((l,), c // rb, dtype=jnp.int32)
     else:
         if nblocks.shape != (l,):
             raise ValueError(
                 f"nblocks shape {nblocks.shape} != ({l},) — stale layout? "
                 "(list count changed since the counts were taken)")
-        # clamp in-graph: an overshooting count (stale after a regrow) must
-        # not drive OOB DMA trip counts
-        nblocks = jnp.clip(nblocks, 0, c // RB)
+        # clamp in-graph: an overshooting count (stale after a regrow, or an
+        # rb degraded to whole-list) must not drive OOB DMA trip counts
+        nblocks = jnp.clip(nblocks, 0, c // rb)
 
     out = pl.pallas_call(
-        _probe_kernel,
+        functools.partial(_probe_kernel, rb=rb),
         out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -244,7 +247,7 @@ def ivf_probe_scores(
             scratch_shapes=[
                 pltpu.VMEM((2, c, d), vecs.dtype),
                 pltpu.VMEM((2, 8, c), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, c // RB)),
+                pltpu.SemaphoreType.DMA((2, c // rb)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -292,7 +295,7 @@ def pallas_ivf_topk(
 
 
 def _probe_kernel_int8(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
-                       out_vmem, scratch_c, scratch_f, sem_c, sem_f):
+                       out_vmem, scratch_c, scratch_f, sem_c, sem_f, rb=RB):
     """Int8 variant of ``_probe_kernel``: DMAs int8 code blocks (half the
     bytes/list of bf16), upcasts in VMEM, and scores with an asymmetric
     bf16-query x dequantized-int8-corpus MXU dot. ``factor`` folds the
@@ -301,7 +304,7 @@ def _probe_kernel_int8(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
     ncells = out_vmem.shape[0]          # B * P
     start_cell, wait_cell = _ragged_cell_dma(
         probe_smem, nblk_smem, codes_hbm, factor_hbm,
-        scratch_c, scratch_f, sem_c, sem_f)
+        scratch_c, scratch_f, sem_c, sem_f, rb=rb)
 
     start_cell(0, 0)
     n_q = q_vmem.shape[0]
@@ -354,17 +357,18 @@ def ivf_probe_scores_int8(
                          "Pallas probe (Mosaic DMA lane alignment); use the "
                          "XLA probe for unaligned dims")
     ncells = b * p
+    rb = RB if (c >= RB and c % RB == 0) else c
     if nblocks is None:
-        nblocks = jnp.full((l,), c // RB, dtype=jnp.int32)
+        nblocks = jnp.full((l,), c // rb, dtype=jnp.int32)
     else:
         if nblocks.shape != (l,):
             raise ValueError(
                 f"nblocks shape {nblocks.shape} != ({l},) — stale layout? "
                 "(list count changed since the counts were taken)")
-        nblocks = jnp.clip(nblocks, 0, c // RB)
+        nblocks = jnp.clip(nblocks, 0, c // rb)
 
     out = pl.pallas_call(
-        _probe_kernel_int8,
+        functools.partial(_probe_kernel_int8, rb=rb),
         out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -378,7 +382,7 @@ def ivf_probe_scores_int8(
             scratch_shapes=[
                 pltpu.VMEM((2, c, d), codes.dtype),
                 pltpu.VMEM((2, 8, c), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, c // RB)),
+                pltpu.SemaphoreType.DMA((2, c // rb)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

@@ -456,6 +456,9 @@ def sharded_ivf_topk(
     recip: jax.Array | None = None,  # [L, 8, C] weight plane, sharded axis 2
     use_pallas: bool = False,
     interpret: bool = False,
+    nblocks: jax.Array | None = None,  # [L] int32 per-DEVICE occupied blocks
+                                       # (replicated; striped placement makes
+                                       # every slice's watermark uniform)
 ) -> Tuple[jax.Array, jax.Array]:
     """SPMD IVF probe (the sharded twin of index/ivf.py::_ivf_topk).
 
@@ -490,6 +493,7 @@ def sharded_ivf_topk(
             from grape_vector_db_tpu.ops.ivf_pallas import ivf_probe_scores
 
             scores = ivf_probe_scores(qp, probe.astype(jnp.int32), v, rest[0],
+                                      nblocks=rest[1],
                                       interpret=interpret)   # [B, P, C/S]
             if metric == "cosine":
                 scores = jnp.minimum(scores, 1.0)
@@ -540,6 +544,12 @@ def sharded_ivf_topk(
     if use_pallas:
         specs.append(P(None, None, shard_axis))
         operands.append(recip)
+        if nblocks is None:
+            from grape_vector_db_tpu.ops.ivf_pallas import RB
+
+            nblocks = jnp.full((vecs.shape[0],), c_local // RB, jnp.int32)
+        specs.append(P())
+        operands.append(nblocks)
     return jax.shard_map(
         spmd,
         mesh=mesh,
@@ -571,6 +581,7 @@ def sharded_ivf_int8_topk(
     factor: jax.Array | None = None,  # [L, 8, C] weight plane, sharded axis 2
     use_pallas: bool = False,
     interpret: bool = False,
+    nblocks: jax.Array | None = None,  # [L] int32 per-DEVICE occupied blocks
 ) -> Tuple[jax.Array, jax.Array]:
     """SPMD int8 IVF probe: the sharded twin of index/ivf_int8.py.
 
@@ -587,6 +598,7 @@ def sharded_ivf_int8_topk(
     def spmd(q, cents, cd, sc, nrm, msk, *rest):
         rest = list(rest)
         fct = rest.pop(0) if use_pallas else None
+        nblk = rest.pop(0) if use_pallas else None
         v = rest[0] if rest else None
         b, _ = q.shape
         l = cd.shape[0]
@@ -600,7 +612,8 @@ def sharded_ivf_int8_topk(
                 ivf_probe_scores_int8)
 
             scores = ivf_probe_scores_int8(qp, probe.astype(jnp.int32), cd,
-                                           fct, interpret=interpret)
+                                           fct, nblocks=nblk,
+                                           interpret=interpret)
             if metric == "cosine":
                 scores = jnp.minimum(scores, 1.0)
             scores = jnp.where(msk[probe], scores, -jnp.inf)
@@ -668,6 +681,12 @@ def sharded_ivf_int8_topk(
     if use_pallas:
         specs.append(P(None, None, shard_axis))
         operands.append(factor)
+        if nblocks is None:
+            from grape_vector_db_tpu.ops.ivf_pallas import RB
+
+            nblocks = jnp.full((codes.shape[0],), c_local // RB, jnp.int32)
+        specs.append(P())
+        operands.append(nblocks)
     if with_v:
         specs.append(cell)
         operands.append(vecs)
@@ -739,6 +758,27 @@ class ShardedIvfIndex(IvfDeviceIndex):
     def _weight_sharding(self):
         return NamedSharding(self.mesh, P(None, None, self.shard_axis))
 
+    def _phys_pos(self, n: int) -> int:
+        """Stripe logical insert order across the shard axis: row n lands on
+        device n % S at local column n // S. Sequential placement would fill
+        device 0's slice first — SPMD runs in lockstep, so the fullest slice
+        gates every query and the per-device ragged fetch would never help.
+        Striped, every slice's watermark is ceil(n/S) and the ragged probe
+        skips the same padding on every device."""
+        s = self.n_shards
+        return (n % s) * (self.list_cap // s) + n // s
+
+    def _sharded_nblocks(self) -> jax.Array:
+        """Per-DEVICE occupied RB-row blocks, replicated [L] (striping makes
+        every device's watermark uniform to within one row)."""
+        if self._nblocks_cache is None:
+            from grape_vector_db_tpu.ops.ivf_pallas import nblocks_from_counts
+
+            per_dev = -(-self._next_pos // self.n_shards)  # ceil
+            self._nblocks_cache = jax.device_put(
+                nblocks_from_counts(per_dev), self._repl)
+        return self._nblocks_cache
+
     def train(self, sample, seed: int = 0) -> None:
         super().train(sample, seed=seed)
         self.centroids = jax.device_put(self.centroids, self._repl)
@@ -757,6 +797,7 @@ class ShardedIvfIndex(IvfDeviceIndex):
             mesh=self.mesh, shard_axis=self.shard_axis,
             recip=self.recip, use_pallas=self._use_pallas,
             interpret=self._pallas_interpret,
+            nblocks=self._sharded_nblocks() if self._use_pallas else None,
         )
 
 
@@ -846,4 +887,5 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
             mesh=self.mesh, shard_axis=self.shard_axis,
             factor=self.factor, use_pallas=self._use_pallas,
             interpret=self._pallas_interpret,
+            nblocks=self._sharded_nblocks() if self._use_pallas else None,
         )

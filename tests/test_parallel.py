@@ -285,3 +285,37 @@ def test_sharded_int8_ivf_pallas_matches_xla(rng, mesh):
             assert [x[0] for x in ra] == [x[0] for x in rb], keep
         a.remove_batch(["d2"])
         assert all(h[0] != "d2" for h in a.search_batch(vecs[2:3], k)[0])
+
+
+def test_sharded_ivf_striped_placement_balances_devices(rng, mesh):
+    """Striped positions spread each list's rows uniformly across device
+    slices (sequential packing would saturate device 0's slice while the
+    rest idle — SPMD lockstep means the fullest slice gates every query),
+    and the per-device ragged probe stays exact."""
+    from grape_vector_db_tpu.parallel import ShardedIvfIndex
+
+    dim, n = 24, 800
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    ivf = ShardedIvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                          nlist=8, nprobe=8, initial_capacity=2048,
+                          use_pallas="force")
+    ivf.add_batch(ids, vecs)
+    s = ivf.n_shards
+    c_local = ivf.list_cap // s
+    valid = np.asarray(ivf.valid)             # [L, C]
+    per_dev = valid.reshape(ivf.nlist, s, c_local).sum(axis=2)  # [L, S]
+    for lst in range(ivf.nlist):
+        occ = per_dev[lst]
+        assert occ.max() - occ.min() <= 1, (lst, occ.tolist())
+
+    # the striped + ragged pallas path agrees with the XLA probe
+    ivf2 = ShardedIvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                           nlist=8, nprobe=8, initial_capacity=2048,
+                           use_pallas=False)
+    ivf2.add_batch(ids, vecs)
+    queries = vecs[:8] + 0.001 * rng.standard_normal((8, dim)).astype(np.float32)
+    assert ivf._use_pallas
+    for a, b in zip(ivf.search_batch(queries, 5),
+                    ivf2.search_batch(queries, 5)):
+        assert [x[0] for x in a] == [x[0] for x in b]

@@ -56,6 +56,7 @@ from grape_vector_db_tpu.distributed.types import (
 from grape_vector_db_tpu.errors import (
     ConsensusError,
     NotLeaderError,
+    ReplicationError,
     UnavailableError,
 )
 from grape_vector_db_tpu.types import Document, DocumentRecord
@@ -1139,12 +1140,27 @@ class ClusterNode:
         self._wait_placements(set(by_shard))
         written = 0
         for sid, group in by_shard.items():
-            info = self.shard_map.shards[sid]
             payload = [d.to_dict() for d in group]
-            self.replication.replicate(payload, info.primary_node, info.replica_nodes)
+            # Bounded failover grace: a primary that just died stays in the
+            # placement until the detector (3 missed beats) + raft repair
+            # replace it — failing every write in that window is needless
+            # unavailability when a retry lands on the promoted replica.
+            deadline = time.monotonic() + max(
+                5.0, 6 * self.config.heartbeat_interval_s)
+            while True:
+                with self._state_lock:
+                    info = self.shard_map.shards[sid]
+                    primary, replicas = info.primary_node, list(info.replica_nodes)
+                try:
+                    self.replication.replicate(payload, primary, replicas)
+                    break
+                except ReplicationError:
+                    if time.monotonic() >= deadline:
+                        raise
+                    time.sleep(0.1)  # failover repair re-points the primary
             written += len(group)
             if session is not None:
-                resp = self._call(info.primary_node, "data_version",
+                resp = self._call(primary, "data_version",
                                   {"shards": [sid]}, timeout_s=2.0)
                 session.observe(sid, resp["versions"][str(sid)])
         return written

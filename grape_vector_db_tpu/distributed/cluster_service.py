@@ -122,23 +122,37 @@ class ClusterService:
             raft_config=self._raft_config,
         )
         node.start()
-        sponsor = next(iter(self.nodes.values()))
-        try:
-            sponsor.add_member(node_id, address=f"inproc://{node_id}",
-                               timeout_s=timeout_s)
-        except Exception:
-            node.stop()
-            raise
-        self.nodes[node_id] = node
-        return node
+        # Any node can sponsor, but a dead/partitioned one cannot forward to
+        # the leaders — try each in turn (first sponsor may be mid-failure).
+        last: Exception = UnavailableError("no sponsor")
+        per = max(timeout_s / max(len(self.nodes), 1), 3.0)
+        for sponsor in self.nodes.values():
+            try:
+                sponsor.add_member(node_id, address=f"inproc://{node_id}",
+                                   timeout_s=per)
+                self.nodes[node_id] = node
+                return node
+            except Exception as e:
+                last = e
+        node.stop()
+        raise last
 
     def remove_node(self, node_id: str, timeout_s: float = 10.0) -> None:
         """Remove a node from the running cluster: voter sets shrink, shards
         re-assign to the survivors, then the node is stopped."""
         if node_id not in self.nodes:
             raise ConfigError(f"unknown node {node_id}")
-        sponsor = next(n for nid, n in self.nodes.items() if nid != node_id)
-        sponsor.remove_member(node_id, timeout_s=timeout_s)
+        last: Exception = UnavailableError("no sponsor")
+        for nid, sponsor in self.nodes.items():
+            if nid == node_id:
+                continue
+            try:
+                sponsor.remove_member(node_id, timeout_s=timeout_s)
+                break
+            except Exception as e:
+                last = e
+        else:
+            raise last
         node = self.nodes.pop(node_id)
         node.stop()
 

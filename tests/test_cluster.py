@@ -859,3 +859,38 @@ def test_full_cluster_restart_resettles_completeness(tmp_path):
     finally:
         for n in nodes.values():
             n.stop()
+
+
+def test_membership_change_survives_node_failure_mid_join():
+    """Chaos: a node FAILS while a newcomer is being spliced in. The
+    membership machinery must either finish the splice (quorum holds: 3->4
+    voters needs 3) or leave a retryable state — never a wedged cluster."""
+    svc = make_service(consistency=ConsistencyLevel.SESSION)
+    try:
+        docs = make_docs(30)
+        svc.upsert(docs)
+        victim = next(nid for nid in svc.nodes
+                      if nid != svc.leader_node().node_id)
+        # fail a non-leader node, then immediately add a newcomer while the
+        # failure detector / failover is still reacting
+        svc.sim.fail_node(victim)
+        newcomer = svc.add_node("node-3", timeout_s=20.0)
+
+        deadline = time.monotonic() + 15.0
+        while time.monotonic() < deadline:
+            live = [n for nid, n in svc.nodes.items() if nid != victim]
+            if all("node-3" in n.raft.voters for n in live):
+                break
+            time.sleep(0.05)
+        live = [n for nid, n in svc.nodes.items() if nid != victim]
+        assert all("node-3" in n.raft.voters for n in live)
+
+        # the 3 live voters (of 4) still commit writes and serve reads
+        extra = make_docs(5, seed=42)
+        for d in extra:
+            d.id = f"x-{d.id}"
+        assert newcomer.upsert(extra) == 5
+        hits = newcomer.search(extra[2].vector, k=3)
+        assert hits and hits[0][0] == extra[2].id
+    finally:
+        svc.stop()

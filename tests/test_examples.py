@@ -20,6 +20,7 @@ EXAMPLES = [
     "binary_quantization_demo",
     "int8_ivf_demo",
     "openai_compatible",
+    "runtime_scaling_demo",
 ]
 
 EX_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "examples")

@@ -894,3 +894,75 @@ def test_membership_change_survives_node_failure_mid_join():
         assert hits and hits[0][0] == extra[2].id
     finally:
         svc.stop()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_membership_churn_converges(seed):
+    """Randomized churn: interleaved node adds, removals, failures,
+    recoveries, and writes. Invariants at the end: a single live leader,
+    all live nodes agree on the voter set, and fresh writes are served."""
+    rng = np.random.default_rng(seed)
+    svc = make_service(consistency=ConsistencyLevel.SESSION)
+    next_id = 3
+    live_failed: set = set()
+    try:
+        svc.upsert(make_docs(20))
+        for step in range(6):
+            op = rng.choice(["add", "remove", "fail", "recover", "write"])
+            names = list(svc.nodes)
+            try:
+                if op == "add" and len(svc.nodes) < 6:
+                    svc.add_node(f"node-{next_id}", timeout_s=15.0)
+                    next_id += 1
+                elif op == "remove" and len(svc.nodes) - len(live_failed) > 3:
+                    victim = rng.choice([n for n in names
+                                         if n not in live_failed])
+                    svc.remove_node(str(victim), timeout_s=15.0)
+                elif op == "fail" and len(svc.nodes) - len(live_failed) > 3:
+                    victim = str(rng.choice([n for n in names
+                                             if n not in live_failed]))
+                    svc.sim.fail_node(victim)
+                    live_failed.add(victim)
+                elif op == "recover" and live_failed:
+                    victim = live_failed.pop()
+                    svc.sim.recover_node(victim)
+                elif op == "write":
+                    batch = make_docs(5, seed=100 + step)
+                    for d in batch:
+                        d.id = f"s{step}-{d.id}"
+                    svc.any_node().upsert(batch)
+            except Exception:
+                pass  # individual op may time out under churn; convergence
+                      # is what the end-state asserts
+            time.sleep(0.2)
+
+        # heal everything and let the cluster settle
+        for v in list(live_failed):
+            svc.sim.recover_node(v)
+        live = {nid: n for nid, n in svc.nodes.items()}
+        deadline = time.monotonic() + 20.0
+        ok = False
+        while time.monotonic() < deadline:
+            voters = {tuple(sorted(n.raft.voters)) for n in live.values()}
+            leaders = [n.node_id for n in live.values()
+                       if n.raft.role.name == "LEADER"]
+            if len(voters) == 1 and len(leaders) == 1:
+                ok = True
+                break
+            time.sleep(0.1)
+        assert ok, (voters, leaders)
+
+        # the settled cluster accepts and serves a fresh write
+        final = make_docs(3, seed=999)
+        for d in final:
+            d.id = f"final-{d.id}"
+        assert svc.any_node().upsert(final) == 3
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            hits = svc.any_node().search(final[1].vector, k=3)
+            if hits and hits[0][0] == final[1].id:
+                break
+            time.sleep(0.1)
+        assert hits and hits[0][0] == final[1].id
+    finally:
+        svc.stop()

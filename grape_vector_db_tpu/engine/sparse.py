@@ -62,13 +62,86 @@ def _is_cjk(ch: str) -> bool:
     )
 
 
+def _native_text_lib():
+    """ctypes handle to native/gvdb_text.cpp (built on demand; None when the
+    toolchain is unavailable). The native loop implements the EXACT ASCII
+    SimpleTokenizer semantics; non-ASCII stays on the Python path so Unicode
+    behavior is single-sourced."""
+    global _TEXT_LIB
+    if _TEXT_LIB is not _UNSET:
+        return _TEXT_LIB
+    try:
+        import ctypes
+        import os
+        import subprocess
+
+        ndir = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), os.pardir, os.pardir, "native"))
+        so = os.path.join(ndir, "libgvdb_text.so")
+        src = os.path.join(ndir, "gvdb_text.cpp")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-fPIC", "-Wall", "-shared",
+                 "-o", so, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.gvdb_tokenize_counts.restype = ctypes.c_int32
+        lib.gvdb_tokenize_counts.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _TEXT_LIB = lib
+    except Exception:
+        _TEXT_LIB = None
+    return _TEXT_LIB
+
+
+_UNSET = object()
+_TEXT_LIB: object = _UNSET
+
+
+def _native_term_counts(lib, text: str) -> Tuple[Counter, int]:
+    import ctypes
+    import struct
+
+    raw = text.encode("ascii")
+    cap = max(4 * len(raw) + 64, 256)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        total = ctypes.c_int32(0)
+        n = lib.gvdb_tokenize_counts(raw, len(raw), buf, cap,
+                                     ctypes.byref(total))
+        if n >= 0:
+            break
+        cap = -n
+    counts: Counter = Counter()
+    p = 0
+    mv = buf.raw
+    for _ in range(n):
+        (l,) = struct.unpack_from("<H", mv, p)
+        p += 2
+        tok = mv[p:p + l].decode("ascii")
+        p += l
+        (c,) = struct.unpack_from("<I", mv, p)
+        p += 4
+        counts[tok] = c
+    return counts, int(total.value)
+
+
 class SimpleTokenizer:
     """Lowercase + alphanumeric tokens; CJK runs emit single characters
     (sparse.rs SimpleTokenizer semantics: whitespace split, lowercase, en+zh
-    stopword removal)."""
+    stopword removal). Pure-ASCII text takes the native C++ hot loop
+    (native/gvdb_text.cpp) when available — tokenization dominated the
+    end-to-end write path in profiling."""
 
     def __init__(self, stopwords: Optional[Set[str]] = None):
         self.stopwords = stopwords if stopwords is not None else (_EN_STOPWORDS | _ZH_STOPWORDS)
+        # the native loop bakes in the default EN stopword set; custom sets
+        # must stay on the Python path
+        self._native_ok = stopwords is None
 
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
@@ -83,6 +156,10 @@ class SimpleTokenizer:
         return out
 
     def term_frequencies(self, text: str) -> Tuple[Counter, int]:
+        if self._native_ok and text.isascii():
+            lib = _native_text_lib()
+            if lib is not None:
+                return _native_term_counts(lib, text)
         toks = self.tokenize(text)
         return Counter(toks), len(toks)
 

@@ -158,3 +158,41 @@ def test_extract_snippet():
     s = extract_snippet(content, ["needle"], window=20)
     assert "needle" in s and s.startswith("…") and s.endswith("…")
     assert extract_snippet("short text", ["missing"]) == "short text"
+
+
+def test_native_tokenizer_matches_python():
+    """native/gvdb_text.cpp must implement the EXACT ASCII SimpleTokenizer
+    semantics (lowercase [a-z0-9_]+ runs, EN stopwords, counts); non-ASCII
+    and custom-stopword tokenizers stay on the Python path."""
+    import random
+    import string
+    from collections import Counter
+
+    from grape_vector_db_tpu.engine.sparse import (
+        SimpleTokenizer,
+        _native_term_counts,
+        _native_text_lib,
+    )
+
+    lib = _native_text_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    tk = SimpleTokenizer()
+    rng = random.Random(7)
+    for _ in range(200):
+        n = rng.randint(0, 150)
+        text = "".join(rng.choice(string.ascii_letters + string.digits +
+                                  " _.,-!?\t\n") for _ in range(n))
+        toks = tk.tokenize(text)
+        assert _native_term_counts(lib, text) == (Counter(toks), len(toks))
+
+    # non-ASCII falls back to Python (CJK chars still tokenized)
+    c, t = tk.term_frequencies("深度 learning 模型")
+    assert c["learning"] == 1 and c["深"] == 1 and t >= 3
+
+    # custom stopword sets bypass the native loop
+    tk2 = SimpleTokenizer(stopwords={"learning"})
+    c2, _ = tk2.term_frequencies("learning models")
+    assert "learning" not in c2 and c2["models"] == 1

@@ -389,3 +389,28 @@ def test_cosine_scores_never_exceed_one():
     hits = db.vector_search(SearchRequest(vector=doc.vector, limit=5))
     assert hits[0].id == "doc-3"
     assert all(h.score <= 1.0 for h in hits)
+
+
+@pytest.mark.parametrize("kind", ["flat", "int8", "binary", "ivf", "ivf_pq",
+                                  "ivf_int8", "graph"])
+def test_index_snapshot_roundtrip_every_engine(tmp_path, rng, kind):
+    """save_index/load_index must round-trip EVERY engine kind (the
+    reference's postcard+gzip snapshot covered one index type,
+    query.rs:282-409)."""
+    cfg = VectorDbConfig(vector_dimension=32)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.kind = kind
+    cfg.index.initial_capacity = 1024
+    cfg.index.nlist = 4
+    cfg.cache.enabled = False
+    db = VectorDatabase(config=cfg)
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    db.batch_add_documents([Document(id=f"d{i}", content=f"c{i}",
+                                     vector=vecs[i].tolist())
+                            for i in range(300)])
+    p = str(tmp_path / "snap.gvdb")
+    db.save_index(p)
+    db2 = VectorDatabase(config=cfg)
+    db2.load_index(p)
+    hits = db2.index.search_batch(vecs[7:8], 3)[0]
+    assert hits and hits[0][0] == "d7", (kind, hits[:2])

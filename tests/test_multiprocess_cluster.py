@@ -193,6 +193,35 @@ def test_runtime_join_fourth_process(tmp_path):
                 pytest.fail(f"joiner search never converged: {sr.results[:3]}")
             time.sleep(0.5)
         assert sr.results[0].score > 0.99
+
+        # runtime REMOVAL over the wire: LeaveCluster shrinks the voter
+        # sets and membership back to 3 on every surviving process
+        resp = clients["n0"].call(
+            "LeaveCluster", pb.LeaveClusterRequest(node_id="n3"),
+            timeout_s=30)
+        assert resp.ok
+        deadline = time.monotonic() + 60
+        ok = False
+        while time.monotonic() < deadline:
+            try:
+                infos = [clients[n].call("GetClusterInfo",
+                                         pb.GetClusterInfoRequest(),
+                                         timeout_s=5)
+                         for n in ("n0", "n1", "n2")]
+                if all(
+                    sum(1 for m in i.members
+                        if m.node_id == "n3" and m.state != "failed") == 0
+                    or all(m.node_id != "n3" for m in i.members)
+                    for i in infos
+                ):
+                    ok = True
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        # survivors still serve reads after the removal
+        sr = clients["n0"].search(list(vecs[7]), limit=3)
+        assert not sr.error and sr.results and sr.results[0].id == "rj7"
         for c in clients.values():
             c.close()
     finally:

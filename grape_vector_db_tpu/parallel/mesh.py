@@ -440,7 +440,7 @@ class ShardedFlatIndex(VectorIndex):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "metric", "mesh", "shard_axis",
-                     "use_pallas", "interpret"),
+                     "use_pallas", "interpret", "replica_axis"),
 )
 def sharded_ivf_topk(
     queries: jax.Array,    # [B, D] f32, replicated
@@ -459,6 +459,11 @@ def sharded_ivf_topk(
     nblocks: jax.Array | None = None,  # [L] int32 per-DEVICE occupied blocks
                                        # (replicated; striped placement makes
                                        # every slice's watermark uniform)
+    replica_axis: str | None = None,   # 2D (replica x shard) mesh: the query
+                                       # batch splits over replica rows, each
+                                       # row holding a full sharded corpus
+                                       # copy — independent serving lanes, no
+                                       # collective crosses the replica axis
 ) -> Tuple[jax.Array, jax.Array]:
     """SPMD IVF probe (the sharded twin of index/ivf.py::_ivf_topk).
 
@@ -550,11 +555,13 @@ def sharded_ivf_topk(
             nblocks = jnp.full((vecs.shape[0],), c_local // RB, jnp.int32)
         specs.append(P())
         operands.append(nblocks)
+    qspec = P(replica_axis, None) if replica_axis else P()
+    specs[0] = qspec
     return jax.shard_map(
         spmd,
         mesh=mesh,
         in_specs=tuple(specs),
-        out_specs=(P(), P()),
+        out_specs=(qspec, qspec),
         check_vma=False,
     )(*operands)
 
@@ -562,7 +569,7 @@ def sharded_ivf_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "metric", "rescore", "mesh", "shard_axis",
-                     "use_pallas", "interpret"),
+                     "use_pallas", "interpret", "replica_axis"),
 )
 def sharded_ivf_int8_topk(
     queries: jax.Array,    # [B, D] f32, replicated
@@ -582,6 +589,7 @@ def sharded_ivf_int8_topk(
     use_pallas: bool = False,
     interpret: bool = False,
     nblocks: jax.Array | None = None,  # [L] int32 per-DEVICE occupied blocks
+    replica_axis: str | None = None,   # 2D mesh: see sharded_ivf_topk
 ) -> Tuple[jax.Array, jax.Array]:
     """SPMD int8 IVF probe: the sharded twin of index/ivf_int8.py.
 
@@ -690,11 +698,13 @@ def sharded_ivf_int8_topk(
     if with_v:
         specs.append(cell)
         operands.append(vecs)
+    qspec = P(replica_axis, None) if replica_axis else P()
+    specs[0] = qspec
     return jax.shard_map(
         spmd,
         mesh=mesh,
         in_specs=tuple(specs),
-        out_specs=(P(), P()),
+        out_specs=(qspec, qspec),
         check_vma=False,
     )(*operands)
 

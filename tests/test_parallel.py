@@ -319,3 +319,52 @@ def test_sharded_ivf_striped_placement_balances_devices(rng, mesh):
     for a, b in zip(ivf.search_batch(queries, 5),
                     ivf2.search_batch(queries, 5)):
         assert [x[0] for x in a] == [x[0] for x in b]
+
+
+def test_sharded_ivf_2d_replica_mesh_matches_1d(rng):
+    """2D (replica x shard) IVF: the query batch splits over replica rows,
+    each row holding a full sharded corpus copy — per-query results must
+    equal the 1D mesh (independent serving lanes)."""
+    import jax
+
+    from grape_vector_db_tpu.ops.ivf_pallas import make_recip
+    from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
+    from grape_vector_db_tpu.parallel import make_mesh
+    from grape_vector_db_tpu.parallel.mesh import (
+        make_mesh_2d,
+        sharded_ivf_topk,
+    )
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dim, n, nlist, cap = 32, 512, 4, 256
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    cents, _ = kmeans(jnp.asarray(vecs), k=nlist, iters=4, seed=0,
+                      mode="spherical")
+    assign = np.asarray(assign_clusters(jnp.asarray(vecs), cents,
+                                        mode="spherical"))
+    iv = np.zeros((nlist, cap, dim), np.float32)
+    inr = np.zeros((nlist, cap), np.float32)
+    ival = np.zeros((nlist, cap), bool)
+    nxt = np.zeros(nlist, np.int64)
+    for i, a in enumerate(assign):
+        p_ = int(nxt[a]); nxt[a] += 1
+        iv[a, p_] = vecs[i]
+        inr[a, p_] = np.linalg.norm(vecs[i])
+        ival[a, p_] = True
+    q = rng.standard_normal((8, dim)).astype(np.float32)
+
+    mesh1 = make_mesh(n_shards=4)
+    v1, s1 = sharded_ivf_topk(
+        jnp.asarray(q), cents, jnp.asarray(iv), jnp.asarray(inr),
+        jnp.asarray(ival), k=5, nprobe=4, metric="cosine", mesh=mesh1)
+
+    mesh2 = make_mesh_2d(n_replicas=2, devices=jax.devices()[:8])
+    repl_q = jax.device_put(jnp.asarray(q),
+                            NamedSharding(mesh2, P("replica", None)))
+    v2, s2 = sharded_ivf_topk(
+        repl_q, cents, jnp.asarray(iv), jnp.asarray(inr), jnp.asarray(ival),
+        k=5, nprobe=4, metric="cosine", mesh=mesh2,
+        replica_axis="replica")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)

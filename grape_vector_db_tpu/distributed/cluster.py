@@ -888,18 +888,24 @@ class ClusterNode:
         if address is None:
             info = self.members.get(node_id)
             address = info.address if info else ""
+        # timeout_s is a TOTAL budget across all raft groups — a dead leader
+        # in one group must not multiply the caller's wait by the group count
+        deadline = time.monotonic() + timeout_s
         for raft in [self.raft, *self.data_rafts.values()]:
-            self._change_group_membership(raft, add=node_id,
-                                          timeout_s=timeout_s)
+            self._change_group_membership(
+                raft, add=node_id,
+                timeout_s=max(deadline - time.monotonic(), 0.05))
         self._propose({"op": "join", "node_id": node_id, "address": address})
 
     def remove_member(self, node_id: str, timeout_s: float = 10.0) -> None:
         """Runtime membership removal: drop the node from every raft group's
         voter set and replicate the leave (shards re-assign to survivors)."""
         self._propose({"op": "leave", "node_id": node_id})
+        deadline = time.monotonic() + timeout_s
         for raft in [self.raft, *self.data_rafts.values()]:
-            self._change_group_membership(raft, remove=node_id,
-                                          timeout_s=timeout_s)
+            self._change_group_membership(
+                raft, remove=node_id,
+                timeout_s=max(deadline - time.monotonic(), 0.05))
 
     @staticmethod
     def _change_group_membership(raft: RaftNode, add: Optional[str] = None,
@@ -1145,18 +1151,27 @@ class ClusterNode:
             # placement until the detector (3 missed beats) + raft repair
             # replace it — failing every write in that window is needless
             # unavailability when a retry lands on the promoted replica.
+            # Retry ONLY while the failure looks like failover in progress
+            # (primary unhealthy, or the placement re-pointed since the last
+            # attempt): a healthy primary failing the same way twice is a
+            # permanent error, and each retry re-sends the payload.
             deadline = time.monotonic() + max(
                 5.0, 6 * self.config.heartbeat_interval_s)
+            last_primary = None
             while True:
                 with self._state_lock:
                     info = self.shard_map.shards[sid]
                     primary, replicas = info.primary_node, list(info.replica_nodes)
+                    healthy = primary in set(self.healthy_node_ids())
                 try:
                     self.replication.replicate(payload, primary, replicas)
                     break
                 except ReplicationError:
                     if time.monotonic() >= deadline:
                         raise
+                    if healthy and primary == last_primary:
+                        raise
+                    last_primary = primary
                     time.sleep(0.1)  # failover repair re-points the primary
             written += len(group)
             if session is not None:

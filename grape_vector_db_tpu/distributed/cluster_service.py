@@ -125,11 +125,18 @@ class ClusterService:
         # Any node can sponsor, but a dead/partitioned one cannot forward to
         # the leaders — try each in turn (first sponsor may be mid-failure).
         last: Exception = UnavailableError("no sponsor")
-        per = max(timeout_s / max(len(self.nodes), 1), 3.0)
-        for sponsor in self.nodes.values():
+        # total budget honored: each sponsor gets an equal slice of what
+        # remains, and we stop when the budget is gone
+        deadline = time.monotonic() + timeout_s
+        sponsors = list(self.nodes.values())
+        for i, sponsor in enumerate(sponsors):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            per = max(remaining / (len(sponsors) - i), 1.0)
             try:
                 sponsor.add_member(node_id, address=f"inproc://{node_id}",
-                                   timeout_s=per)
+                                   timeout_s=min(per, remaining))
                 self.nodes[node_id] = node
                 return node
             except Exception as e:
@@ -143,15 +150,22 @@ class ClusterService:
         if node_id not in self.nodes:
             raise ConfigError(f"unknown node {node_id}")
         last: Exception = UnavailableError("no sponsor")
-        for nid, sponsor in self.nodes.items():
-            if nid == node_id:
-                continue
+        deadline = time.monotonic() + timeout_s
+        sponsors = [(nid, n) for nid, n in self.nodes.items()
+                    if nid != node_id]
+        done = False
+        for i, (nid, sponsor) in enumerate(sponsors):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            per = max(remaining / (len(sponsors) - i), 1.0)
             try:
-                sponsor.remove_member(node_id, timeout_s=timeout_s)
+                sponsor.remove_member(node_id, timeout_s=min(per, remaining))
+                done = True
                 break
             except Exception as e:
                 last = e
-        else:
+        if not done:
             raise last
         node = self.nodes.pop(node_id)
         node.stop()

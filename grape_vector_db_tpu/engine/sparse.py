@@ -62,47 +62,56 @@ def _is_cjk(ch: str) -> bool:
     )
 
 
+_UNSET = object()
+_TEXT_LIB: object = _UNSET
+_TEXT_LIB_LOCK = threading.Lock()
+
+
 def _native_text_lib():
     """ctypes handle to native/gvdb_text.cpp (built on demand; None when the
     toolchain is unavailable). The native loop implements the EXACT ASCII
     SimpleTokenizer semantics; non-ASCII stays on the Python path so Unicode
-    behavior is single-sourced."""
+    behavior is single-sourced. Build is locked and writes through an
+    atomically-renamed temp file — concurrent first users (multi-node
+    in-process clusters, multi-process tests) must not race g++ on the same
+    output path or CDLL a half-written library."""
     global _TEXT_LIB
-    if _TEXT_LIB is not _UNSET:
+    with _TEXT_LIB_LOCK:
+        if _TEXT_LIB is not _UNSET:
+            return _TEXT_LIB
+        try:
+            import ctypes
+            import os
+            import subprocess
+
+            ndir = os.path.abspath(os.path.join(
+                os.path.dirname(__file__), os.pardir, os.pardir, "native"))
+            so = os.path.join(ndir, "libgvdb_text.so")
+            src = os.path.join(ndir, "gvdb_text.cpp")
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(src)):
+                tmp = f"{so}.tmp.{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-fPIC", "-Wall", "-shared",
+                     "-o", tmp, src],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, so)
+            lib = ctypes.CDLL(so)
+            lib.gvdb_tokenize_counts.restype = ctypes.c_int32
+            lib.gvdb_tokenize_counts.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ]
+            _TEXT_LIB = lib
+        except Exception:
+            _TEXT_LIB = None
         return _TEXT_LIB
-    try:
-        import ctypes
-        import os
-        import subprocess
-
-        ndir = os.path.abspath(os.path.join(
-            os.path.dirname(__file__), os.pardir, os.pardir, "native"))
-        so = os.path.join(ndir, "libgvdb_text.so")
-        src = os.path.join(ndir, "gvdb_text.cpp")
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-fPIC", "-Wall", "-shared",
-                 "-o", so, src],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(so)
-        lib.gvdb_tokenize_counts.restype = ctypes.c_int32
-        lib.gvdb_tokenize_counts.argtypes = [
-            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        _TEXT_LIB = lib
-    except Exception:
-        _TEXT_LIB = None
-    return _TEXT_LIB
 
 
-_UNSET = object()
-_TEXT_LIB: object = _UNSET
-
-
-def _native_term_counts(lib, text: str) -> Tuple[Counter, int]:
+def _native_term_counts(lib, text: str) -> Optional[Tuple[Counter, int]]:
+    """None = input unsupported by the native loop (e.g. a single token
+    longer than the u16 record header) — caller falls back to Python."""
     import ctypes
     import struct
 
@@ -113,6 +122,8 @@ def _native_term_counts(lib, text: str) -> Tuple[Counter, int]:
         total = ctypes.c_int32(0)
         n = lib.gvdb_tokenize_counts(raw, len(raw), buf, cap,
                                      ctypes.byref(total))
+        if n == -(2**31):  # sentinel: token too long for the record format
+            return None
         if n >= 0:
             break
         cap = -n
@@ -159,7 +170,9 @@ class SimpleTokenizer:
         if self._native_ok and text.isascii():
             lib = _native_text_lib()
             if lib is not None:
-                return _native_term_counts(lib, text)
+                out = _native_term_counts(lib, text)
+                if out is not None:
+                    return out
         toks = self.tokenize(text)
         return Counter(toks), len(toks)
 

@@ -482,6 +482,7 @@ def sharded_ivf_topk(
     n_shards = mesh.shape[shard_axis]
     c_global = vecs.shape[1]
     c_local = c_global // n_shards
+    has_nblocks = nblocks is not None
 
     def spmd(q, cents, v, nrm, msk, *rest):
         b, _ = q.shape
@@ -498,7 +499,7 @@ def sharded_ivf_topk(
             from grape_vector_db_tpu.ops.ivf_pallas import ivf_probe_scores
 
             scores = ivf_probe_scores(qp, probe.astype(jnp.int32), v, rest[0],
-                                      nblocks=rest[1],
+                                      nblocks=rest[1] if has_nblocks else None,
                                       interpret=interpret)   # [B, P, C/S]
             if metric == "cosine":
                 scores = jnp.minimum(scores, 1.0)
@@ -549,12 +550,16 @@ def sharded_ivf_topk(
     if use_pallas:
         specs.append(P(None, None, shard_axis))
         operands.append(recip)
-        if nblocks is None:
-            from grape_vector_db_tpu.ops.ivf_pallas import RB
-
-            nblocks = jnp.full((vecs.shape[0],), c_local // RB, jnp.int32)
-        specs.append(P())
-        operands.append(nblocks)
+        if has_nblocks:
+            # A synthesized full-fetch default here would be WRONG for tiny
+            # local slices (c_local // RB == 0 -> zero DMA blocks, garbage
+            # scores); absent nblocks, ivf_probe_scores degrades correctly.
+            specs.append(P())
+            operands.append(nblocks)
+        else:
+            # keep rest[] positional shape stable for the spmd body
+            specs.append(P())
+            operands.append(jnp.zeros((0,), jnp.int32))
     qspec = P(replica_axis, None) if replica_axis else P()
     specs[0] = qspec
     return jax.shard_map(
@@ -602,11 +607,14 @@ def sharded_ivf_int8_topk(
     c_global = codes.shape[1]
     c_local = c_global // n_shards
     with_v = rescore > 0 and vecs is not None
+    has_nblocks = nblocks is not None
 
     def spmd(q, cents, cd, sc, nrm, msk, *rest):
         rest = list(rest)
         fct = rest.pop(0) if use_pallas else None
         nblk = rest.pop(0) if use_pallas else None
+        if not has_nblocks:
+            nblk = None
         v = rest[0] if rest else None
         b, _ = q.shape
         l = cd.shape[0]
@@ -689,12 +697,9 @@ def sharded_ivf_int8_topk(
     if use_pallas:
         specs.append(P(None, None, shard_axis))
         operands.append(factor)
-        if nblocks is None:
-            from grape_vector_db_tpu.ops.ivf_pallas import RB
-
-            nblocks = jnp.full((codes.shape[0],), c_local // RB, jnp.int32)
         specs.append(P())
-        operands.append(nblocks)
+        operands.append(nblocks if has_nblocks
+                        else jnp.zeros((0,), jnp.int32))
     if with_v:
         specs.append(cell)
         operands.append(vecs)

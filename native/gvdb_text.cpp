@@ -13,6 +13,7 @@
 //   gvdb_tokenize_counts(text, len, out, cap, &total) -> n_unique | -needed
 // Output records: [u16 token_len][token bytes][u32 count], tightly packed.
 
+#include <climits>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -67,6 +68,11 @@ int32_t gvdb_tokenize_counts(const char* text, int32_t n, char* out,
     }
     int64_t need = 0;
     for (const auto& kv : counts) {
+        if (kv.first.size() > 0xFFFF) {
+            // token exceeds the u16 record header — signal the binding to
+            // fall back to the Python path (INT32_MIN sentinel)
+            return INT32_MIN;
+        }
         need += 2 + static_cast<int64_t>(kv.first.size()) + 4;
     }
     if (need > cap) return static_cast<int32_t>(-need);

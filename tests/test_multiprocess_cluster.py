@@ -209,9 +209,8 @@ def test_runtime_join_fourth_process(tmp_path):
                                          timeout_s=5)
                          for n in ("n0", "n1", "n2")]
                 if all(
-                    sum(1 for m in i.members
-                        if m.node_id == "n3" and m.state != "failed") == 0
-                    or all(m.node_id != "n3" for m in i.members)
+                    all(m.node_id != "n3" or m.state == "failed"
+                        for m in i.members)
                     for i in infos
                 ):
                     ok = True
@@ -219,6 +218,7 @@ def test_runtime_join_fourth_process(tmp_path):
             except Exception:
                 pass
             time.sleep(0.5)
+        assert ok, "n3 never left the survivors' live membership"
         # survivors still serve reads after the removal
         sr = clients["n0"].search(list(vecs[7]), limit=3)
         assert not sr.error and sr.results and sr.results[0].id == "rj7"

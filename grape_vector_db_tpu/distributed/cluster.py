@@ -1151,27 +1151,30 @@ class ClusterNode:
             # placement until the detector (3 missed beats) + raft repair
             # replace it — failing every write in that window is needless
             # unavailability when a retry lands on the promoted replica.
-            # Retry ONLY while the failure looks like failover in progress
-            # (primary unhealthy, or the placement re-pointed since the last
-            # attempt): a healthy primary failing the same way twice is a
-            # permanent error, and each retry re-sends the payload.
+            # Retry discipline by FAILURE STAGE: a failed primary WRITE
+            # never landed (the primary is dead or dying — detection lags a
+            # beat), so retrying until failover re-points it is safe and
+            # duplicates nothing. Failed replica ACKS mean the primary write
+            # DID land — retry only when the placement changed, or each
+            # attempt re-sends the payload to a healthy primary.
             deadline = time.monotonic() + max(
                 5.0, 6 * self.config.heartbeat_interval_s)
-            last_primary = None
+            last_placement = None
             while True:
                 with self._state_lock:
                     info = self.shard_map.shards[sid]
                     primary, replicas = info.primary_node, list(info.replica_nodes)
-                    healthy = primary in set(self.healthy_node_ids())
+                placement = (primary, tuple(replicas))
                 try:
                     self.replication.replicate(payload, primary, replicas)
                     break
-                except ReplicationError:
+                except ReplicationError as e:
                     if time.monotonic() >= deadline:
                         raise
-                    if healthy and primary == last_primary:
+                    if (getattr(e, "stage", "") != "primary"
+                            and placement == last_placement):
                         raise
-                    last_primary = primary
+                    last_placement = placement
                     time.sleep(0.1)  # failover repair re-points the primary
             written += len(group)
             if session is not None:

@@ -114,7 +114,9 @@ class ReplicationManager:
         when the policy's confirmation rule can't be met."""
         policy = policy or self.policy
         if not self._write_one(primary, docs):
-            raise ReplicationError(f"primary write failed on {primary}")
+            e = ReplicationError(f"primary write failed on {primary}")
+            e.stage = "primary"  # nothing landed — safe for callers to retry
+            raise e
         total = 1 + len(replicas)
 
         if policy == SyncPolicy.ASYNCHRONOUS:
@@ -137,9 +139,11 @@ class ReplicationManager:
         except concurrent.futures.TimeoutError:
             pass
         if acks < needed:
-            raise ReplicationError(
+            e = ReplicationError(
                 f"{policy.value} replication got {acks}/{needed} acks"
             )
+            e.stage = "acks"  # the primary write DID land
+            raise e
         return WriteReceipt(acks=acks, total=total, policy=policy.value)
 
     # -- health / consistency ------------------------------------------------------

@@ -1159,7 +1159,6 @@ class ClusterNode:
             # attempt re-sends the payload to a healthy primary.
             deadline = time.monotonic() + max(
                 5.0, 6 * self.config.heartbeat_interval_s)
-            last_placement = None
             while True:
                 with self._state_lock:
                     info = self.shard_map.shards[sid]
@@ -1171,11 +1170,28 @@ class ClusterNode:
                 except ReplicationError as e:
                     if time.monotonic() >= deadline:
                         raise
-                    if (getattr(e, "stage", "") != "primary"
-                            and placement == last_placement):
+                    if getattr(e, "stage", "") == "primary":
+                        # nothing landed — safe to re-send as soon as
+                        # failover re-points the primary
+                        time.sleep(0.1)
+                        continue
+                    # The primary write LANDED; only replica acks fell short
+                    # (e.g. a dead replica awaiting top-up). Wait for the
+                    # PLACEMENT to change before retrying — re-sending
+                    # against the same placement just re-writes the primary
+                    # for the same ack outcome.
+                    changed = False
+                    while time.monotonic() < deadline:
+                        with self._state_lock:
+                            info = self.shard_map.shards[sid]
+                            now_p = (info.primary_node,
+                                     tuple(info.replica_nodes))
+                        if now_p != placement:
+                            changed = True
+                            break
+                        time.sleep(0.1)
+                    if not changed:
                         raise
-                    last_placement = placement
-                    time.sleep(0.1)  # failover repair re-points the primary
             written += len(group)
             if session is not None:
                 resp = self._call(primary, "data_version",

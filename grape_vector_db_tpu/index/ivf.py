@@ -465,6 +465,49 @@ class IvfDeviceIndex(VectorIndex):
 
     # -- maintenance ----------------------------------------------------------------
 
+    def tune_nprobe(self, queries: Optional[np.ndarray] = None, k: int = 10,
+                    target_recall: float = 0.95,
+                    max_nprobe: Optional[int] = None) -> int:
+        """Pick (and set) the smallest nprobe whose recall@k on a validation
+        query set meets ``target_recall``, measured against this index's own
+        exhaustive probe (nprobe = nlist) as the oracle. The recall/latency
+        knob the reference's IndexOptimizer never had — its IVF linear-
+        scanned regardless (index.rs:620-640).
+
+        ``queries`` defaults to a sample of the indexed vectors themselves
+        (the standard self-recall protocol). Each candidate nprobe is a
+        separate jit variant; candidates grow geometrically so the sweep
+        compiles O(log nlist) kernels."""
+        with self._lock:
+            if self.centroids is None or not self._id_to_cell:
+                return self.nprobe
+            if queries is None:
+                ids = list(self._id_to_cell)[:256]
+                queries = np.stack([
+                    self._host_row(*self._id_to_cell[i]) for i in ids
+                ]).astype(np.float32)
+        queries = np.asarray(queries, dtype=np.float32)
+        limit = min(max_nprobe or self.nlist, self.nlist)
+        saved = self.nprobe
+        chosen: Optional[int] = None
+        try:
+            self.nprobe = self.nlist
+            oracle = [frozenset(h[0] for h in row)
+                      for row in self.search_batch(queries, k)]
+            denom = sum(len(w) for w in oracle) or 1
+            cand = 1
+            while True:
+                self.nprobe = cand
+                got = self.search_batch(queries, k)
+                hits = sum(len(set(h[0] for h in row) & want)
+                           for row, want in zip(got, oracle))
+                if hits / denom >= target_recall or cand >= limit:
+                    chosen = cand
+                    return cand
+                cand = min(cand * 2, limit)
+        finally:
+            self.nprobe = chosen if chosen is not None else saved
+
     def optimize(self) -> None:
         """Retrain centroids on the full corpus and repack all lists (absorbs the
         overflow region) — the reference's IndexOptimizer trigger target

@@ -302,3 +302,35 @@ def test_ivf_optimize_keeps_pallas_alignment(rng):
     idx.optimize()
     assert idx.list_cap % 128 == 0, idx.list_cap
     assert idx.search_batch(rows[3:4], 1)[0][0][0] == "d3"
+
+
+def test_tune_nprobe_meets_recall_target(rng):
+    """tune_nprobe picks the smallest probe count whose self-recall@k meets
+    the target, measured against the exhaustive probe — the recall/latency
+    knob the reference's IndexOptimizer never had."""
+    from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+
+    dim, n = 32, 2000
+    centers = rng.standard_normal((16, dim)).astype(np.float32) * 4
+    vecs = (centers[rng.integers(0, 16, n)]
+            + 0.2 * rng.standard_normal((n, dim)).astype(np.float32))
+    idx = IvfDeviceIndex(dim, storage_dtype="float32", nlist=16, nprobe=16,
+                         use_pallas=False)
+    idx.add_batch([f"d{i}" for i in range(n)], vecs)
+
+    chosen = idx.tune_nprobe(k=5, target_recall=0.9)
+    assert idx.nprobe == chosen and 1 <= chosen <= 16
+
+    # the chosen setting actually delivers the target on fresh queries
+    q = vecs[:64] + 0.01 * rng.standard_normal((64, dim)).astype(np.float32)
+    saved = idx.nprobe
+    idx.nprobe = idx.nlist
+    oracle = [set(h[0] for h in row) for row in idx.search_batch(q, 5)]
+    idx.nprobe = saved
+    got = idx.search_batch(q, 5)
+    hits = sum(len(set(h[0] for h in row) & w) for row, w in zip(got, oracle))
+    assert hits / sum(len(w) for w in oracle) >= 0.85  # small holdout slack
+
+    # clustered data at nlist=16: the tuner should not need the exhaustive
+    # probe to reach 0.9
+    assert chosen < 16

@@ -56,7 +56,10 @@ def _pairwise_scores(q, cvecs, cnorms, metric):
 def _dedup_by_index(idxs, vals, keep_first_key):
     """Sort rows by (index, keep_first_key); repeated indices after the first
     occurrence get -inf value. keep_first_key=0 entries win ties."""
-    order_key = idxs.astype(jnp.int64) * 2 + keep_first_key.astype(jnp.int64)
+    # int32 on purpose: slot indices are < 2^30 (HBM bounds capacity long
+    # before), so idx*2+1 fits; jnp silently truncates int64 without x64
+    # enabled anyway, and the explicit dtype kills the per-call warning
+    order_key = idxs.astype(jnp.int32) * 2 + keep_first_key.astype(jnp.int32)
     order = jnp.argsort(order_key, axis=1)
     s_idx = jnp.take_along_axis(idxs, order, axis=1)
     s_val = jnp.take_along_axis(vals, order, axis=1)

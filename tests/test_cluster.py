@@ -896,7 +896,7 @@ def test_membership_change_survives_node_failure_mid_join():
         svc.stop()
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_membership_churn_converges(seed):
     """Randomized churn: interleaved node adds, removals, failures,
     recoveries, and writes. Invariants at the end: a single live leader,

@@ -169,6 +169,16 @@ class DeviceConfig:
     # Mesh axis names for corpus sharding / replication.
     shard_axis: str = "shard"
     replica_axis: str = "replica"
+    # Mesh construction for the sharded_* index kinds: corpus shards
+    # (None = every local device) and data-parallel replica lanes
+    # (n_replicas > 1 builds a 2D replica x shard mesh; the query batch
+    # splits over replicas, the corpus shards within each replica).
+    n_shards: Optional[int] = None
+    n_replicas: int = 1
+    # Auto-upgrade flat/ivf/ivf_int8 to their sharded twins when the host
+    # has more than one local device (ClusterNode turns this on: DCN
+    # scatter-gather between nodes, ICI shard_map within a node).
+    auto_shard: bool = False
     # Capacity bucket growth factor (re-jit happens per bucket).
     growth_factor: int = 2
     # Use pallas kernels where available (fall back to XLA otherwise).

@@ -58,8 +58,71 @@ class DatabaseStats:
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
-def build_index(config: VectorDbConfig) -> VectorIndex:
+def _build_sharded_index(kind: str, config: VectorDbConfig, mesh) -> VectorIndex:
+    """Mesh-sharded index kinds: the product path onto the multi-chip engines
+    (parallel/mesh.py). The reference's serving tier IS its scatter-gather
+    (shard.rs:759-901); here a node with >1 local device serves one SPMD
+    index over its ICI mesh instead of N independent single-device ones."""
+    from grape_vector_db_tpu.parallel import mesh as pmesh
+
+    dev = config.device
+    if mesh is None:
+        if dev.n_replicas > 1:
+            mesh = pmesh.make_mesh_2d(
+                dev.n_replicas, n_shards=dev.n_shards,
+                replica_axis=dev.replica_axis, shard_axis=dev.shard_axis,
+            )
+        else:
+            mesh = pmesh.make_mesh(n_shards=dev.n_shards,
+                                   shard_axis=dev.shard_axis)
+    replica = dev.replica_axis if dev.replica_axis in mesh.axis_names else None
+    n_sh = mesh.shape[dev.shard_axis]
+    if kind == "sharded_flat":
+        return pmesh.ShardedFlatIndex(
+            dimension=config.vector_dimension,
+            mesh=mesh,
+            metric=config.distance,
+            storage_dtype=dev.storage_dtype,
+            shard_capacity=max(128, -(-config.index.initial_capacity // n_sh)),
+            shard_axis=dev.shard_axis,
+            search_mode=dev.search_mode,
+            recall_target=dev.recall_target,
+            replica_axis=replica,
+        )
+    common = dict(
+        mesh=mesh,
+        shard_axis=dev.shard_axis,
+        replica_axis=replica,
+        metric=config.distance,
+        storage_dtype=dev.storage_dtype,
+        initial_capacity=config.index.initial_capacity,
+        growth_factor=dev.growth_factor,
+        nlist=config.index.nlist,
+        nprobe=config.index.nprobe,
+        search_mode=dev.search_mode,
+        recall_target=dev.recall_target,
+        use_pallas=dev.use_pallas,
+    )
+    if kind == "sharded_ivf":
+        return pmesh.ShardedIvfIndex(config.vector_dimension, **common)
+    if kind == "sharded_ivf_int8":
+        return pmesh.ShardedInt8IvfIndex(
+            config.vector_dimension, **common,
+            rescore=config.index.int8_rescore,
+            keep_bf16=config.index.ivf_int8_keep_bf16,
+        )
+    raise InvalidArgumentError(f"unknown sharded index kind: {kind}")
+
+
+def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
     kind = config.index.kind
+    if config.device.auto_shard and kind in ("flat", "ivf", "ivf_int8"):
+        import jax
+
+        if len(jax.devices()) > 1:
+            kind = "sharded_" + kind
+    if kind.startswith("sharded_"):
+        return _build_sharded_index(kind, config, mesh)
     common = dict(
         dimension=config.vector_dimension,
         metric=config.distance,
@@ -128,6 +191,18 @@ def build_index(config: VectorDbConfig) -> VectorIndex:
     raise InvalidArgumentError(f"unknown index kind: {kind}")
 
 
+def _stack_vectors(docs: Sequence[Document], dim: int) -> np.ndarray:
+    """[N, dim] f32 from per-doc vectors. ``Document.vector`` may be a numpy
+    array (the idiomatic way a Python caller holds embeddings) — that path
+    stacks without per-element conversion; Python lists pay the unavoidable
+    PyFloat->f32 walk (was the single largest slice of the write profile)."""
+    if isinstance(docs[0].vector, np.ndarray):
+        return np.stack(
+            [np.asarray(d.vector, dtype=np.float32) for d in docs]
+        ).reshape(len(docs), dim)
+    return np.asarray([d.vector for d in docs], dtype=np.float32)
+
+
 class VectorDatabase:
     def __init__(
         self,
@@ -135,6 +210,7 @@ class VectorDatabase:
         config: Optional[VectorDbConfig] = None,
         embedder: Optional[EmbeddingProvider] = None,
         store: Optional[DocumentStore] = None,
+        mesh=None,
     ):
         self.config = config or VectorDbConfig()
         if self.config.embedding.dimension != self.config.vector_dimension:
@@ -149,7 +225,7 @@ class VectorDatabase:
             )
         else:
             self.store = MemoryDocumentStore()
-        self.index = build_index(self.config)
+        self.index = build_index(self.config, mesh=mesh)
         self.sparse = SparseIndex(bm25=self.config.hybrid.bm25, config=self.config.sparse)
         self.embedder = embedder or create_provider(self.config.embedding)
         if self.config.cache.enabled:
@@ -214,11 +290,12 @@ class VectorDatabase:
             records = [DocumentRecord.from_document(d) for d in docs]
             self.store.batch_insert(records)
             ids = [d.id for d in docs]
-            vecs = np.asarray([d.vector for d in docs], dtype=np.float32)
+            vecs = _stack_vectors(docs, dim)
             self.index.add_batch(ids, vecs)
-            for d in docs:
-                self.sparse.add_document(d.id, f"{d.title or ''} {d.content}".strip())
-                self.filter_engine.index_document(d.id, d.metadata)
+            self.sparse.add_documents(
+                ids, [f"{d.title or ''} {d.content}".strip() for d in docs]
+            )
+            self.filter_engine.index_documents((d.id, d.metadata) for d in docs)
             self.engine.invalidate_cache()
             self.metrics.record_insert(len(docs))
             return ids

@@ -125,11 +125,18 @@ class ClusterNode:
         db_config: Optional[VectorDbConfig] = None,
         raft_config: Optional[RaftConfig] = None,
         data_path: Optional[str] = None,
+        auto_shard: bool = True,
     ):
         self.node_id = node_id
         self.address = address
         self.config = cluster_config or ClusterConfig()
         self.transport = transport
+        # Two-level scatter-gather (shard.rs:759-901, TPU-composed): DCN
+        # fan-out between cluster nodes (below), ICI shard_map within the
+        # node — a host with >1 local device serves one mesh-sharded index.
+        db_config = db_config or VectorDbConfig()
+        if auto_shard:
+            db_config.device.auto_shard = True
         self.db = VectorDatabase(path=data_path, config=db_config)
 
         # replicated cluster state (derived from applied raft commands)

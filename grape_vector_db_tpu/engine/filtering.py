@@ -92,34 +92,49 @@ class FilterEngine:
 
     def index_document(self, id_: str, metadata: Dict[str, Any]) -> None:
         with self._lock:
-            if id_ in self._doc_fields:
-                self._remove_locked(id_)
-            fields: Set[str] = set()
-            for path, v in _flatten(metadata or {}):
-                fields.add(path)
-                if _is_geo_dict(v):
-                    self._geo.setdefault(path, {})[id_] = (float(v["lat"]), float(v["lon"]))
-                elif isinstance(v, bool):
-                    self._value_index.setdefault(path, {}).setdefault(v, set()).add(id_)
-                elif isinstance(v, (int, float)):
-                    self._numeric.setdefault(path, {})[id_] = float(v)
-                    self._value_index.setdefault(path, {}).setdefault(v, set()).add(id_)
-                elif isinstance(v, str):
-                    self._text.setdefault(path, {})[id_] = v
-                    self._value_index.setdefault(path, {}).setdefault(v, set()).add(id_)
-                elif isinstance(v, (list, tuple)):
-                    self._arrays.setdefault(path, {})[id_] = list(v)
-                    for item in v:
-                        if isinstance(item, (str, int, float, bool)):
-                            self._value_index.setdefault(path, {}).setdefault(item, set()).add(id_)
-                elif v is None:
-                    fields.discard(path)  # null == absent for exists/is_null
-            self._doc_fields[id_] = fields
-            self._stats.indexed_documents = len(self._doc_fields)
-            self._stats.indexed_fields = len(
-                set(self._value_index) | set(self._numeric) | set(self._text) | set(self._geo)
-            )
-            self._stats.geo_points = sum(len(m) for m in self._geo.values())
+            self._index_locked(id_, metadata)
+            self._refresh_stats_locked()
+
+    def index_documents(self, items) -> None:
+        """Batch indexing: one lock acquisition and one stats refresh for the
+        whole ingest batch (the per-doc stats recompute walked every field
+        map per document — a measurable slice of the write path)."""
+        with self._lock:
+            for id_, metadata in items:
+                self._index_locked(id_, metadata)
+            self._refresh_stats_locked()
+
+    def _index_locked(self, id_: str, metadata: Dict[str, Any]) -> None:
+        if id_ in self._doc_fields:
+            self._remove_locked(id_)
+        fields: Set[str] = set()
+        for path, v in _flatten(metadata or {}):
+            fields.add(path)
+            if _is_geo_dict(v):
+                self._geo.setdefault(path, {})[id_] = (float(v["lat"]), float(v["lon"]))
+            elif isinstance(v, bool):
+                self._value_index.setdefault(path, {}).setdefault(v, set()).add(id_)
+            elif isinstance(v, (int, float)):
+                self._numeric.setdefault(path, {})[id_] = float(v)
+                self._value_index.setdefault(path, {}).setdefault(v, set()).add(id_)
+            elif isinstance(v, str):
+                self._text.setdefault(path, {})[id_] = v
+                self._value_index.setdefault(path, {}).setdefault(v, set()).add(id_)
+            elif isinstance(v, (list, tuple)):
+                self._arrays.setdefault(path, {})[id_] = list(v)
+                for item in v:
+                    if isinstance(item, (str, int, float, bool)):
+                        self._value_index.setdefault(path, {}).setdefault(item, set()).add(id_)
+            elif v is None:
+                fields.discard(path)  # null == absent for exists/is_null
+        self._doc_fields[id_] = fields
+
+    def _refresh_stats_locked(self) -> None:
+        self._stats.indexed_documents = len(self._doc_fields)
+        self._stats.indexed_fields = len(
+            set(self._value_index) | set(self._numeric) | set(self._text) | set(self._geo)
+        )
+        self._stats.geo_points = sum(len(m) for m in self._geo.values())
 
     def remove_document(self, id_: str) -> None:
         with self._lock:

@@ -18,6 +18,7 @@ gathers stay host-side.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -231,6 +232,7 @@ class ShardedFlatIndex(VectorIndex):
         search_chunk: int = 65536,
         search_mode: str = "exact",
         recall_target: float = 0.99,
+        replica_axis: Optional[str] = None,
     ):
         self._dim = dimension
         self.metric = metric
@@ -238,6 +240,14 @@ class ShardedFlatIndex(VectorIndex):
         self.recall_target = recall_target
         self.mesh = mesh if mesh is not None else make_mesh(shard_axis=shard_axis)
         self.shard_axis = shard_axis
+        # On a 2D (replica x shard) mesh the query batch splits over the
+        # replica axis (independent serving lanes); 1D meshes replicate it.
+        self.replica_axis = (
+            replica_axis if replica_axis in self.mesh.axis_names else None
+        )
+        self.n_replicas = (
+            self.mesh.shape[self.replica_axis] if self.replica_axis else 1
+        )
         self.n_shards = self.mesh.shape[shard_axis]
         self.shard_capacity = shard_capacity
         self.search_chunk = search_chunk
@@ -258,6 +268,9 @@ class ShardedFlatIndex(VectorIndex):
         self._next_in_shard = [0] * self.n_shards
         self._free: List[List[int]] = [[] for _ in range(self.n_shards)]
         self._rr = 0
+        # Update fns donate their buffers — searches hold this so they never
+        # read a donated-away array (repo convention, CLAUDE.md).
+        self._lock = threading.RLock()
 
     @property
     def dimension(self) -> int:
@@ -296,47 +309,60 @@ class ShardedFlatIndex(VectorIndex):
             keep = sorted(last.values())
             ids = [ids[p] for p in keep]
             vectors = vectors[keep]
-        slots = np.empty(len(ids), dtype=np.int32)
-        for i, id_ in enumerate(ids):
-            slot = self._id_to_slot.get(id_)
-            if slot is None:
-                slot = self._alloc_slot()
-                self._id_to_slot[id_] = slot
-                self._slot_to_id[slot] = id_
-            slots[i] = slot
-        norms = np.linalg.norm(vectors, axis=1).astype(np.float32)
-        m = next_bucket(len(ids), base=64)
-        self.vectors, self.norms, self.valid = _sharded_scatter_set(
-            self.vectors, self.norms, self.valid,
-            jax.device_put(jnp.asarray(pad_rows(slots, m, fill=PAD_SLOT)), self._repl),
-            jax.device_put(jnp.asarray(pad_rows(vectors, m)), self._repl),
-            jax.device_put(jnp.asarray(pad_rows(norms, m)), self._repl),
-        )
+        with self._lock:
+            new = sum(1 for i in ids if i not in self._id_to_slot)
+            if len(self._id_to_slot) + new > self.capacity:
+                # Auto-grow: re-place the corpus at doubled per-shard capacity
+                # (redistribute is the same O(N) device round-trip any growth
+                # copy pays; the mesh layout stays put).
+                cap = self.shard_capacity
+                while self.n_shards * cap < len(self._id_to_slot) + new:
+                    cap *= 2
+                self.redistribute(self.mesh, shard_capacity=cap)
+            slots = np.empty(len(ids), dtype=np.int32)
+            for i, id_ in enumerate(ids):
+                slot = self._id_to_slot.get(id_)
+                if slot is None:
+                    slot = self._alloc_slot()
+                    self._id_to_slot[id_] = slot
+                    self._slot_to_id[slot] = id_
+                slots[i] = slot
+            norms = np.linalg.norm(vectors, axis=1).astype(np.float32)
+            m = next_bucket(len(ids), base=64)
+            self.vectors, self.norms, self.valid = _sharded_scatter_set(
+                self.vectors, self.norms, self.valid,
+                jax.device_put(jnp.asarray(pad_rows(slots, m, fill=PAD_SLOT)), self._repl),
+                jax.device_put(jnp.asarray(pad_rows(vectors, m)), self._repl),
+                jax.device_put(jnp.asarray(pad_rows(norms, m)), self._repl),
+            )
 
     def remove_batch(self, ids: Sequence[str]) -> int:
-        slots = []
-        for i in ids:
-            s = self._id_to_slot.pop(i, None)
-            if s is not None:
-                self._slot_to_id[s] = None
-                self._free[s // self.shard_capacity].append(s)
-                slots.append(s)
-        if not slots:
-            return 0
-        m = next_bucket(len(slots), base=64)
-        self.valid = _sharded_invalidate(
-            self.valid,
-            jax.device_put(
-                jnp.asarray(pad_rows(np.asarray(slots, np.int32), m, fill=PAD_SLOT)), self._repl
-            ),
-        )
-        return len(slots)
+        with self._lock:
+            slots = []
+            for i in ids:
+                s = self._id_to_slot.pop(i, None)
+                if s is not None:
+                    self._slot_to_id[s] = None
+                    self._free[s // self.shard_capacity].append(s)
+                    slots.append(s)
+            if not slots:
+                return 0
+            m = next_bucket(len(slots), base=64)
+            self.valid = _sharded_invalidate(
+                self.valid,
+                jax.device_put(
+                    jnp.asarray(pad_rows(np.asarray(slots, np.int32), m, fill=PAD_SLOT)), self._repl
+                ),
+            )
+            return len(slots)
 
     def clear(self) -> None:
         self.__init__(
             self._dim, mesh=self.mesh, metric=self.metric,
             storage_dtype=str(self.storage_dtype), shard_capacity=self.shard_capacity,
             shard_axis=self.shard_axis, search_chunk=self.search_chunk,
+            search_mode=self.search_mode, recall_target=self.recall_target,
+            replica_axis=self.replica_axis,
         )
 
     # -- search ---------------------------------------------------------------------
@@ -353,38 +379,51 @@ class ShardedFlatIndex(VectorIndex):
         if queries.shape[1] != self._dim:
             raise DimensionMismatchError(self._dim, queries.shape[1])
         b = queries.shape[0]
-        if b == 0 or not self._id_to_slot:
-            return [[] for _ in range(b)]
-        bb = next_bucket(b, base=8)
-        q = jax.device_put(jnp.asarray(pad_rows(queries, bb)), self._repl)
-        chunk = min(self.search_chunk, self.shard_capacity)
-        valid = self.valid
-        if mask is not None:
-            # Mask rows are global-slot-aligned, i.e. already laid out per
-            # shard — device_put with the same row sharding and AND in place;
-            # the per-shard top-k then only scores allowed rows.
-            valid = jnp.logical_and(
-                valid,
-                jax.device_put(jnp.asarray(mask), self._vec_sharding),
-            )
-        vals, idxs = sharded_scored_topk(
-            q, self.vectors, self.norms, valid,
-            k=k, metric=self.metric, chunk=chunk, mesh=self.mesh,
-            shard_axis=self.shard_axis, mode=self.search_mode,
-            recall_target=self.recall_target,
-        )
-        vals, idxs = np.asarray(vals)[:b], np.asarray(idxs)[:b]
-        out: List[List[SearchHit]] = []
-        for rv, ri in zip(vals, idxs):
-            hits = []
-            for v, i in zip(rv, ri):
-                if not np.isfinite(v):
-                    continue
-                id_ = self._slot_to_id[int(i)]
-                if id_ is not None:
-                    hits.append((id_, float(v)))
-            out.append(hits)
-        return out
+        with self._lock:
+            if b == 0 or not self._id_to_slot:
+                return [[] for _ in range(b)]
+            bb = next_bucket(b, base=max(8, self.n_replicas))
+            chunk = min(self.search_chunk, self.shard_capacity)
+            valid = self.valid
+            if mask is not None:
+                # Mask rows are global-slot-aligned, i.e. already laid out per
+                # shard — device_put with the same row sharding and AND in place;
+                # the per-shard top-k then only scores allowed rows.
+                valid = jnp.logical_and(
+                    valid,
+                    jax.device_put(jnp.asarray(mask), self._vec_sharding),
+                )
+            if self.replica_axis:
+                q = jax.device_put(
+                    jnp.asarray(pad_rows(queries, bb)),
+                    NamedSharding(self.mesh, P(self.replica_axis, None)),
+                )
+                vals, idxs = replicated_sharded_topk(
+                    q, self.vectors, self.norms, valid,
+                    k=k, metric=self.metric, chunk=chunk, mesh=self.mesh,
+                    shard_axis=self.shard_axis, replica_axis=self.replica_axis,
+                    mode=self.search_mode, recall_target=self.recall_target,
+                )
+            else:
+                q = jax.device_put(jnp.asarray(pad_rows(queries, bb)), self._repl)
+                vals, idxs = sharded_scored_topk(
+                    q, self.vectors, self.norms, valid,
+                    k=k, metric=self.metric, chunk=chunk, mesh=self.mesh,
+                    shard_axis=self.shard_axis, mode=self.search_mode,
+                    recall_target=self.recall_target,
+                )
+            vals, idxs = np.asarray(vals)[:b], np.asarray(idxs)[:b]
+            out: List[List[SearchHit]] = []
+            for rv, ri in zip(vals, idxs):
+                hits = []
+                for v, i in zip(rv, ri):
+                    if not np.isfinite(v):
+                        continue
+                    id_ = self._slot_to_id[int(i)]
+                    if id_ is not None:
+                        hits.append((id_, float(v)))
+                out.append(hits)
+            return out
 
     # -- resharding (the reference's shard migration, shard.rs:925-1674) -------------
 
@@ -397,6 +436,8 @@ class ShardedFlatIndex(VectorIndex):
             storage_dtype=str(self.storage_dtype),
             shard_capacity=shard_capacity or self.shard_capacity,
             shard_axis=self.shard_axis, search_chunk=self.search_chunk,
+            search_mode=self.search_mode, recall_target=self.recall_target,
+            replica_axis=self.replica_axis,
         )
         if ids:
             self.add_batch(ids, vecs)
@@ -404,19 +445,21 @@ class ShardedFlatIndex(VectorIndex):
     # -- introspection ------------------------------------------------------------------
 
     def get_vector(self, id_: str) -> Optional[np.ndarray]:
-        slot = self._id_to_slot.get(id_)
-        if slot is None:
-            return None
-        return np.asarray(self.vectors[slot], dtype=np.float32)
+        with self._lock:
+            slot = self._id_to_slot.get(id_)
+            if slot is None:
+                return None
+            return np.asarray(self.vectors[slot], dtype=np.float32)
 
     def get_all(self) -> Tuple[List[str], np.ndarray]:
-        items = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
-        if not items:
-            return [], np.zeros((0, self._dim), dtype=np.float32)
-        ids = [i for i, _ in items]
-        slots = np.asarray([s for _, s in items], dtype=np.int64)
-        vecs = np.asarray(self.vectors, dtype=np.float32)[slots]
-        return ids, vecs
+        with self._lock:
+            items = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
+            if not items:
+                return [], np.zeros((0, self._dim), dtype=np.float32)
+            ids = [i for i, _ in items]
+            slots = np.asarray([s for _, s in items], dtype=np.int64)
+            vecs = np.asarray(self.vectors, dtype=np.float32)[slots]
+            return ids, vecs
 
     def get_stats(self) -> IndexStats:
         per_shard_live = [0] * self.n_shards
@@ -729,10 +772,17 @@ class ShardedIvfIndex(IvfDeviceIndex):
         dimension: int,
         mesh: Optional[Mesh] = None,
         shard_axis: str = "shard",
+        replica_axis: Optional[str] = None,
         **kwargs,
     ):
         self.mesh = mesh if mesh is not None else make_mesh(shard_axis=shard_axis)
         self.shard_axis = shard_axis
+        self.replica_axis = (
+            replica_axis if replica_axis in self.mesh.axis_names else None
+        )
+        self.n_replicas = (
+            self.mesh.shape[self.replica_axis] if self.replica_axis else 1
+        )
         self.n_shards = self.mesh.shape[shard_axis]
         self._cell_sharding = NamedSharding(self.mesh, P(None, shard_axis, None))
         self._cellv_sharding = NamedSharding(self.mesh, P(None, shard_axis))
@@ -798,6 +848,20 @@ class ShardedIvfIndex(IvfDeviceIndex):
         super().train(sample, seed=seed)
         self.centroids = jax.device_put(self.centroids, self._repl)
 
+    def _place_queries(self, qp: np.ndarray) -> jax.Array:
+        """Query placement: split over the replica axis on a 2D mesh (each
+        replica row serves its slice of the batch), replicated otherwise."""
+        if not self.replica_axis:
+            return jax.device_put(jnp.asarray(qp), self._repl)
+        r = self.n_replicas
+        bb = -(-qp.shape[0] // r) * r
+        if bb != qp.shape[0]:
+            qp = np.concatenate(
+                [qp, np.zeros((bb - qp.shape[0], qp.shape[1]), qp.dtype)])
+        return jax.device_put(
+            jnp.asarray(qp),
+            NamedSharding(self.mesh, P(self.replica_axis, None)))
+
     def _main_topk(self, qp: np.ndarray, k: int, mask):
         valid = self.valid
         if mask is not None:
@@ -805,7 +869,7 @@ class ShardedIvfIndex(IvfDeviceIndex):
                 valid,
                 jax.device_put(jnp.asarray(mask[0]), self._cellv_sharding),
             )
-        q_dev = jax.device_put(jnp.asarray(qp), self._repl)
+        q_dev = self._place_queries(qp)
         return sharded_ivf_topk(
             q_dev, self.centroids, self.vecs, self.norms, valid,
             k=k, nprobe=self.nprobe, metric=self.metric,
@@ -813,6 +877,7 @@ class ShardedIvfIndex(IvfDeviceIndex):
             recip=self.recip, use_pallas=self._use_pallas,
             interpret=self._pallas_interpret,
             nblocks=self._sharded_nblocks() if self._use_pallas else None,
+            replica_axis=self.replica_axis,
         )
 
 
@@ -893,7 +958,7 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
                 valid,
                 jax.device_put(jnp.asarray(mask[0]), self._cellv_sharding),
             )
-        q_dev = jax.device_put(jnp.asarray(qp), self._repl)
+        q_dev = self._place_queries(qp)
         r = self._rescore_count(k)
         return sharded_ivf_int8_topk(
             q_dev, self.centroids, self.codes, self.scales, self.norms,
@@ -903,4 +968,5 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
             factor=self.factor, use_pallas=self._use_pallas,
             interpret=self._pallas_interpret,
             nblocks=self._sharded_nblocks() if self._use_pallas else None,
+            replica_axis=self.replica_axis,
         )

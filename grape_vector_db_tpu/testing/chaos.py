@@ -92,6 +92,15 @@ class ChaosEngine:
         self.svc.upsert(base_docs)
         with lock:
             written_ids.extend(d.id for d in base_docs)
+        # Warm the search path BEFORE the chaos clock starts: the first query
+        # through a mesh-sharded index jit-compiles the shard_map program,
+        # and that one-time compile would otherwise be charged against the
+        # availability window (production serving warms up the same way —
+        # embedded.py's warmup phase).
+        try:
+            self.svc.search(base_docs[0].vector, k=3)
+        except Exception:
+            pass
 
         def reader() -> None:
             interval = 1.0 / max(exp.workload.read_qps, 0.1)

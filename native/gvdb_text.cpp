@@ -19,6 +19,7 @@
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
+#include <vector>
 
 namespace {
 
@@ -89,6 +90,105 @@ int32_t gvdb_tokenize_counts(const char* text, int32_t n, char* out,
     }
     if (total != nullptr) *total = tot;
     return static_cast<int32_t>(counts.size());
+}
+
+// Batch tokenizer: n_docs ASCII texts in ONE call (the write path calls this
+// once per ingest batch instead of once per document — ctypes call + buffer
+// overhead was ~1/3 of the sparse ingest profile).
+//
+// Inputs: concatenated text bytes + offsets[n_docs+1].
+// Outputs:
+//   term_table: packed [u16 len][bytes] records, one per UNIQUE term in the
+//       batch, in first-seen order; *n_terms receives the count.
+//   pair_doc / pair_term / pair_count: parallel i32 arrays, one entry per
+//       (document, unique-term) pair; pair_term indexes the term table.
+//   doc_total: per-document total token count (BM25 doc length).
+// Returns the number of pairs written; on insufficient capacity returns -1
+// with *need_terms / *need_pairs set to the required sizes (caller retries);
+// returns INT32_MIN when a token exceeds the u16 record header (caller falls
+// back to the Python path).
+int32_t gvdb_tokenize_batch(const char* texts, const int32_t* offsets,
+                            int32_t n_docs, char* term_table,
+                            int32_t term_cap, int32_t* n_terms,
+                            int32_t* pair_doc, int32_t* pair_term,
+                            int32_t* pair_count, int32_t pair_cap,
+                            int32_t* doc_total, int64_t* need_terms,
+                            int64_t* need_pairs) {
+    const auto& stop = stopwords();
+    std::unordered_map<std::string, int32_t> term_ids;
+    term_ids.reserve(1024);
+    std::vector<std::string> terms;
+    terms.reserve(1024);
+    std::vector<int32_t> p_doc, p_term, p_count;
+    p_doc.reserve(static_cast<size_t>(n_docs) * 8);
+    p_term.reserve(static_cast<size_t>(n_docs) * 8);
+    p_count.reserve(static_cast<size_t>(n_docs) * 8);
+
+    std::unordered_map<int32_t, uint32_t> counts;
+    std::string tok;
+    tok.reserve(24);
+    for (int32_t d = 0; d < n_docs; ++d) {
+        counts.clear();
+        int32_t tot = 0;
+        const int32_t beg = offsets[d], end = offsets[d + 1];
+        for (int32_t i = beg; i <= end; ++i) {
+            char c = (i < end) ? texts[i] : ' ';
+            if (c >= 'A' && c <= 'Z') c = static_cast<char>(c - 'A' + 'a');
+            const bool in_token =
+                (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_';
+            if (in_token) {
+                tok.push_back(c);
+                continue;
+            }
+            if (!tok.empty()) {
+                if (stop.find(tok) == stop.end()) {
+                    if (tok.size() > 0xFFFF) return INT32_MIN;
+                    auto it = term_ids.find(tok);
+                    int32_t tid;
+                    if (it == term_ids.end()) {
+                        tid = static_cast<int32_t>(terms.size());
+                        term_ids.emplace(tok, tid);
+                        terms.push_back(tok);
+                    } else {
+                        tid = it->second;
+                    }
+                    ++counts[tid];
+                    ++tot;
+                }
+                tok.clear();
+            }
+        }
+        doc_total[d] = tot;
+        for (const auto& kv : counts) {
+            p_doc.push_back(d);
+            p_term.push_back(kv.first);
+            p_count.push_back(static_cast<int32_t>(kv.second));
+        }
+    }
+
+    int64_t tneed = 0;
+    for (const auto& t : terms) tneed += 2 + static_cast<int64_t>(t.size());
+    const int64_t pneed = static_cast<int64_t>(p_doc.size());
+    if (tneed > term_cap || pneed > pair_cap) {
+        *need_terms = tneed;
+        *need_pairs = pneed;
+        return -1;
+    }
+    char* p = term_table;
+    for (const auto& t : terms) {
+        const uint16_t l = static_cast<uint16_t>(t.size());
+        std::memcpy(p, &l, 2);
+        p += 2;
+        std::memcpy(p, t.data(), l);
+        p += l;
+    }
+    *n_terms = static_cast<int32_t>(terms.size());
+    if (pneed > 0) {
+        std::memcpy(pair_doc, p_doc.data(), pneed * 4);
+        std::memcpy(pair_term, p_term.data(), pneed * 4);
+        std::memcpy(pair_count, p_count.data(), pneed * 4);
+    }
+    return static_cast<int32_t>(pneed);
 }
 
 }  // extern "C"

@@ -21,6 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
+# Persistent compilation cache: the suite compiles many shard_map programs
+# (every ClusterNode serves a mesh-sharded index now); caching them across
+# runs roughly halves repeat-suite wall clock.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gvdb_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

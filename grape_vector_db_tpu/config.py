@@ -70,9 +70,14 @@ class IndexConfig:
     # config, 1.5x memory). False = int8-only capacity config (~2x rows/chip;
     # search returns dequantized scores, no exact rescore).
     ivf_int8_keep_bf16: bool = True
-    # PQ parameters (kind="pq"): subspaces (None -> dim // 8) and bits/code
+    # PQ parameters (kind="pq"/"ivf_pq"): subspaces (None -> dim // 8),
+    # bits/code, residual coding, and the rescore plane ("bf16" shadow,
+    # "int8" shadow, or "none" = codes-only capacity tier).
     pq_n_sub: Optional[int] = None
     pq_nbits: int = 8
+    pq_residual: bool = True
+    pq_resident: str = "bf16"
+    pq_rescore_k: int = 256
 
 
 @dataclass

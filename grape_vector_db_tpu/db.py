@@ -155,6 +155,9 @@ def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
             nprobe=config.index.nprobe,
             n_sub=config.index.pq_n_sub,
             nbits=config.index.pq_nbits,
+            residual=config.index.pq_residual,
+            resident=config.index.pq_resident,
+            rescore_k=config.index.pq_rescore_k,
         )
     if kind == "pq":
         from grape_vector_db_tpu.index.pq import PqDeviceIndex

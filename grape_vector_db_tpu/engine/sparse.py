@@ -358,31 +358,41 @@ class SparseIndex:
             # Handles assigned in INPUT order for every doc (ascii or not) so
             # tie-breaking matches the per-doc path exactly.
             base = len(self._handle_doc)
-            handle_of_ascii = np.empty(len(ascii_ix), dtype=np.int64)
-            ascii_pos = {i: j for j, i in enumerate(ascii_ix)}
-            for i, d in enumerate(zip(doc_ids, texts)):
-                did, text = d
-                handle = base + i
-                self._handle_doc.append(did)
-                self._doc_handle[did] = handle
-                j = ascii_pos.get(i)
-                if j is not None:
-                    total = float(doc_tot[j])
-                    handle_of_ascii[j] = handle
-                    self._doc_len.append(total)
-                    self._total_len += total
-                else:
-                    # Unicode stays single-sourced on the Python tokenizer
-                    tf, total = self.tokenizer.term_frequencies(text)
-                    self._doc_len.append(float(total))
-                    self._total_len += total
-                    for term, count in tf.items():
-                        tid = self._term_id(term, create=True)
-                        if tid is None:
-                            continue
-                        post = self._postings[tid]
-                        post.handles.append(handle)
-                        post.tfs.append(float(count))
+            if len(ascii_ix) == len(doc_ids):
+                # all-ascii fast path: bulk container updates, no per-doc loop
+                n_docs = len(doc_ids)
+                handle_of_ascii = np.arange(base, base + n_docs, dtype=np.int64)
+                self._handle_doc.extend(doc_ids)
+                self._doc_handle.update(
+                    zip(doc_ids, range(base, base + n_docs)))
+                self._doc_len.extend(doc_tot.astype(np.float64).tolist())
+                self._total_len += float(doc_tot.sum())
+            else:
+                handle_of_ascii = np.empty(len(ascii_ix), dtype=np.int64)
+                ascii_pos = {i: j for j, i in enumerate(ascii_ix)}
+                for i, d in enumerate(zip(doc_ids, texts)):
+                    did, text = d
+                    handle = base + i
+                    self._handle_doc.append(did)
+                    self._doc_handle[did] = handle
+                    j = ascii_pos.get(i)
+                    if j is not None:
+                        total = float(doc_tot[j])
+                        handle_of_ascii[j] = handle
+                        self._doc_len.append(total)
+                        self._total_len += total
+                    else:
+                        # Unicode stays single-sourced on the Python tokenizer
+                        tf, total = self.tokenizer.term_frequencies(text)
+                        self._doc_len.append(float(total))
+                        self._total_len += total
+                        for term, count in tf.items():
+                            tid = self._term_id(term, create=True)
+                            if tid is None:
+                                continue
+                            post = self._postings[tid]
+                            post.handles.append(handle)
+                            post.tfs.append(float(count))
             self._live_docs += len(doc_ids)
             if len(pair_term) == 0:
                 return

@@ -229,6 +229,11 @@ class IvfDeviceIndex(VectorIndex):
         # centroids also make the stage-1 dot probe a true cosine affinity.
         return "spherical" if self.metric in ("cosine", "dot") else "l2"
 
+    def _auto_train_threshold(self) -> int:
+        """Corpus size that triggers auto-training on insert (seam: IVF-PQ
+        additionally needs 2^nbits rows to fit its codebooks)."""
+        return self.nlist * 4
+
     def train(self, sample: np.ndarray, seed: int = 0) -> None:
         """Fit centroids (index.rs train -> kmeans_clustering, but on device)."""
         sample = np.asarray(sample, dtype=np.float32)
@@ -257,7 +262,7 @@ class IvfDeviceIndex(VectorIndex):
             if existing:
                 self.remove_batch(existing)
             if self.centroids is None:
-                if len(self) + len(ids) >= self.nlist * 4:
+                if len(self) + len(ids) >= self._auto_train_threshold():
                     # Auto-train on first big enough batch (+ overflow backlog).
                     o_ids, o_vecs = self._overflow.get_all()
                     pool = np.concatenate([o_vecs, vectors]) if len(o_ids) else vectors
@@ -303,8 +308,10 @@ class IvfDeviceIndex(VectorIndex):
             lists_p = jnp.asarray(pad_rows(list_ids[keep], m, fill=PAD_SLOT))
             pos_p = jnp.asarray(pad_rows(positions[keep], m, fill=PAD_SLOT))
             vecs_p = jnp.asarray(pad_rows(kv, m))
-            norms_p = jnp.asarray(
-                pad_rows(np.linalg.norm(kv, axis=1).astype(np.float32), m))
+            # norms on device (host numpy norm dominated the write profile)
+            from grape_vector_db_tpu.index.flat import _row_norms
+
+            norms_p = _row_norms(vecs_p)
             self._scatter_rows(lists_p, pos_p, vecs_p, norms_p)
             self._post_scatter(lists_p, pos_p, vecs_p)
         if spill_idx:

@@ -327,13 +327,16 @@ class ShardedFlatIndex(VectorIndex):
                     self._id_to_slot[id_] = slot
                     self._slot_to_id[slot] = id_
                 slots[i] = slot
-            norms = np.linalg.norm(vectors, axis=1).astype(np.float32)
+            from grape_vector_db_tpu.index.flat import _row_norms
+
             m = next_bucket(len(ids), base=64)
+            vecs_d = jax.device_put(jnp.asarray(pad_rows(vectors, m)),
+                                    self._repl)
             self.vectors, self.norms, self.valid = _sharded_scatter_set(
                 self.vectors, self.norms, self.valid,
                 jax.device_put(jnp.asarray(pad_rows(slots, m, fill=PAD_SLOT)), self._repl),
-                jax.device_put(jnp.asarray(pad_rows(vectors, m)), self._repl),
-                jax.device_put(jnp.asarray(pad_rows(norms, m)), self._repl),
+                vecs_d,
+                _row_norms(vecs_d),
             )
 
     def remove_batch(self, ids: Sequence[str]) -> int:

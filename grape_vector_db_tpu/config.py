@@ -78,6 +78,9 @@ class IndexConfig:
     pq_residual: bool = True
     pq_resident: str = "bf16"
     pq_rescore_k: int = 256
+    # When kind="ivf_int8_proj": PCA projection width (128-aligned, < dim) —
+    # the MXU-native capacity tier (~dim/proj_dim x more rows/chip than int8)
+    proj_dim: int = 384
 
 
 @dataclass
@@ -88,6 +91,9 @@ class BinaryQuantizationConfig:
     threshold: float = 0.0
     rescore_ratio: float = 0.1
     enable_cache: bool = True
+    # False = codes-only capacity config: 32x compression, Hamming ranking
+    # (the reference's BinaryVectorStore promise, quantization.rs:286-354).
+    keep_vectors: bool = True
 
 
 @dataclass

@@ -139,6 +139,7 @@ def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
             **common,
             threshold=config.quantization.threshold,
             rescore_ratio=config.index.rescore_ratio,
+            keep_vectors=config.quantization.keep_vectors,
         )
     if kind == "ivf":
         from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
@@ -177,6 +178,17 @@ def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
 
         return Int8IvfDeviceIndex(
             **common,
+            nlist=config.index.nlist,
+            nprobe=config.index.nprobe,
+            rescore=config.index.int8_rescore,
+            keep_bf16=config.index.ivf_int8_keep_bf16,
+        )
+    if kind == "ivf_int8_proj":
+        from grape_vector_db_tpu.index.ivf_proj import ProjectedInt8IvfIndex
+
+        return ProjectedInt8IvfIndex(
+            **common,
+            proj_dim=config.index.proj_dim,
             nlist=config.index.nlist,
             nprobe=config.index.nprobe,
             rescore=config.index.int8_rescore,

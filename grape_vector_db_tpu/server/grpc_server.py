@@ -247,7 +247,7 @@ class VectorDbServicer:
                     content=d.content,
                     language=d.language or None,
                     doc_type=d.doc_type or None,
-                    vector=list(d.vector) if d.vector else None,
+                    vector=list(d.vector) if d.vector else None,  # proto repeated: empty = absent
                     metadata=_str_map_to_payload(d.metadata),
                 )
                 for d in req.documents
@@ -266,7 +266,7 @@ class VectorDbServicer:
             document=pb.Document(
                 id=doc.id, title=doc.title or "", content=doc.content,
                 language=doc.language or "", doc_type=doc.doc_type or "",
-                vector=doc.vector or [],
+                vector=list(doc.vector) if doc.vector is not None else [],
                 metadata=_payload_to_str_map(doc.metadata),
             ),
         )

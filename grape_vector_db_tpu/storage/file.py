@@ -325,7 +325,9 @@ class FileDocumentStore(DocumentStore):
 
     def get_stats(self) -> StorageStats:
         raw = sum(
-            len(r.content or "") + 4 * len(r.embedding or []) + len(str(r.metadata))
+            len(r.content or "")
+            + 4 * (len(r.embedding) if r.embedding is not None else 0)
+            + len(str(r.metadata))
             for r in self._docs.values()
         )
         disk = 0

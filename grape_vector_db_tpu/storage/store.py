@@ -227,7 +227,11 @@ class MemoryDocumentStore(DocumentStore):
             return [(k, v) for k, v in self._kv.items() if k.startswith(prefix)]
 
     def get_stats(self) -> StorageStats:
-        approx = sum(len(r.content) + 8 * len(r.embedding or []) for r in self._docs.values())
+        approx = sum(
+            len(r.content)
+            + 8 * (len(r.embedding) if r.embedding is not None else 0)
+            for r in self._docs.values()
+        )
         return StorageStats(document_count=len(self._docs), estimated_size_bytes=approx)
 
     def create_backup(self, backup_path: str) -> Dict[str, Any]:

@@ -222,3 +222,42 @@ def test_padded_scatter_writes_no_phantom_slots(rng):
     # 40 docs pad to 64: the phantom would land at (last list, last cell)
     assert np.asarray(ivf.valid).sum() == 40
     assert float(np.asarray(ivf.recip)[-1, 0, -1]) == 0.0
+
+
+def test_binary_capacity_config_codes_only(rng):
+    """keep_vectors=False: only packed codes resident (32x), Hamming ranking,
+    sign-vector reconstruction, deletes/growth work without the bf16 plane."""
+    from grape_vector_db_tpu.index.binary import BinaryDeviceIndex
+
+    d, n = 64, 600
+    centers = rng.standard_normal((12, d)).astype(np.float32) * 3
+    pts = np.concatenate(
+        [c + 0.3 * rng.standard_normal((50, d)).astype(np.float32) for c in centers])
+    ids = [f"b{i}" for i in range(len(pts))]
+    idx = BinaryDeviceIndex(d, storage_dtype="float32", initial_capacity=256,
+                            keep_vectors=False)
+    idx.add_batch(ids, pts)   # grows 256 -> 1024 without a vectors plane
+    assert idx.vectors is None and idx.capacity >= n
+
+    # Hamming ranking retrieves the right cluster (sign structure survives)
+    hits = idx.search_batch(pts[7:8], 10)[0]
+    assert hits, "no hits"
+    got_cluster = {int(h[0][1:]) // 50 for h in hits}
+    assert 0 in got_cluster, hits[:3]
+    assert all(0.0 <= h[1] <= 1.0 for h in hits)  # similarity = 1 - d/D
+
+    # delete + re-add against the codes-only planes
+    assert idx.remove_batch(["b7"]) == 1
+    hits = idx.search_batch(pts[7:8], 5)[0]
+    assert all(h[0] != "b7" for h in hits)
+
+    # reconstruction: unit-norm sign vector, positively correlated
+    v = idx.get_vector("b8")
+    assert v is not None and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    cos = float(v @ pts[8] / np.linalg.norm(pts[8]))
+    assert cos > 0.5, cos
+
+    # 32x memory claim realized
+    st = idx.get_stats()
+    assert st.extra["keep_vectors"] == 0.0
+    assert st.memory_usage_mb < 0.012 * idx.capacity / 100  # ~9 B/row at 64-d

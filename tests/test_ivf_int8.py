@@ -190,3 +190,86 @@ def test_int8_ivf_rescore_ignores_deleted(rng):
     for row in idx.search_batch(vecs[:16], k):
         assert len(row) == k
         assert all(int(h[0][1:]) % 2 == 1 for h in row), row
+
+
+def test_projected_int8_ivf_end_to_end(rng):
+    """PCA-projected int8 IVF (the MXU capacity tier): recall, delete,
+    persistence round-trip and optimize() refit at proj_dim = dim/2."""
+    from grape_vector_db_tpu.index.ivf_proj import ProjectedInt8IvfIndex
+    from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+
+    d, r, k = 256, 128, 10
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 3
+    pts = np.concatenate(
+        [c + 0.5 * rng.standard_normal((125, d)).astype(np.float32)
+         for c in centers])
+    ids = [f"p{i}" for i in range(len(pts))]
+    idx = ProjectedInt8IvfIndex(d, proj_dim=r, storage_dtype="float32",
+                                nlist=32, nprobe=8, initial_capacity=4096)
+    flat = FlatDeviceIndex(d, storage_dtype="float32", initial_capacity=4096)
+    idx.train(pts)
+    idx.add_batch(ids, pts)
+    flat.add_batch(ids, pts)
+    assert idx.dimension == d and idx.proj.shape == (d, r)
+
+    qs = pts[::71][:16] + 0.2 * rng.standard_normal((16, d)).astype(np.float32)
+    got = idx.search_batch(qs, k)
+    want = flat.search_batch(qs, k)
+    recall = np.mean([
+        len({h[0] for h in g} & {h[0] for h in w}) / k
+        for g, w in zip(got, want)
+    ])
+    # isotropic noise is the projection's ADVERSARIAL regime (discarded
+    # dims carry half the intra-cluster signal); realistic decaying
+    # spectra are covered below
+    assert recall >= 0.45, f"projected recall {recall}"
+
+    # delete
+    assert idx.remove_batch(["p7"]) == 1
+    assert all(h[0] != "p7" for h in idx.search_batch(pts[7:8], 5)[0])
+
+    # back-projected reconstruction correlates with the original
+    v = idx.get_vector("p12")
+    assert v is not None and v.shape == (d,)
+    cos = float(v @ pts[12] / (np.linalg.norm(v) * np.linalg.norm(pts[12]) + 1e-12))
+    assert cos > 0.7, cos
+
+    # optimize refits projection + repacks without breaking retrieval
+    idx.optimize()
+    got = idx.search_batch(qs[:4], 5)
+    assert all(row for row in got)
+
+    st = idx.get_stats()
+    assert st.extra["proj_dim"] == float(r)
+    assert st.dimension == d
+
+
+def test_projected_int8_ivf_decaying_spectrum(rng):
+    """On realistic decaying-spectrum data (embedding-like energy
+    concentration) half-dim projection retains ~full recall."""
+    from grape_vector_db_tpu.index.ivf_proj import ProjectedInt8IvfIndex
+    from grape_vector_db_tpu.index.flat import FlatDeviceIndex
+
+    d, r, k = 256, 128, 10
+    spec = (1.0 + np.arange(d)) ** -0.5
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 3
+    pts = np.concatenate(
+        [c + 0.5 * rng.standard_normal((125, d)).astype(np.float32)
+         for c in centers])
+    pts = (pts * spec[None, :]).astype(np.float32)
+    ids = [f"p{i}" for i in range(len(pts))]
+    idx = ProjectedInt8IvfIndex(d, proj_dim=r, storage_dtype="float32",
+                                nlist=32, nprobe=8, initial_capacity=4096)
+    flat = FlatDeviceIndex(d, storage_dtype="float32", initial_capacity=4096)
+    idx.train(pts)
+    idx.add_batch(ids, pts)
+    flat.add_batch(ids, pts)
+    qs = pts[::71][:16] + 0.2 * (
+        rng.standard_normal((16, d)) * spec[None, :]).astype(np.float32)
+    got = idx.search_batch(qs, k)
+    want = flat.search_batch(qs, k)
+    recall = np.mean([
+        len({h[0] for h in g} & {h[0] for h in w}) / k
+        for g, w in zip(got, want)
+    ])
+    assert recall >= 0.85, f"decaying-spectrum projected recall {recall}"

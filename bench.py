@@ -49,7 +49,11 @@ def main() -> None:
 
     # ---------------------------------------------------------------- helpers
 
-    def timed_fori(step_fn, q0, *operands, its: int = iters) -> float:
+    def timed_fori_reps(step_fn, q0, *operands, its: int = iters,
+                        reps: int = 3):
+        """(best_ms, median_ms) over ``reps`` timed loop executions — the
+        sub-ms rows ride relay variance (documented 2-3x run-to-run), so
+        the matrix records both the best draw and the median."""
         @jax.jit
         def loop(q, *ops):
             def body(i, acc):
@@ -59,12 +63,17 @@ def main() -> None:
             return lax.fori_loop(0, its, body, jnp.float32(0))
 
         float(np.asarray(loop(q0, *operands)))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
+        times = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(np.asarray(loop(q0, *operands)))
-            best = min(best, time.perf_counter() - t0)
-        return max(best - 0.025, 1e-9) * 1e3 / its
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        to_ms = lambda t: max(t - 0.025, 1e-9) * 1e3 / its
+        return to_ms(times[0]), to_ms(times[len(times) // 2])
+
+    def timed_fori(step_fn, q0, *operands, its: int = iters) -> float:
+        return timed_fori_reps(step_fn, q0, *operands, its=its)[0]
 
     def recall_vs(oracle_ids, hits_rows) -> float:
         got = 0
@@ -197,23 +206,52 @@ def main() -> None:
 
     from grape_vector_db_tpu.index.ivf import IvfDeviceIndex, _ivf_topk
 
+    def step_ivf(q, cents, iv, inr, ival):
+        return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=16,
+                         metric="cosine")
+
+    # Representative row: clustered corpus + corpus-drawn queries — the
+    # regime IVF exists for (VERDICT r2 item 6). The random-data point stays
+    # below as a separately-labeled adversarial row.
+    ncent100 = max(2048 // SCALE, 4)
+    centers100 = rng.standard_normal((ncent100, DIM)).astype(np.float32)
+    cid100 = rng.integers(0, ncent100, n)
+    cvecs = (centers100[cid100]
+             + 0.25 * rng.standard_normal((n, DIM))).astype(np.float32)
+    ivf_c = IvfDeviceIndex(dimension=DIM, metric="cosine",
+                           storage_dtype="bfloat16", initial_capacity=cap,
+                           nlist=256 // SCALE or 4, nprobe=16,
+                           train_size=50_000 // SCALE)
+    for i in range(0, n, 8192):
+        ivf_c.add_batch(ids[i:i + 8192], cvecs[i:i + 8192])
+    cq100 = (cvecs[:: n // BATCH][:BATCH]
+             + 0.05 * rng.standard_normal((BATCH, DIM))).astype(np.float32)
+    cqn = cq100[:8] / np.linalg.norm(cq100[:8], axis=1, keepdims=True)
+    cvn = cvecs / np.linalg.norm(cvecs, axis=1, keepdims=True)
+    oracle_c = np.argsort(-(cqn @ cvn.T), axis=1)[:, :K]
+    del cvn
+    ms = timed_fori(step_ivf, jnp.asarray(cq100), ivf_c.centroids, ivf_c.vecs,
+                    ivf_c.norms, ivf_c.valid)
+    matrix["ivf_100k_nprobe16"] = {
+        "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
+        "recall": round(recall_vs(oracle_c,
+                                  ivf_c.search_batch(cq100[:8], K)), 3),
+        "note": "clustered corpus, corpus-drawn queries (representative)",
+    }
+    del ivf_c, cvecs
+
     ivf = IvfDeviceIndex(dimension=DIM, metric="cosine",
                          storage_dtype="bfloat16", initial_capacity=cap,
                          nlist=256 // SCALE or 4, nprobe=16,
                          train_size=50_000 // SCALE)
     for i in range(0, n, 8192):
         ivf.add_batch(ids[i:i + 8192], vecs[i:i + 8192])
-
-    def step_ivf(q, cents, iv, inr, ival):
-        return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=16,
-                         metric="cosine")
-
     ms = timed_fori(step_ivf, q_dev, ivf.centroids, ivf.vecs, ivf.norms,
                     ivf.valid)
-    matrix["ivf_100k_nprobe16"] = {
+    matrix["ivf_100k_random_adversarial"] = {
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "recall": round(recall_vs(oracle, ivf.search_batch(queries[:8], K)), 3),
-        "note": "random data is IVF's worst case; see docs/benchmarks.md for clustered",
+        "note": "random data is IVF's worst case (kept as the honest adversarial point)",
     }
     del ivf
 
@@ -381,7 +419,8 @@ def main() -> None:
                                interpret=interp)
 
     its_np = 32 if SCALE == 1 else 1
-    ms = timed_fori(step_np, qc, cents, iv, recip, nblk, its=its_np)
+    ms, ms_med = timed_fori_reps(step_np, qc, cents, iv, recip, nblk,
+                                 its=its_np, reps=5)
 
     # recall vs the exact oracle over the same (padded) universe
     nn_tot = nlist * cap1
@@ -402,8 +441,10 @@ def main() -> None:
     ns_qps = round(BATCH / ms * 1e3, 0)
     matrix["ivf_pallas_1M_clustered_nprobe1"] = {
         "batch_ms": round(ms, 3), "qps": ns_qps,
+        "batch_ms_median": round(ms_med, 3),
+        "qps_median": round(BATCH / ms_med * 1e3, 0),
         "recall": round(float(rec_np), 4),
-        "note": "Pallas DMA probe; 16k-cluster corpus, corpus-drawn queries",
+        "note": "Pallas DMA probe; 16k-cluster corpus, corpus-drawn queries; best + median of 5 reps (relay variance)",
     }
 
     # int8 variant of the same probe: half the DMA bytes per list. Quantize
@@ -437,7 +478,8 @@ def main() -> None:
                                     metric="cosine", nblocks=nblk,
                                     interpret=interp)
 
-    ms8 = timed_fori(step_np8, qc, cents, codes1m, factor1m, nblk, its=its_np)
+    ms8, ms8_med = timed_fori_reps(step_np8, qc, cents, codes1m, factor1m,
+                                   nblk, its=its_np, reps=5)
     _, s8 = jax.jit(step_np8)(qc, cents, codes1m, factor1m, nblk)
     rec_8 = np.mean([
         len(set(a.tolist()) & set(b.tolist())) / K
@@ -445,8 +487,10 @@ def main() -> None:
     ])
     matrix["ivf_int8_pallas_1M_clustered_nprobe1"] = {
         "batch_ms": round(ms8, 3), "qps": round(BATCH / ms8 * 1e3, 0),
+        "batch_ms_median": round(ms8_med, 3),
+        "qps_median": round(BATCH / ms8_med * 1e3, 0),
         "recall": round(float(rec_8), 4),
-        "note": "int8-resident lists: half the DMA bytes (capacity config)",
+        "note": "int8-resident lists: half the DMA bytes (capacity config); best + median of 5 reps",
     }
     del codes1m, factor1m
     del iv, inr, ival, recip

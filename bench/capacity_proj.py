@@ -77,18 +77,28 @@ def main() -> None:
         k1, k2, key = random.split(key, 3)
         block_keys.append((k1, k2))
 
-    # ---- projection + centroids from a sample (first half-block) ----------
+    # ---- projection + centroids ------------------------------------------
+    # The projection needs only a modest sample; k-means at nlist=16k needs
+    # a LARGE one (65k rows = 4 rows/list produced 24x list skew and an
+    # OOM-sized cap on the first attempt) — train on 4 blocks via the
+    # chunked kmeans (bounded [chunk, K] planes).
     sample = gen_block(*block_keys[0], centers)[:65_536].astype(jnp.float32)
     cov = lax.dot_general(sample, sample, (((0,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)
     _, evecs = jnp.linalg.eigh(cov)
     proj = evecs[:, ::-1][:, :R]                     # [D, R]
-    psample = sample @ proj
+    del sample, cov, evecs
     log("projection fitted")
-    cents, _ = kmeans(psample, k=NLIST, iters=8, seed=0, mode="spherical")
+    train_blocks = min(4, NBLOCKS)
+    psample = jnp.concatenate([
+        (gen_block(*block_keys[i], centers).astype(jnp.float32) @ proj)
+        for i in range(train_blocks)
+    ])
+    cents, _ = kmeans(psample, k=NLIST, iters=8, seed=0, mode="spherical",
+                      chunk=min(8192, psample.shape[0]))
     cents.block_until_ready()
-    del sample, psample, cov, evecs
-    log(f"k-means done (nlist={NLIST})")
+    del psample
+    log(f"k-means done (nlist={NLIST}, sample={train_blocks * BLK})")
 
     # ---- pass 1: counts ---------------------------------------------------
     @jax.jit
@@ -103,9 +113,18 @@ def main() -> None:
         assigns.append(a)
         counts = counts + jnp.bincount(a, length=NLIST)
     counts.block_until_ready()
-    cap = int(((int(np.asarray(counts.max())) + 127) // 128) * 128)
-    fill = n_total / (NLIST * cap)
-    log(f"pass 1 done: cap={cap} avg_fill={fill:.2f}")
+    counts_np = np.asarray(counts)
+    cap = int(((int(counts_np.max()) + 127) // 128) * 128)
+    # HBM guard: clamp pathological skew; overflowing rows drop (mode="drop"
+    # in the scatter) and are charged against recall via the exact oracle.
+    cap_max = int(os.environ.get("CAP_MAX", "4096"))
+    dropped = 0
+    if cap > cap_max:
+        cap = cap_max
+        dropped = int(np.maximum(counts_np - cap, 0).sum())
+    fill = (n_total - dropped) / (NLIST * cap)
+    log(f"pass 1 done: cap={cap} avg_fill={fill:.2f} dropped={dropped} "
+        f"({dropped / n_total:.2%})")
 
     # ---- allocate resident planes ----------------------------------------
     codes = jnp.zeros((NLIST, cap, R), jnp.int8)
@@ -249,6 +268,7 @@ def main() -> None:
         "resident_gib": round(resident_gb, 2),
         "bytes_per_row_resident": R + 4 + 4 + 1 + 32,
         "ingest_rows_per_s": round(n_total / ingest_s, 0),
+        "dropped_rows": dropped,
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "recall_at_10_exact_fulldim_oracle": round(rec, 4),
         "backend": jax.default_backend(),

@@ -52,7 +52,9 @@ def _scatter_invalidate(valid, slots):
     return valid.at[slots].set(False, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0, 1, 2))
+# No donation: a grown output cannot alias the smaller input buffer, so
+# donating only produced "donated buffers were not usable" warnings.
+@functools.partial(jax.jit, static_argnames=("new_cap",))
 def _grow(vectors, norms, valid, new_cap: int):
     pad = new_cap - vectors.shape[0]
     vectors = jnp.pad(vectors, ((0, pad), (0, 0)))

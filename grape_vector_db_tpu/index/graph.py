@@ -1,5 +1,12 @@
 """GraphDeviceIndex — the HNSW-equivalent: bulk-built k-NN graph + batched beam.
 
+STATUS: EXPERIMENTAL (r3 decision, measured). A beam hop costs ~1 ms on v5e
+(gather 0.74 + merge 0.20 + dedup 0.06 ms at B=128, ops/graph.py), so graph
+search loses to the flat MXU scan at <=1M rows and to the IVF Pallas probe at
+every scale; the >=10M capacity role is served by ivf_int8 / ivf_int8_proj.
+Kept (tested, maintained) for users porting HNSW-shaped workloads — see
+README "Graph index status".
+
 Replaces the reference's HNSW index (index.rs:68-310) with the TPU-correct
 design from SURVEY.md §7.1 step 3:
 

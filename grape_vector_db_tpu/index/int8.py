@@ -38,7 +38,7 @@ def _scatter_int8(codes, scales, slots, new_vecs):
     return codes, scales
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("new_cap",))
+@functools.partial(jax.jit, static_argnames=("new_cap",))
 def _grow_int8(codes, scales, new_cap: int):
     pad = new_cap - codes.shape[0]
     return (jnp.pad(codes, ((0, pad), (0, 0))), jnp.pad(scales, ((0, pad),)))

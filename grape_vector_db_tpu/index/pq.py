@@ -35,7 +35,7 @@ def _scatter_codes(codes, slots, new_codes):
     return codes.at[slots].set(new_codes, mode="drop")
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap",))
+@functools.partial(jax.jit, static_argnames=("new_cap",))
 def _grow_codes(codes, new_cap: int):
     return jnp.pad(codes, ((0, new_cap - codes.shape[0]), (0, 0)))
 

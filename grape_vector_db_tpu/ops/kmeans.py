@@ -51,15 +51,21 @@ def assign_clusters(x: jax.Array, centroids: jax.Array,
     return jnp.argmin(_pairwise_sq_dist(x, centroids), axis=-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "mode"))
+@functools.partial(jax.jit, static_argnames=("k", "iters", "mode", "chunk"))
 def kmeans(
-    x: jax.Array, k: int, iters: int = 10, seed: int = 0, mode: str = "l2"
+    x: jax.Array, k: int, iters: int = 10, seed: int = 0, mode: str = "l2",
+    chunk: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd's algorithm on device. Returns (centroids [k, D], assignment [N]).
 
     x must be f32 [N, D] with N >= k. mode="spherical" runs spherical k-means
     (unit-norm centroids, cosine assignment) — the correct variant for
     cosine/dot metrics.
+
+    ``chunk``: process the sample in row chunks of this size (N % chunk == 0).
+    The unchunked form materializes [N, K] one-hot/affinity planes — at
+    k=16384 that is 4 GiB per 65k rows, so large-nlist training at large
+    sample sizes needs the chunked scan (same fixed point, bounded VMEM/HBM).
     """
     n, d = x.shape
     key = jax.random.PRNGKey(seed)
@@ -69,14 +75,34 @@ def kmeans(
         x = _l2n(x)
         centroids = _l2n(centroids)
 
-    def step(centroids, _):
-        assign = assign_clusters(x, centroids, mode=mode)
-        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)      # [N, K]
+    def accumulate(centroids, xc):
+        assign = assign_clusters(xc, centroids, mode=mode)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)      # [C, K]
         counts = jnp.sum(one_hot, axis=0)                           # [K]
         sums = lax.dot_general(
-            one_hot, x, (((0,), (0,)), ((), ())),
+            one_hot, xc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                           # [K, D]
+        return sums, counts
+
+    use_chunks = chunk is not None and chunk < n and n % chunk == 0
+    if use_chunks:
+        xc_all = x.reshape(n // chunk, chunk, d)
+
+    def step(centroids, _):
+        if use_chunks:
+            def body(carry, xc):
+                s, c = carry
+                ds, dc = accumulate(centroids, xc)
+                return (s + ds, c + dc), None
+
+            (sums, counts), _ = lax.scan(
+                body,
+                (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+                xc_all,
+            )
+        else:
+            sums, counts = accumulate(centroids, x)
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
         if mode == "spherical":
             new_c = _l2n(new_c)
@@ -85,4 +111,11 @@ def kmeans(
         return new_c, None
 
     centroids, _ = lax.scan(step, centroids, None, length=iters)
-    return centroids, assign_clusters(x, centroids, mode=mode)
+    if use_chunks:
+        assign = jnp.concatenate([
+            assign_clusters(xc_all[i], centroids, mode=mode)
+            for i in range(n // chunk)
+        ])
+    else:
+        assign = assign_clusters(x, centroids, mode=mode)
+    return centroids, assign

@@ -97,6 +97,29 @@ class MetricsCollector:
         with self._lock:
             self._gauges[name] = value
 
+    def record_hbm(self) -> None:
+        """Sample device memory occupancy into gauges (SURVEY §2.2 metrics
+        row: HBM gauge). TPU runtimes report bytes_in_use / bytes_limit via
+        ``Device.memory_stats()``; backends without stats (CPU) are a no-op.
+        Called by snapshot(), so /metrics always carries a fresh sample."""
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats()
+        except Exception:
+            return
+        if not stats:
+            return
+        used = stats.get("bytes_in_use")
+        limit = stats.get("bytes_limit")
+        with self._lock:
+            if used is not None:
+                self._gauges["hbm_bytes_in_use"] = float(used)
+            if limit:
+                self._gauges["hbm_bytes_limit"] = float(limit)
+                if used is not None:
+                    self._gauges["hbm_occupancy"] = float(used) / float(limit)
+
     def _trim(self, now: float) -> None:
         cutoff = now - self._qps_window_s
         while self._query_times and self._query_times[0] < cutoff:
@@ -112,6 +135,7 @@ class MetricsCollector:
         return sorted_vals[idx]
 
     def snapshot(self) -> PerformanceMetrics:
+        self.record_hbm()
         with self._lock:
             lats = sorted(self._latencies)
             self._trim(time.monotonic())

@@ -8,12 +8,19 @@ rows/chip of 768-d int8, ~3.6x bf16.
 
 Build is streamed (the full-precision corpus never resides on chip):
   pass 1  generate clustered blocks (deterministic PRNG), fit projection +
-          spherical k-means on a sample, assign every block, count lists
-  pass 2  regenerate blocks, project, quantize, scatter into [L, cap] planes;
-          simultaneously fold each full-precision block into a running EXACT
-          top-10 for the query batch — the oracle is exact over all 16M rows
-          at full 768-d precision, so recall charges projection + int8 +
-          nprobe loss together.
+          spherical k-means on a 512k sample (chunked k-means), take TOP-2
+          nearest lists per row
+  place   host-side capacity-constrained placement: first-choice list while
+          it has room, else second choice, else drop — k-means list-size
+          skew otherwise forces a cap sized to the LARGEST list (first
+          attempt: fill 0.25 -> 28 GiB of padding -> OOM); second-choice
+          spill bounds cap near the MEAN fill at a tiny recall cost (the
+          row sits in an adjacent probed list)
+  pass 2  regenerate blocks, project, quantize, scatter at the placed
+          (list, pos); simultaneously fold each full-precision block into a
+          running EXACT top-10 for the query batch — the oracle is exact
+          over all 16M rows at full 768-d precision, so recall charges
+          projection + int8 + nprobe + placement loss together.
 
 Corpus: clustered with a j^-0.5 decaying spectrum (embedding-like energy
 concentration — the regime a projection tier is FOR; the isotropic
@@ -40,6 +47,7 @@ BLK = int(os.environ.get("CAP_BLK", "131072"))
 NBLOCKS = int(os.environ.get("CAP_BLOCKS", "128"))
 NPROBE = int(os.environ.get("CAP_NPROBE", "2"))
 NLIST = int(os.environ.get("CAP_NLIST", "16384"))
+PAD_SLOT = 1 << 30  # never -1: JAX wraps negative scatter indices pre-drop
 
 
 def main() -> None:
@@ -50,7 +58,7 @@ def main() -> None:
     from grape_vector_db_tpu.ops.ivf_pallas import (
         ivf_pallas_supported, make_factor, nblocks_from_counts,
         pallas_ivf_topk_int8)
-    from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
+    from grape_vector_db_tpu.ops.kmeans import kmeans
 
     n_total = NBLOCKS * BLK
     t_start = time.time()
@@ -71,17 +79,12 @@ def main() -> None:
         x = x * spec[None, :]
         return x.astype(jnp.bfloat16)
 
-    # deterministic per-block keys
     block_keys = []
     for _ in range(NBLOCKS):
         k1, k2, key = random.split(key, 3)
         block_keys.append((k1, k2))
 
     # ---- projection + centroids ------------------------------------------
-    # The projection needs only a modest sample; k-means at nlist=16k needs
-    # a LARGE one (65k rows = 4 rows/list produced 24x list skew and an
-    # OOM-sized cap on the first attempt) — train on 4 blocks via the
-    # chunked kmeans (bounded [chunk, K] planes).
     sample = gen_block(*block_keys[0], centers)[:65_536].astype(jnp.float32)
     cov = lax.dot_general(sample, sample, (((0,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)
@@ -100,31 +103,70 @@ def main() -> None:
     del psample
     log(f"k-means done (nlist={NLIST}, sample={train_blocks * BLK})")
 
-    # ---- pass 1: counts ---------------------------------------------------
+    # ---- pass 1: top-2 nearest lists per row ------------------------------
     @jax.jit
-    def assign_block(k1, k2, cents_full, proj, cents):
+    def assign2_block(k1, k2, cents_full, proj, cents):
         x = gen_block(k1, k2, cents_full).astype(jnp.float32) @ proj
-        return assign_clusters(x, cents, mode="spherical")
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = lax.dot_general(x, cents, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        _, top2 = lax.top_k(sims, 2)
+        return top2.astype(jnp.int32)                # [BLK, 2]
 
-    counts = jnp.zeros((NLIST,), jnp.int32)
-    assigns = []
-    for i, (k1, k2) in enumerate(block_keys):
-        a = assign_block(k1, k2, centers, proj, cents)
-        assigns.append(a)
-        counts = counts + jnp.bincount(a, length=NLIST)
-    counts.block_until_ready()
-    counts_np = np.asarray(counts)
-    cap = int(((int(counts_np.max()) + 127) // 128) * 128)
-    # HBM guard: clamp pathological skew; overflowing rows drop (mode="drop"
-    # in the scatter) and are charged against recall via the exact oracle.
-    cap_max = int(os.environ.get("CAP_MAX", "4096"))
-    dropped = 0
-    if cap > cap_max:
-        cap = cap_max
-        dropped = int(np.maximum(counts_np - cap, 0).sum())
-    fill = (n_total - dropped) / (NLIST * cap)
-    log(f"pass 1 done: cap={cap} avg_fill={fill:.2f} dropped={dropped} "
-        f"({dropped / n_total:.2%})")
+    top2_np = []
+    for k1, k2 in block_keys:
+        top2_np.append(np.asarray(assign2_block(k1, k2, centers, proj, cents)))
+    log("pass 1 done (top-2 assignments)")
+
+    # ---- host placement: capacity-constrained first/second choice ---------
+    mean_fill = n_total / NLIST
+    cap = int(os.environ.get(
+        "CAP_TARGET", ((int(mean_fill * 1.3) + 127) // 128) * 128))
+
+    def block_rank(a):
+        """Per-list arrival rank within one block (vectorized)."""
+        order = np.argsort(a, kind="stable")
+        a_s = a[order]
+        idx = np.arange(len(a), dtype=np.int64)
+        new = np.ones(len(a), bool)
+        new[1:] = a_s[1:] != a_s[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = np.empty(len(a), np.int64)
+        rank[order] = idx - seg_start
+        return rank
+
+    fill = np.zeros(NLIST, np.int64)
+    placed_list, placed_pos = [], []
+    spilled = dropped = 0
+    for t2 in top2_np:
+        a1, a2 = t2[:, 0].astype(np.int64), t2[:, 1].astype(np.int64)
+        r1 = block_rank(a1)
+        keep1 = r1 < (cap - fill[a1])
+        lst = np.where(keep1, a1, -1)
+        pos = np.where(keep1, fill[a1] + r1, 0)
+        # overflow rows try their second-choice list
+        ov = ~keep1
+        if ov.any():
+            a2o = a2[ov]
+            # capacity remaining in the second-choice list after this
+            # block's first-choice placements land there
+            used1 = np.bincount(a1[keep1], minlength=NLIST)
+            r2 = block_rank(a2o)
+            rem2 = cap - fill[a2o] - used1[a2o]
+            keep2 = r2 < rem2
+            lst_o = np.where(keep2, a2o, -1)
+            pos_o = np.where(keep2, fill[a2o] + used1[a2o] + r2, 0)
+            lst[ov] = lst_o
+            pos[ov] = pos_o
+            spilled += int(keep2.sum())
+            dropped += int((~keep2).sum())
+        fill += np.bincount(lst[lst >= 0], minlength=NLIST)
+        placed_list.append(np.where(lst >= 0, lst, PAD_SLOT).astype(np.int64))
+        placed_pos.append(np.where(lst >= 0, pos, PAD_SLOT).astype(np.int64))
+    assert int(fill.max()) <= cap
+    log(f"placement done: cap={cap} fill={n_total / (NLIST * cap):.2f} "
+        f"spilled={spilled} ({spilled / n_total:.2%}) "
+        f"dropped={dropped} ({dropped / n_total:.2%})")
 
     # ---- allocate resident planes ----------------------------------------
     codes = jnp.zeros((NLIST, cap, R), jnp.int8)
@@ -135,7 +177,6 @@ def main() -> None:
     log(f"planes allocated: {resident_gb:.2f} GiB resident (incl. factor)")
 
     # ---- pass 2: scatter + streamed exact oracle --------------------------
-    # queries drawn from block 0 rows + noise (full-dim)
     kq, key = random.split(key)
     qblock = gen_block(*block_keys[0], centers).astype(jnp.float32)
     queries = qblock[:: BLK // BATCH][:BATCH] + 0.02 * (
@@ -144,7 +185,7 @@ def main() -> None:
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def scatter_block(codes, scales, norms, valid, k1, k2, cents_full, proj,
-                      a, next_pos, ov, oi, q, blk_off):
+                      lst, pos, ov, oi, q, blk_off):
         xf = gen_block(k1, k2, cents_full).astype(jnp.float32)
         # exact full-dim oracle fold for this block
         s = (q @ xf.T) / jnp.maximum(
@@ -155,37 +196,26 @@ def main() -> None:
         mi = jnp.concatenate([oi, bi + blk_off], axis=1)
         mvals, mpos = lax.top_k(mv, K)
         ov, oi = mvals, jnp.take_along_axis(mi, mpos, axis=1)
-        # project + quantize + position within lists
+        # project + quantize + scatter at host-placed (list, pos)
         xp = xf @ proj
         nrm = jnp.linalg.norm(xp, axis=1)
         sc = jnp.max(jnp.abs(xp), axis=1) / 127.0
         xi = jnp.clip(jnp.round(xp / jnp.maximum(sc[:, None], 1e-12)),
                       -127, 127).astype(jnp.int8)
-        order = jnp.argsort(a)
-        a_s = a[order]
-        # rank within equal-assign groups of the sorted block
-        idx = jnp.arange(BLK, dtype=jnp.int32)
-        seg_start = jnp.where(
-            jnp.concatenate([jnp.ones(1, jnp.bool_), a_s[1:] != a_s[:-1]]),
-            idx, 0)
-        seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
-        rank = idx - seg_start
-        pos = next_pos[a_s] + rank
-        codes = codes.at[a_s, pos].set(xi[order], mode="drop")
-        scales = scales.at[a_s, pos].set(sc[order], mode="drop")
-        norms = norms.at[a_s, pos].set(nrm[order], mode="drop")
-        valid = valid.at[a_s, pos].set(True, mode="drop")
-        next_pos = next_pos + jnp.bincount(a, length=NLIST)
-        return codes, scales, norms, valid, next_pos, ov, oi
+        codes = codes.at[lst, pos].set(xi, mode="drop")
+        scales = scales.at[lst, pos].set(sc, mode="drop")
+        norms = norms.at[lst, pos].set(nrm, mode="drop")
+        valid = valid.at[lst, pos].set(True, mode="drop")
+        return codes, scales, norms, valid, ov, oi
 
-    next_pos = jnp.zeros((NLIST,), jnp.int32)
     ov = jnp.full((BATCH, K), -jnp.inf, jnp.float32)
     oi = jnp.zeros((BATCH, K), jnp.int32)
     t0 = time.perf_counter()
     for i, (k1, k2) in enumerate(block_keys):
-        codes, scales, norms, valid, next_pos, ov, oi = scatter_block(
+        codes, scales, norms, valid, ov, oi = scatter_block(
             codes, scales, norms, valid, k1, k2, centers, proj,
-            assigns[i], next_pos, ov, oi, queries, jnp.int32(i * BLK))
+            jnp.asarray(placed_list[i]), jnp.asarray(placed_pos[i]),
+            ov, oi, queries, jnp.int32(i * BLK))
     valid.block_until_ready()
     ingest_s = time.perf_counter() - t0
     log(f"pass 2 done: {n_total} rows ingested in {ingest_s:.1f}s "
@@ -194,38 +224,17 @@ def main() -> None:
 
     factor = make_factor(scales, norms, valid)
     del scales
-    nblk = nblocks_from_counts(next_pos)
+    nblk = nblocks_from_counts(jnp.asarray(fill.astype(np.int32)))
     interp = not ivf_pallas_supported()
 
-    # engine slot -> global row id mapping needs per-(list,pos) provenance;
-    # instead compare by EXACT SCORE EQUIVALENCE: recompute each oracle row's
-    # (list, pos) from its generation order. Global row g sits in list
-    # a_g at position: rank of g among same-list rows up to its block.
-    # We reconstruct this on host from the saved per-block assignments.
-    log("building oracle (list,pos) map on host")
-    assigns_np = [np.asarray(a) for a in assigns]
-    run = np.zeros(NLIST, np.int64)
+    # oracle global row id -> engine (list, pos) straight from the placement
     want_cells = {}
-    goals = set(int(g) for g in oracle_slots.ravel())
-    for b in range(NBLOCKS):
-        g0 = b * BLK
-        sel = [g - g0 for g in goals if g0 <= g < g0 + BLK]
-        if sel:
-            a = assigns_np[b]
-            # vectorized per-list rank within the block (stable sort order
-            # matches the device scatter's argsort placement)
-            order = np.argsort(a, kind="stable")
-            a_s = a[order]
-            idx = np.arange(BLK, dtype=np.int64)
-            new = np.ones(BLK, bool)
-            new[1:] = a_s[1:] != a_s[:-1]
-            seg_start = np.maximum.accumulate(np.where(new, idx, 0))
-            rank = np.empty(BLK, np.int64)
-            rank[order] = idx - seg_start
-            for j in sel:
-                want_cells[g0 + j] = (int(a[j]), int(run[a[j]] + rank[j]))
-        run += np.bincount(assigns_np[b], minlength=NLIST)
-    del assigns, assigns_np
+    for g in set(int(x) for x in oracle_slots.ravel()):
+        b, j = divmod(g, BLK)
+        l_, p_ = int(placed_list[b][j]), int(placed_pos[b][j])
+        if l_ < NLIST:
+            want_cells[g] = (l_, p_)
+        # dropped rows stay unmapped — charged against recall
 
     def step(q, cents, codes, factor, nblk):
         return pallas_ivf_topk_int8(q, cents, codes, factor, k=K,
@@ -244,7 +253,6 @@ def main() -> None:
     log(f"recall@10 vs exact full-dim oracle: {rec:.4f}")
 
     iters = 32
-    from jax import lax as _lax
 
     @jax.jit
     def loop(q, cents, codes, factor, nblk):
@@ -252,7 +260,7 @@ def main() -> None:
             qq = q * (1.0 + acc * 1e-9)
             vals, _ = step(qq, cents, codes, factor, nblk)
             return acc * 0.5 + vals[0, 0] * 1e-6
-        return _lax.fori_loop(0, iters, body, jnp.float32(0))
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
 
     float(np.asarray(loop(qp, cents, codes, factor, nblk)))
     best = float("inf")
@@ -268,7 +276,7 @@ def main() -> None:
         "resident_gib": round(resident_gb, 2),
         "bytes_per_row_resident": R + 4 + 4 + 1 + 32,
         "ingest_rows_per_s": round(n_total / ingest_s, 0),
-        "dropped_rows": dropped,
+        "spilled_rows": spilled, "dropped_rows": dropped,
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "recall_at_10_exact_fulldim_oracle": round(rec, 4),
         "backend": jax.default_backend(),

@@ -21,6 +21,7 @@ EXAMPLES = [
     "int8_ivf_demo",
     "openai_compatible",
     "runtime_scaling_demo",
+    "sharded_mesh_demo",
 ]
 
 EX_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "examples")

@@ -103,25 +103,27 @@ def main() -> None:
     del psample
     log(f"k-means done (nlist={NLIST}, sample={train_blocks * BLK})")
 
-    # ---- pass 1: top-2 nearest lists per row ------------------------------
+    # ---- pass 1: top-C nearest lists per row ------------------------------
+    NCHOICE = 4
+
     @jax.jit
-    def assign2_block(k1, k2, cents_full, proj, cents):
+    def assignc_block(k1, k2, cents_full, proj, cents):
         x = gen_block(k1, k2, cents_full).astype(jnp.float32) @ proj
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sims = lax.dot_general(x, cents, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-        _, top2 = lax.top_k(sims, 2)
-        return top2.astype(jnp.int32)                # [BLK, 2]
+        _, topc = lax.top_k(sims, NCHOICE)
+        return topc.astype(jnp.int32)                # [BLK, NCHOICE]
 
-    top2_np = []
+    topc_np = []
     for k1, k2 in block_keys:
-        top2_np.append(np.asarray(assign2_block(k1, k2, centers, proj, cents)))
-    log("pass 1 done (top-2 assignments)")
+        topc_np.append(np.asarray(assignc_block(k1, k2, centers, proj, cents)))
+    log(f"pass 1 done (top-{NCHOICE} assignments)")
 
     # ---- host placement: capacity-constrained first/second choice ---------
     mean_fill = n_total / NLIST
     cap = int(os.environ.get(
-        "CAP_TARGET", ((int(mean_fill * 1.3) + 127) // 128) * 128))
+        "CAP_TARGET", ((int(mean_fill * 1.45) + 127) // 128) * 128))
 
     def block_rank(a):
         """Per-list arrival rank within one block (vectorized)."""
@@ -138,29 +140,27 @@ def main() -> None:
     fill = np.zeros(NLIST, np.int64)
     placed_list, placed_pos = [], []
     spilled = dropped = 0
-    for t2 in top2_np:
-        a1, a2 = t2[:, 0].astype(np.int64), t2[:, 1].astype(np.int64)
-        r1 = block_rank(a1)
-        keep1 = r1 < (cap - fill[a1])
-        lst = np.where(keep1, a1, -1)
-        pos = np.where(keep1, fill[a1] + r1, 0)
-        # overflow rows try their second-choice list
-        ov = ~keep1
-        if ov.any():
-            a2o = a2[ov]
-            # capacity remaining in the second-choice list after this
-            # block's first-choice placements land there
-            used1 = np.bincount(a1[keep1], minlength=NLIST)
-            r2 = block_rank(a2o)
-            rem2 = cap - fill[a2o] - used1[a2o]
-            keep2 = r2 < rem2
-            lst_o = np.where(keep2, a2o, -1)
-            pos_o = np.where(keep2, fill[a2o] + used1[a2o] + r2, 0)
-            lst[ov] = lst_o
-            pos[ov] = pos_o
-            spilled += int(keep2.sum())
-            dropped += int((~keep2).sum())
-        fill += np.bincount(lst[lst >= 0], minlength=NLIST)
+    for tc in topc_np:
+        blk_n = tc.shape[0]
+        lst = np.full(blk_n, -1, np.int64)
+        pos = np.zeros(blk_n, np.int64)
+        used = np.zeros(NLIST, np.int64)  # placed this block
+        for c in range(NCHOICE):
+            un = np.nonzero(lst < 0)[0]
+            if un.size == 0:
+                break
+            a_c = tc[un, c].astype(np.int64)
+            r = block_rank(a_c)
+            keep = r < (cap - fill[a_c] - used[a_c])
+            tgt = un[keep]
+            a_k = a_c[keep]
+            pos[tgt] = fill[a_k] + used[a_k] + r[keep]
+            lst[tgt] = a_k
+            used += np.bincount(a_k, minlength=NLIST)
+            if c > 0:
+                spilled += int(keep.sum())
+        dropped += int((lst < 0).sum())
+        fill += used
         placed_list.append(np.where(lst >= 0, lst, PAD_SLOT).astype(np.int64))
         placed_pos.append(np.where(lst >= 0, pos, PAD_SLOT).astype(np.int64))
     assert int(fill.max()) <= cap
@@ -236,55 +236,71 @@ def main() -> None:
             want_cells[g] = (l_, p_)
         # dropped rows stay unmapped — charged against recall
 
-    def step(q, cents, codes, factor, nblk):
-        return pallas_ivf_topk_int8(q, cents, codes, factor, k=K,
-                                    nprobe=NPROBE, metric="cosine",
-                                    rescore=0, vecs=None, recip=None,
-                                    nblocks=nblk, interpret=interp)
-
     qp = queries @ proj  # the engine searches in projected space
-    _, si = jax.jit(step)(qp, cents, codes, factor, nblk)
-    si = np.asarray(si)  # engine slots: list * cap + pos
-    got_cells = [{(int(s) // cap, int(s) % cap) for s in row} for row in si]
-    rec = float(np.mean([
-        len({want_cells[g] for g in orow if g in want_cells} & grow) / K
-        for orow, grow in zip(oracle_slots, got_cells)
-    ]))
-    log(f"recall@10 vs exact full-dim oracle: {rec:.4f}")
+    nprobes = [int(x) for x in
+               os.environ.get("CAP_NPROBES", str(NPROBE)).split(",")]
+    for nprobe in nprobes:
+        def step(q, cents, codes, factor, nblk, nprobe=nprobe):
+            return pallas_ivf_topk_int8(q, cents, codes, factor, k=K,
+                                        nprobe=nprobe, metric="cosine",
+                                        rescore=0, vecs=None, recip=None,
+                                        nblocks=nblk, interpret=interp)
 
-    iters = 32
+        _, si = jax.jit(step)(qp, cents, codes, factor, nblk)
+        si = np.asarray(si)  # engine slots: list * cap + pos
+        got_cells = [{(int(s) // cap, int(s) % cap) for s in row}
+                     for row in si]
+        # raw recall charges dropped oracle rows; reachable recall is
+        # conditional on the oracle row having been placed at all
+        hits_raw = hits_reach = denom_reach = 0
+        for orow, grow in zip(oracle_slots, got_cells):
+            for g in orow:
+                cell = want_cells.get(int(g))
+                if cell is None:
+                    continue
+                denom_reach += 1
+                if cell in grow:
+                    hits_raw += 1
+                    hits_reach += 1
+        rec = hits_raw / (len(oracle_slots) * K)
+        rec_reach = hits_reach / max(denom_reach, 1)
+        log(f"nprobe={nprobe}: recall@10 raw={rec:.4f} "
+            f"reachable={rec_reach:.4f}")
 
-    @jax.jit
-    def loop(q, cents, codes, factor, nblk):
-        def body(i, acc):
-            qq = q * (1.0 + acc * 1e-9)
-            vals, _ = step(qq, cents, codes, factor, nblk)
-            return acc * 0.5 + vals[0, 0] * 1e-6
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
+        iters = 32
 
-    float(np.asarray(loop(qp, cents, codes, factor, nblk)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+        @jax.jit
+        def loop(q, cents, codes, factor, nblk):
+            def body(i, acc):
+                qq = q * (1.0 + acc * 1e-9)
+                vals, _ = step(qq, cents, codes, factor, nblk)
+                return acc * 0.5 + vals[0, 0] * 1e-6
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+
         float(np.asarray(loop(qp, cents, codes, factor, nblk)))
-        best = min(best, time.perf_counter() - t0)
-    ms = max(best - 0.025, 1e-9) * 1e3 / iters
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(qp, cents, codes, factor, nblk)))
+            best = min(best, time.perf_counter() - t0)
+        ms = max(best - 0.025, 1e-9) * 1e3 / iters
 
-    out = {
-        "engine": "ivf_int8_proj", "n": n_total, "dim": DIM, "proj_dim": R,
-        "nlist": NLIST, "nprobe": NPROBE, "list_cap": cap,
-        "resident_gib": round(resident_gb, 2),
-        "bytes_per_row_resident": R + 4 + 4 + 1 + 32,
-        "ingest_rows_per_s": round(n_total / ingest_s, 0),
-        "spilled_rows": spilled, "dropped_rows": dropped,
-        "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
-        "recall_at_10_exact_fulldim_oracle": round(rec, 4),
-        "backend": jax.default_backend(),
-    }
-    print(json.dumps(out), flush=True)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "CAPACITY.jsonl"), "a") as f:
-        f.write(json.dumps(out) + "\n")
+        out = {
+            "engine": "ivf_int8_proj", "n": n_total, "dim": DIM,
+            "proj_dim": R, "nlist": NLIST, "nprobe": nprobe, "list_cap": cap,
+            "resident_gib": round(resident_gb, 2),
+            "bytes_per_row_resident": R + 4 + 4 + 1 + 32,
+            "ingest_rows_per_s": round(n_total / ingest_s, 0),
+            "spilled_rows": spilled, "dropped_rows": dropped,
+            "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
+            "recall_at_10_exact_fulldim_oracle": round(rec, 4),
+            "recall_at_10_reachable": round(rec_reach, 4),
+            "backend": jax.default_backend(),
+        }
+        print(json.dumps(out), flush=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "CAPACITY.jsonl"), "a") as f:
+            f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":

@@ -65,16 +65,21 @@ def _build_sharded_index(kind: str, config: VectorDbConfig, mesh) -> VectorIndex
     index over its ICI mesh instead of N independent single-device ones."""
     from grape_vector_db_tpu.parallel import mesh as pmesh
 
+    import jax
+
     dev = config.device
     if mesh is None:
+        local = jax.local_devices()  # per-host mesh; see auto_shard note
         if dev.n_replicas > 1:
             mesh = pmesh.make_mesh_2d(
                 dev.n_replicas, n_shards=dev.n_shards,
                 replica_axis=dev.replica_axis, shard_axis=dev.shard_axis,
+                devices=local,
             )
         else:
             mesh = pmesh.make_mesh(n_shards=dev.n_shards,
-                                   shard_axis=dev.shard_axis)
+                                   shard_axis=dev.shard_axis,
+                                   devices=local)
     replica = dev.replica_axis if dev.replica_axis in mesh.axis_names else None
     n_sh = mesh.shape[dev.shard_axis]
     if kind == "sharded_flat":
@@ -119,7 +124,10 @@ def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
     if config.device.auto_shard and kind in ("flat", "ivf", "ivf_int8"):
         import jax
 
-        if len(jax.devices()) > 1:
+        # local_devices: auto-shard is a per-HOST upgrade (ICI within the
+        # node; DCN between nodes is the cluster tier's job) — global
+        # jax.devices() would count non-addressable remote chips.
+        if len(jax.local_devices()) > 1:
             kind = "sharded_" + kind
     if kind.startswith("sharded_"):
         return _build_sharded_index(kind, config, mesh)

@@ -134,7 +134,11 @@ class ClusterNode:
         # Two-level scatter-gather (shard.rs:759-901, TPU-composed): DCN
         # fan-out between cluster nodes (below), ICI shard_map within the
         # node — a host with >1 local device serves one mesh-sharded index.
-        db_config = db_config or VectorDbConfig()
+        # Deep-copy before mutating: the caller may share one config object
+        # across nodes or standalone databases.
+        import copy
+
+        db_config = copy.deepcopy(db_config) if db_config else VectorDbConfig()
         if auto_shard:
             db_config.device.auto_shard = True
         self.db = VectorDatabase(path=data_path, config=db_config)

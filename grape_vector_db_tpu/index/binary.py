@@ -112,6 +112,7 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         recall_target: float = 0.99,
         use_pallas: bool = True,
         keep_vectors: bool = True,
+        hamming_impl: str = "mxu",
         device: Optional[jax.Device] = None,
     ):
         # keep_vectors=False is the CAPACITY config the reference's
@@ -128,10 +129,15 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         self.rescore_ratio = float(rescore_ratio)
         self.max_rescore = int(max_rescore)
         # Default scan is the MXU sign-bit matmul (ops/hamming.py): the VPU
-        # popcount forms (pallas/xla) are compute-bound at ~22 ms/128-batch
-        # at 1M on v5e, the MXU form is bandwidth-bound sub-ms. Popcount
-        # paths remain selectable for A/B.
-        self.hamming_impl = "mxu"
+        # popcount forms are compute-bound at ~22 ms/128-batch at 1M on
+        # v5e, the MXU form is bandwidth-bound sub-ms. hamming_impl selects
+        # the A/B paths: "mxu" | "popcount" (Pallas kernel on TPU, XLA
+        # broadcast elsewhere — the use_pallas knob) | "xla".
+        if hamming_impl == "popcount":
+            self.hamming_impl = "pallas" if (
+                use_pallas and jax.default_backend() == "tpu") else "xla"
+        else:
+            self.hamming_impl = hamming_impl
         self._words = words_per_vector(dimension)
         super().__init__(
             dimension, metric=metric, storage_dtype=storage_dtype,

@@ -128,9 +128,13 @@ def _ivfpq_topk(
     gslot = (jnp.repeat(probe, c, axis=1) * c + pos_in_cell)  # [B, P*C]
 
     if rescore_k <= 0 or rvecs is None:
-        # ADC-only capacity config: ranking IS the ADC scores.
+        # ADC-only capacity config: ranking IS the ADC scores. Selection via
+        # the fast exact engines (ops/distance._select_topk) — lax.top_k over
+        # the long nprobe*cap axis is the documented 25-ms TPU pathology.
+        from grape_vector_db_tpu.ops.distance import _select_topk
+
         kk = min(k, p * c)
-        fvals, fpos = lax.top_k(scores, kk)
+        fvals, fpos = _select_topk(scores, kk, "exact", 0.99)
         fslots = jnp.take_along_axis(gslot, fpos, axis=1)
         if kk < k:
             fvals = jnp.pad(fvals, ((0, 0), (0, k - kk)),
@@ -214,6 +218,14 @@ class IvfPqDeviceIndex(IvfDeviceIndex):
         # exact overflow region (capacity configs have no bf16 fallback)
         return max(self.nlist * 4, 2 ** self.nbits)
 
+    def optimize(self) -> None:
+        # Guard BEFORE the parent's clear(): a capacity-config retrain with
+        # too few rows would otherwise raise mid-optimize with the index
+        # already wiped.
+        if self.resident != "bf16" and len(self) < 2 ** self.nbits:
+            return
+        super().optimize()
+
     def _alloc(self, cap: int) -> None:
         l, d = self.nlist, self._dim
         if self.resident == "bf16":
@@ -245,18 +257,20 @@ class IvfPqDeviceIndex(IvfDeviceIndex):
                     self.codes8, self.scales8, lists_p, pos_p, vecs_p)
 
     def train(self, sample: np.ndarray, seed: int = 0) -> None:
-        super().train(sample, seed=seed)
         sample = np.asarray(sample, dtype=np.float32)
+        # Size validation BEFORE any state changes: raising after
+        # super().train() would leave centroids set with codebooks None —
+        # a state whose capacity-config search has no plane to fall back on.
+        if sample.shape[0] < 2 ** self.nbits and self.resident != "bf16":
+            raise ValueError(
+                f"{2 ** self.nbits} training vectors required for "
+                f"{self.nbits}-bit PQ (resident={self.resident})")
+        super().train(sample, seed=seed)
         if sample.shape[0] < 2 ** self.nbits:
-            if self.resident != "bf16":
-                # capacity configs have no exact plane to fall back on
-                raise ValueError(
-                    f"{2 ** self.nbits} training vectors required for "
-                    f"{self.nbits}-bit PQ (resident={self.resident})")
-            # Too few rows to fit 2^nbits codewords — stay on the parent's
-            # exact IVF probe (codebooks None => search_batch falls back).
-            # optimize() after the corpus grows retrains and encodes
-            # everything (clear + train + re-place).
+            # bf16 config: too few rows to fit 2^nbits codewords — stay on
+            # the parent's exact IVF probe (codebooks None => search_batch
+            # falls back). optimize() after the corpus grows retrains and
+            # encodes everything (clear + train + re-place).
             self.codebooks = None
             return
         if sample.shape[0] > 65536:

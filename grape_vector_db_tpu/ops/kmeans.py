@@ -85,7 +85,11 @@ def kmeans(
         )                                                           # [K, D]
         return sums, counts
 
-    use_chunks = chunk is not None and chunk < n and n % chunk == 0
+    if chunk is not None and chunk < n and n % chunk:
+        # A silent fallback would materialize the [N, K] plane the chunk
+        # argument exists to avoid (4 GiB per 65k rows at k=16384).
+        raise ValueError(f"kmeans: n={n} must be a multiple of chunk={chunk}")
+    use_chunks = chunk is not None and chunk < n
     if use_chunks:
         xc_all = x.reshape(n // chunk, chunk, d)
 

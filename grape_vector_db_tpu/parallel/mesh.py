@@ -269,8 +269,12 @@ class ShardedFlatIndex(VectorIndex):
         self._free: List[List[int]] = [[] for _ in range(self.n_shards)]
         self._rr = 0
         # Update fns donate their buffers — searches hold this so they never
-        # read a donated-away array (repo convention, CLAUDE.md).
-        self._lock = threading.RLock()
+        # read a donated-away array (repo convention, CLAUDE.md). clear() and
+        # redistribute() re-run __init__, so the lock object must SURVIVE it:
+        # replacing a held lock would let another thread's search race the
+        # continuing donation.
+        if not hasattr(self, "_lock"):
+            self._lock = threading.RLock()
 
     @property
     def dimension(self) -> int:
@@ -360,13 +364,14 @@ class ShardedFlatIndex(VectorIndex):
             return len(slots)
 
     def clear(self) -> None:
-        self.__init__(
-            self._dim, mesh=self.mesh, metric=self.metric,
-            storage_dtype=str(self.storage_dtype), shard_capacity=self.shard_capacity,
-            shard_axis=self.shard_axis, search_chunk=self.search_chunk,
-            search_mode=self.search_mode, recall_target=self.recall_target,
-            replica_axis=self.replica_axis,
-        )
+        with self._lock:
+            self.__init__(
+                self._dim, mesh=self.mesh, metric=self.metric,
+                storage_dtype=str(self.storage_dtype), shard_capacity=self.shard_capacity,
+                shard_axis=self.shard_axis, search_chunk=self.search_chunk,
+                search_mode=self.search_mode, recall_target=self.recall_target,
+                replica_axis=self.replica_axis,
+            )
 
     # -- search ---------------------------------------------------------------------
 
@@ -385,7 +390,12 @@ class ShardedFlatIndex(VectorIndex):
         with self._lock:
             if b == 0 or not self._id_to_slot:
                 return [[] for _ in range(b)]
-            bb = next_bucket(b, base=max(8, self.n_replicas))
+            bb = next_bucket(b, base=8)
+            if self.n_replicas > 1:
+                # batch must split evenly over replica lanes (n_replicas may
+                # not be a power of two — ceil to a multiple, don't assume
+                # bucket divisibility)
+                bb = -(-bb // self.n_replicas) * self.n_replicas
             chunk = min(self.search_chunk, self.shard_capacity)
             valid = self.valid
             if mask is not None:
@@ -433,17 +443,18 @@ class ShardedFlatIndex(VectorIndex):
     def redistribute(self, new_mesh: Mesh, shard_capacity: Optional[int] = None) -> None:
         """Re-place the corpus on a different mesh (node join/leave): read back
         live rows and re-ingest under the new static block assignment."""
-        ids, vecs = self.get_all()
-        self.__init__(
-            self._dim, mesh=new_mesh, metric=self.metric,
-            storage_dtype=str(self.storage_dtype),
-            shard_capacity=shard_capacity or self.shard_capacity,
-            shard_axis=self.shard_axis, search_chunk=self.search_chunk,
-            search_mode=self.search_mode, recall_target=self.recall_target,
-            replica_axis=self.replica_axis,
-        )
-        if ids:
-            self.add_batch(ids, vecs)
+        with self._lock:
+            ids, vecs = self.get_all()
+            self.__init__(
+                self._dim, mesh=new_mesh, metric=self.metric,
+                storage_dtype=str(self.storage_dtype),
+                shard_capacity=shard_capacity or self.shard_capacity,
+                shard_axis=self.shard_axis, search_chunk=self.search_chunk,
+                search_mode=self.search_mode, recall_target=self.recall_target,
+                replica_axis=self.replica_axis,
+            )
+            if ids:
+                self.add_batch(ids, vecs)
 
     # -- introspection ------------------------------------------------------------------
 

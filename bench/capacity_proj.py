@@ -66,7 +66,11 @@ def main() -> None:
     def log(msg):
         print(f"[{time.time() - t_start:7.1f}s] {msg}", flush=True)
 
-    ncent = 16_384
+    # 4x more generation centers than lists: each list averages ~4
+    # micro-clusters, so list-size variance concentrates near the mean
+    # (16384 centers == nlist made merged lists want 2x cap: 5-13% of
+    # rows had every nearby list full)
+    ncent = 65_536
     key = random.PRNGKey(7)
     kc, key = random.split(key)
     centers = random.normal(kc, (ncent, DIM), jnp.float32)
@@ -92,19 +96,19 @@ def main() -> None:
     proj = evecs[:, ::-1][:, :R]                     # [D, R]
     del sample, cov, evecs
     log("projection fitted")
-    train_blocks = min(4, NBLOCKS)
+    train_blocks = min(8, NBLOCKS)
     psample = jnp.concatenate([
         (gen_block(*block_keys[i], centers).astype(jnp.float32) @ proj)
         for i in range(train_blocks)
     ])
-    cents, _ = kmeans(psample, k=NLIST, iters=8, seed=0, mode="spherical",
+    cents, _ = kmeans(psample, k=NLIST, iters=12, seed=0, mode="spherical",
                       chunk=min(8192, psample.shape[0]))
     cents.block_until_ready()
     del psample
     log(f"k-means done (nlist={NLIST}, sample={train_blocks * BLK})")
 
     # ---- pass 1: top-C nearest lists per row ------------------------------
-    NCHOICE = 4
+    NCHOICE = int(os.environ.get("CAP_NCHOICE", "8"))
 
     @jax.jit
     def assignc_block(k1, k2, cents_full, proj, cents):

@@ -281,3 +281,15 @@ def test_scored_topk_large_corpus_segmax_route(rng):
     idxs = np.asarray(idxs)
     assert idxs[0, 0] == 0 and idxs[1, 0] == 1
     assert np.asarray(vals)[0, 0] > 0.999
+
+
+def test_hamming_mxu_matches_popcount(rng):
+    """The MXU sign-bit matmul form (default) must be bit-for-bit equal to
+    the XOR+popcount form — dot(s_q, s_x) = D - 2*hamming is exact integer
+    algebra, including the zero pad bits both sides share."""
+    a = rng.standard_normal((16, 100)).astype(np.float32)  # non-multiple of 32
+    b = rng.standard_normal((640, 100)).astype(np.float32)
+    ca, cb = pack_bits(jnp.asarray(a)), pack_bits(jnp.asarray(b))
+    ref = np.asarray(hamming_scores(ca, cb, impl="xla"))
+    got = np.asarray(hamming_scores(ca, cb, impl="mxu"))
+    np.testing.assert_array_equal(got, ref)

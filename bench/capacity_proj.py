@@ -66,11 +66,11 @@ def main() -> None:
     def log(msg):
         print(f"[{time.time() - t_start:7.1f}s] {msg}", flush=True)
 
-    # 4x more generation centers than lists: each list averages ~4
-    # micro-clusters, so list-size variance concentrates near the mean
-    # (16384 centers == nlist made merged lists want 2x cap: 5-13% of
-    # rows had every nearby list full)
-    ncent = 65_536
+    # Generator-width note (measured): 65k micro-centers made k-means cell
+    # sizes MORE uneven (18.6% dropped at cap=1.45x mean) than 16k centers
+    # (5.4% at 1.6x) — the skew is k-means Voronoi imbalance, not the
+    # generator; the cap multiplier is the operative lever.
+    ncent = 16_384
     key = random.PRNGKey(7)
     kc, key = random.split(key)
     centers = random.normal(kc, (ncent, DIM), jnp.float32)

@@ -181,16 +181,25 @@ def main() -> None:
     from grape_vector_db_tpu.index.binary import BinaryDeviceIndex
     from grape_vector_db_tpu.ops.hamming import hamming_topk, pack_bits
 
+    # r3 note: the pre-scan is now the MXU sign-bit matmul (0.11 ms at 131k —
+    # the popcount form was 22 ms); what remains is the selection + rescore
+    # gather, which scale with the rescore budget. On random data the
+    # recall/QPS frontier is: rescore 512 -> 0.46, 1024 -> 0.58, 4096 ->
+    # 0.83, 16384 -> 0.97 recall@10 — and the EXACT flat scan runs 0.83 ms
+    # at recall 1.0, so two-stage BQ is dominated at HBM-resident scale even
+    # with the scan at roofline. BQ's real role is the 32x capacity config
+    # (keep_vectors=False); this row records the engine at its best-QPS
+    # operating point with that honest position.
     bq = BinaryDeviceIndex(dimension=DIM, metric="cosine",
                            storage_dtype="bfloat16", initial_capacity=cap,
-                           max_rescore=4096)
+                           max_rescore=1024)
     for i in range(0, n, 8192):
         bq.add_batch(ids[i:i + 8192], vecs[i:i + 8192])
     rb = bq._rescore_count(K)
 
     def step_bin(q, codes, valid, vectors, norms):
         qc = pack_bits(q.astype(jnp.float32), 0.0)
-        dists, cand = hamming_topk(qc, codes, valid, k=rb, chunk=16384,
+        dists, cand = hamming_topk(qc, codes, valid, k=rb, chunk=cap,
                                    impl=bq.hamming_impl)
         return _rescore_topk(q, vectors, norms, cand, dists, k=K,
                              metric="cosine")
@@ -199,6 +208,7 @@ def main() -> None:
     matrix["binary_100k"] = {
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "recall": round(recall_vs(oracle, bq.search_batch(queries[:8], K)), 3),
+        "note": "MXU prescan + rescore=1024; dominated by flat at this scale — BQ is the 32x capacity play (see docs)",
     }
     del bq
 
@@ -306,31 +316,22 @@ def main() -> None:
     matrix["int8_1M"] = {"batch_ms": round(ms, 3),
                          "qps": round(BATCH / ms * 1e3, 0)}
 
-    # exact 1M (segmax): chained-dispatch upper bound — fori hangs its AOT
-    @jax.jit
-    def f_exact_1m(q, vectors, norms, valid):
+    # exact 1M: the fused Pallas matmul+segmax engine (scored_topk routes to
+    # it on TPU), measured in-loop like every other row. The r2 fori-AOT hang
+    # applied to the XLA segmax scan; the fused kernel compiles fine at small
+    # trip counts and this row uses the same its=32 shape as the engine's
+    # validation run (compile-cache friendly).
+    def step_1m_exact(q, vectors, norms, valid):
         return scored_topk(q, vectors, norms, valid, k=K, metric="cosine",
                            chunk=chunk1m, mode="exact")
 
-    def chain(length: int) -> float:
-        q = q_dev
-        t0 = time.perf_counter()
-        v = None
-        for _ in range(length):
-            v, _ = f_exact_1m(q, v1m, n1m, m1m)
-            q = q_dev * (1.0 + v[0, 0] * 1e-9)
-        float(np.asarray(v[0, 0]))
-        return time.perf_counter() - t0
-
-    chain(2)
-    t1 = min(chain(1) for _ in range(3))
-    m_chain = 12 if SCALE == 1 else 3
-    tm = min(chain(m_chain) for _ in range(2))
-    ms = (tm - t1) * 1e3 / (m_chain - 1)
+    ms, ms_med = timed_fori_reps(step_1m_exact, q_dev, v1m, n1m, m1m,
+                                 its=32 if SCALE == 1 else 2, reps=5)
     matrix["flat_exact_1M"] = {
-        "batch_ms_upper": round(ms, 3),
-        "qps_lower": round(BATCH / ms * 1e3, 0),
-        "note": "chained-dispatch upper bound incl. relay overhead",
+        "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
+        "batch_ms_median": round(ms_med, 3),
+        "qps_median": round(BATCH / ms_med * 1e3, 0),
+        "note": "fused Pallas matmul+segmax, recall 1.0 by construction",
     }
     del v1m, n1m, m1m, c1m, f1m
 

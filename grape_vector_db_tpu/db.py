@@ -116,6 +116,15 @@ def _build_sharded_index(kind: str, config: VectorDbConfig, mesh) -> VectorIndex
             rescore=config.index.int8_rescore,
             keep_bf16=config.index.ivf_int8_keep_bf16,
         )
+    if kind == "sharded_ivf_int8_proj":
+        from grape_vector_db_tpu.index.ivf_proj import get_sharded_projected_cls
+
+        return get_sharded_projected_cls()(
+            config.vector_dimension, **common,
+            proj_dim=config.index.proj_dim,
+            rescore=config.index.int8_rescore,
+            keep_bf16=config.index.ivf_int8_keep_bf16,
+        )
     raise InvalidArgumentError(f"unknown sharded index kind: {kind}")
 
 

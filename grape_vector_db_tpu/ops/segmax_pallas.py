@@ -1,0 +1,170 @@
+"""Fused matmul + segment-max Pallas kernel — exact large-corpus top-k at
+the streaming roofline.
+
+The two-phase exact engine (ops/distance._segmax_exact_topk) streams the
+corpus through an XLA scan that materializes per-chunk score blocks in HBM
+before reducing them to segment maxima: measured 5.4 ms per 128-batch at
+1M x 768 on v5e vs the ~2 ms HBM roofline (corpus read is the only
+irreducible traffic). This kernel fuses the reduction into the matmul
+epilogue: each grid step streams one [CB, D] corpus block into VMEM
+(auto-pipelined BlockSpec), scores it against the resident query batch with
+one MXU dot, and reduces to segment maxima IN VMEM — the [B, N] score plane
+never exists; HBM sees the corpus once plus a 32x-smaller segmax plane.
+
+Segments here are STRIDED within each block (column j holds the max of
+block columns {j, j + S, j + 2S, ...}, S = CB/32): the in-kernel reduction
+is then five fold-by-halves slice-max ops, which lower cleanly in Mosaic
+(a [B, CB] -> [B, CB/32, 32] lane reshape would not). Phase 2 expands a
+chosen segment back to its 32 member rows with iota arithmetic and rescores
+them exactly — the exactness argument is partition-independent: if a true
+top-k value lay outside the chosen segments, k segments would each hold a
+strictly larger value (see _segmax_exact_topk).
+
+Reference parity: this accelerates the exact search path of the reference's
+full-scan cosine (storage.rs:296-339) at 1M+ scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["segmax_scores_pallas", "pallas_segmax_topk",
+           "segmax_pallas_supported", "SEG"]
+
+SEG = 32          # rows per segment (matches ops/distance.SEGMENT)
+CB = 4096         # corpus rows per grid step; CB/SEG = 128 keeps the output
+                  # block 128-lane aligned (Mosaic minor-dim tiling)
+
+
+def segmax_pallas_supported() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _segmax_kernel(q_vmem, vec_vmem, w_vmem, out_vmem):
+    """One grid step: score a [CB, D] corpus block, reduce to strided
+    segment maxima [B, CB/SEG]."""
+    dots = jax.lax.dot_general(
+        q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [B, CB]
+    w = w_vmem[0:1, :]                                     # [1, CB]
+    scores = jnp.where(w == 0.0, -1e9, dots * w)
+    # five fold-by-halves: column j accumulates max over {j, j+S, j+2S, ...}
+    cur = scores
+    width = scores.shape[1]
+    while width > scores.shape[1] // SEG:
+        half = width // 2
+        cur = jnp.maximum(cur[:, :half], cur[:, half:width])
+        width = half
+    out_vmem[...] = cur
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segmax_scores_pallas(
+    q: jax.Array,        # [B, D] f32 prepared (normalized for cosine)
+    vectors: jax.Array,  # [N, D] bf16/f32, N % CB == 0, D % 128 == 0
+    w_plane: jax.Array,  # [8, N] f32 validity-masked weight (0 = invalid)
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, N/SEG] f32 strided segment maxima (block-major: segment
+    g = blk * (CB/SEG) + j covers rows blk*CB + j + m*(CB/SEG))."""
+    b, d = q.shape
+    n = vectors.shape[0]
+    if n % CB:
+        raise ValueError(f"N={n} must be a multiple of {CB}")
+    if d % 128 and not interpret:
+        raise ValueError(f"D={d} must be 128-aligned for the Pallas kernel")
+    nblocks = n // CB
+    return pl.pallas_call(
+        _segmax_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),            # q resident
+            pl.BlockSpec((CB, d), lambda i: (i, 0)),           # corpus block
+            pl.BlockSpec((8, CB), lambda i: (0, i)),           # weight block
+        ],
+        out_specs=pl.BlockSpec((b, CB // SEG), lambda i: (0, i)),
+        interpret=interpret,
+    )(q, vectors, w_plane)
+
+
+def make_weight_plane(norms: jax.Array, valid: jax.Array,
+                      metric: str = "cosine") -> jax.Array:
+    """[N] norms + validity -> [8, N] f32 score-weight plane (kernel reads
+    sublane 0; 8-sublane broadcast keeps Mosaic DMA tiling happy)."""
+    if metric == "cosine":
+        w = 1.0 / jnp.maximum(norms, 1e-12)
+    else:
+        w = jnp.ones_like(norms)
+    w = jnp.where(valid, w, 0.0)
+    return jnp.broadcast_to(w[None, :], (8, w.shape[0])).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "interpret")
+)
+def pallas_segmax_topk(
+    queries: jax.Array,   # [B, D] f32 raw
+    vectors: jax.Array,   # [N, D] storage dtype
+    norms: jax.Array,     # [N] f32
+    valid: jax.Array,     # [N] bool
+    k: int,
+    metric: str = "cosine",
+    interpret: bool = False,
+    mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over the shard via the fused segmax kernel + exact
+    rescore of the chosen segments' member rows. Same (vals, idxs) contract
+    as ops.distance.scored_topk (cosine/dot; euclidean uses the XLA path)."""
+    from grape_vector_db_tpu.ops.distance import (_iterative_topk,
+                                                  _verified_exact_topk,
+                                                  prepare_queries)
+
+    n, d = vectors.shape
+    b = queries.shape[0]
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
+    q = prepare_queries(queries, metric)
+    w_plane = make_weight_plane(norms, valid, metric)
+    segmax = segmax_scores_pallas(q, vectors, w_plane,
+                                  interpret=interpret)   # [B, N/SEG]
+    num_seg = n // SEG
+    kk = min(k, num_seg)
+    if num_seg <= 262_144:
+        _, seg_ids = _iterative_topk(segmax, kk)
+    else:
+        _, seg_ids = _verified_exact_topk(segmax, kk)
+
+    # strided member-row expansion: segment g = blk * spb + j covers rows
+    # blk*CB + j + m*(CB/SEG), m in [0, SEG)
+    spb = CB // SEG
+    blk = seg_ids // spb
+    j = seg_ids % spb
+    m = jnp.arange(SEG, dtype=jnp.int32)[None, None, :]
+    rows = (blk[:, :, None] * CB + j[:, :, None] + m * spb
+            ).reshape(b, kk * SEG)                        # [B, kk*SEG]
+    cvecs = vectors[rows]
+    precision = (
+        lax.Precision.HIGHEST if vectors.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    dots = jnp.einsum("bd,bcd->bc", q.astype(vectors.dtype), cvecs,
+                      preferred_element_type=jnp.float32, precision=precision)
+    cnorms = norms[rows]
+    if metric == "cosine":
+        rs = jnp.minimum(dots / jnp.maximum(cnorms, 1e-12), 1.0)
+    else:
+        rs = dots
+    rs = jnp.where(valid[rows], rs, -jnp.inf)
+    fvals, fpos = lax.top_k(rs, min(k, rs.shape[1]))
+    fidx = jnp.take_along_axis(rows, fpos, axis=1)
+    return fvals, fidx.astype(jnp.int32)

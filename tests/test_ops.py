@@ -293,3 +293,30 @@ def test_hamming_mxu_matches_popcount(rng):
     ref = np.asarray(hamming_scores(ca, cb, impl="xla"))
     got = np.asarray(hamming_scores(ca, cb, impl="mxu"))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_segmax_pallas_matches_exact(rng):
+    """The fused matmul+segmax kernel (interpreted) must return the exact
+    top-k — same values as scored_topk's exact engines, masked included."""
+    from grape_vector_db_tpu.ops.segmax_pallas import pallas_segmax_topk
+    from grape_vector_db_tpu.ops.distance import scored_topk
+
+    n, d, b, k = 8192, 128, 16, 10
+    vecs = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    norms = jnp.linalg.norm(vecs, axis=1)
+    valid = jnp.asarray(rng.random(n) > 0.1)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    for metric in ("cosine", "dot"):
+        rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric=metric,
+                            chunk=n, mode="exact")
+        pv, _ = pallas_segmax_topk(q, vecs, norms, valid, k=k, metric=metric,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)
+    mask = jnp.asarray(rng.random(n) > 0.7)
+    rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric="cosine",
+                        chunk=n, mode="exact", mask=mask)
+    pv, _ = pallas_segmax_topk(q, vecs, norms, valid, k=k, metric="cosine",
+                               interpret=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)

@@ -224,3 +224,27 @@ def test_cluster_node_serves_local_mesh_index():
         assert hits and hits[0][0] == "doc-13"
     finally:
         svc.stop()
+
+
+def test_sharded_projected_capacity_kind(rng):
+    """sharded_ivf_int8_proj: the capacity tier times the mesh — PCA
+    projection + int8 lists sharded within each list across devices."""
+    cfg = make_cfg("sharded_ivf_int8_proj")
+    cfg.vector_dimension = 256
+    cfg.index.proj_dim = 128
+    cfg.index.nlist = 8
+    cfg.index.nprobe = 8
+    db = VectorDatabase(config=cfg)
+    spec = (1.0 + np.arange(256)) ** -0.5
+    vecs = (rng.standard_normal((240, 256)) * spec[None, :]).astype(np.float32)
+    docs = [Document(id=f"p{i}", content=f"c{i}", vector=vecs[i])
+            for i in range(240)]
+    db.batch_add_documents(docs)
+    st = db.stats()
+    assert st.index_kind == "sharded_ivf_int8_proj"
+    assert db.index.n_shards == 8 and db.index.proj_dim == 128
+    res = db.search(SearchRequest(vector=vecs[13].tolist(), limit=3))
+    assert res and res[0].document.id == "p13"
+    db.batch_delete_documents(["p13"])
+    res = db.search(SearchRequest(vector=vecs[13].tolist(), limit=3))
+    assert all(r.document.id != "p13" for r in res)

@@ -11,9 +11,9 @@ Timing: ITERS iterations inside one jitted ``lax.fori_loop`` with a
 loop-carried data dependence (neither XLA nor the TPU relay can elide or
 dedupe iterations); one host readback closes the measurement; corpus arrays
 are passed as jit operands (closure capture would bake them into the HLO).
-The 1M exact segmax engine cannot be fori-wrapped (its AOT compile hangs the
-relay — round-1 finding) and is timed by chained data-dependent dispatches:
-an upper bound that includes relay dispatch overhead.
+The 1M exact row runs the fused Pallas matmul+segmax engine and is fori-
+timed like every other row (the r2 AOT hang was specific to wrapping the
+XLA segmax scan at full trip counts).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "matrix",
 ...} where matrix holds the per-engine rows.

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import json
+import math
 import os
 import sys
 import time
@@ -101,8 +102,12 @@ def main() -> None:
         (gen_block(*block_keys[i], centers).astype(jnp.float32) @ proj)
         for i in range(train_blocks)
     ])
+    # kmeans requires n % chunk == 0 (it raises otherwise); gcd keeps the
+    # chunked scan for any CAP_BLK override, falling back to unchunked only
+    # when no usable divisor exists (tiny/odd samples, where [N, K] fits).
+    kchunk = math.gcd(psample.shape[0], 8192)
     cents, _ = kmeans(psample, k=NLIST, iters=12, seed=0, mode="spherical",
-                      chunk=min(8192, psample.shape[0]))
+                      chunk=kchunk if kchunk >= 1024 else None)
     cents.block_until_ready()
     del psample
     log(f"k-means done (nlist={NLIST}, sample={train_blocks * BLK})")

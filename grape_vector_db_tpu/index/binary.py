@@ -188,6 +188,13 @@ class BinaryDeviceIndex(FlatDeviceIndex):
 
     # -- search ------------------------------------------------------------------
 
+    def _scan_chunk(self) -> int:
+        """Hamming-scan chunking: full-axis selection measured FASTER than
+        16k chunks at k~=1024 on 131k (7.3 vs 10.1 ms end-to-end — chunking
+        pays per-chunk selections plus a merge); cap the single block at
+        256k rows so the MXU decode transient stays bounded."""
+        return min(self.capacity, 262_144)
+
     def _rescore_count(self, k: int) -> int:
         n = len(self)
         want = max(k, int(self.rescore_ratio * n))
@@ -200,7 +207,7 @@ class BinaryDeviceIndex(FlatDeviceIndex):
             r = self._rescore_count(k)
             q = jnp.asarray(queries)
             qcodes = pack_bits(q.astype(jnp.float32), self.threshold)
-            chunk = min(16384, self.capacity)
+            chunk = self._scan_chunk()
             # Filter mask folds into the Hamming PRE-scan validity, so both
             # stages only ever consider allowed rows (two-stage filtered
             # search; quantization.rs:151-193 had no filter support at all).
@@ -234,7 +241,7 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         bb = next_bucket(b, base=8)
         with self._lock:
             qcodes = pack_bits(jnp.asarray(pad_rows(queries, bb)), self.threshold)
-            chunk = min(16384, self.capacity)
+            chunk = self._scan_chunk()
             dists, idxs = hamming_topk(qcodes, self.codes, self.valid, k=k,
                                        chunk=chunk, impl=self.hamming_impl)
             dists, idxs = np.asarray(dists)[:b], np.asarray(idxs)[:b]

@@ -202,11 +202,18 @@ def _make_sharded_projected():
     return ShardedProjectedInt8IvfIndex
 
 
-ShardedProjectedInt8IvfIndex = None  # populated on first factory use
+def __getattr__(name):
+    # Lazy class resolution: `from ... import ShardedProjectedInt8IvfIndex`
+    # builds the class on first access (PEP 562) instead of eagerly pulling
+    # jax.sharding into every single-chip import.
+    if name == "ShardedProjectedInt8IvfIndex":
+        cls = _make_sharded_projected()
+        globals()[name] = cls
+        return cls
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def get_sharded_projected_cls():
-    global ShardedProjectedInt8IvfIndex
-    if ShardedProjectedInt8IvfIndex is None:
-        ShardedProjectedInt8IvfIndex = _make_sharded_projected()
-    return ShardedProjectedInt8IvfIndex
+    cls = globals().get("ShardedProjectedInt8IvfIndex")
+    return cls if cls is not None else __getattr__(
+        "ShardedProjectedInt8IvfIndex")

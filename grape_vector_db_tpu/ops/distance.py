@@ -288,6 +288,9 @@ def scored_topk(
             and metric in ("cosine", "dot")
             and n % _SEG_CB == 0
             and d % 128 == 0
+            and b <= 256  # kernel keeps q + [B, CB] dots resident in VMEM;
+                          # bigger batches (e.g. graph-build centroid scans)
+                          # stay on the chunked XLA engine
         ):
             vals, idxs = pallas_segmax_topk(queries, vectors, norms, valid,
                                             k=kk, metric=metric)

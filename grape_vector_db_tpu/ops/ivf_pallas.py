@@ -240,8 +240,8 @@ def ivf_probe_scores(
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # q
-                pl.BlockSpec(memory_space=pltpu.ANY),     # vecs (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),     # recip (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),     # vecs (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),     # recip (HBM)
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -375,8 +375,8 @@ def ivf_probe_scores_int8(
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # q
-                pl.BlockSpec(memory_space=pltpu.ANY),     # codes (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),     # factor (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),     # codes (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),     # factor (HBM)
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[

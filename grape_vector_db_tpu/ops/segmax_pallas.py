@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["segmax_scores_pallas", "pallas_segmax_topk",
            "segmax_pallas_supported", "SEG"]
@@ -50,13 +49,22 @@ def segmax_pallas_supported() -> bool:
 def _segmax_kernel(q_vmem, vec_vmem, w_vmem, out_vmem):
     """One grid step: score a [CB, D] corpus block, reduce to strided
     segment maxima [B, CB/SEG]."""
+    # f32 storage must not silently demote to bf16 inside the MXU — the
+    # exact contract requires phase-1 maxima at the same precision phase 2
+    # rescores with (same rule as ops/distance.score_block).
+    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
     dots = jax.lax.dot_general(
         q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )                                                      # [B, CB]
     w = w_vmem[0:1, :]                                     # [1, CB]
-    scores = jnp.where(w == 0.0, -1e9, dots * w)
+    # select-style mask (not an additive bias): -inf is safe under where,
+    # and unlike a -1e9 sentinel cannot outrank a legitimate large-negative
+    # dot-metric score
+    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
     # five fold-by-halves: column j accumulates max over {j, j+S, j+2S, ...}
     cur = scores
     width = scores.shape[1]
@@ -159,12 +167,18 @@ def pallas_segmax_topk(
     )
     dots = jnp.einsum("bd,bcd->bc", q.astype(vectors.dtype), cvecs,
                       preferred_element_type=jnp.float32, precision=precision)
+    # Same arithmetic form as phase 1 (multiply by masked reciprocal, not
+    # divide): the segment-bound exactness argument needs both phases to
+    # produce identical scores for identical rows.
     cnorms = norms[rows]
     if metric == "cosine":
-        rs = jnp.minimum(dots / jnp.maximum(cnorms, 1e-12), 1.0)
+        cw = 1.0 / jnp.maximum(cnorms, 1e-12)
     else:
-        rs = dots
-    rs = jnp.where(valid[rows], rs, -jnp.inf)
+        cw = jnp.ones_like(cnorms)
+    cw = jnp.where(valid[rows], cw, 0.0)
+    rs = jnp.where(cw == 0.0, -jnp.inf, dots * cw)
+    if metric == "cosine":
+        rs = jnp.minimum(rs, 1.0)
     fvals, fpos = lax.top_k(rs, min(k, rs.shape[1]))
     fidx = jnp.take_along_axis(rows, fpos, axis=1)
     return fvals, fidx.astype(jnp.int32)

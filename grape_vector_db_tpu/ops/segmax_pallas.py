@@ -33,9 +33,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["segmax_scores_pallas", "pallas_segmax_topk",
-           "segmax_pallas_supported", "SEG"]
+__all__ = ["segmax_scores_pallas", "segmax_scores_pallas_contig",
+           "pallas_segmax_topk", "segmax_pallas_supported", "SEG"]
 
 SEG = 32          # rows per segment (matches ops/distance.SEGMENT)
 CB = 4096         # corpus rows per grid step; CB/SEG = 128 keeps the output
@@ -105,6 +106,77 @@ def segmax_scores_pallas(
     )(q, vectors, w_plane)
 
 
+def _segmax_kernel_contig(q_vmem, vec_vmem, w_vmem, out_vmem):
+    """Transposed grid step: score a [CB, D] corpus block into [CB, B] and
+    reduce CONTIGUOUS 32-row groups to segment maxima [CB/SEG, B].
+
+    Contiguous membership is the point: phase 2 then gathers each chosen
+    segment as ONE [SEG, D] slice (k contiguous 48 KB reads per query)
+    instead of SEG scattered single rows — the strided variant's rescore
+    gather was the second-largest term in the 1M exact budget. The group
+    reduction folds the SUBLANE dimension by halves ([CB, B] viewed as
+    [CB/SEG, SEG, B]; leading-dim splits are layout-free in Mosaic, unlike
+    lane reshapes)."""
+    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    dots = jax.lax.dot_general(
+        vec_vmem[...], q_vmem[...].astype(vec_vmem.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                      # [CB, B]
+    w = w_vmem[:, 0:1]                                     # [CB, 1]
+    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
+    cur = scores.reshape(scores.shape[0] // SEG, SEG, scores.shape[1])
+    width = SEG
+    while width > 1:
+        half = width // 2
+        cur = jnp.maximum(cur[:, :half, :], cur[:, half:width, :])
+        width = half
+    out_vmem[...] = cur[:, 0, :]                           # [CB/SEG, B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segmax_scores_pallas_contig(
+    q: jax.Array,         # [B, D] f32 prepared (normalized for cosine)
+    vectors: jax.Array,   # [N, D] bf16/f32, N % CB == 0, D % 128 == 0
+    w_plane_t: jax.Array, # [N, 8] f32 validity-masked weight (0 = invalid)
+    interpret: bool = False,
+) -> jax.Array:
+    """[N/SEG, B] f32 contiguous segment maxima (segment g covers rows
+    g*SEG .. g*SEG+SEG-1; transposed output orientation)."""
+    b, d = q.shape
+    n = vectors.shape[0]
+    if n % CB:
+        raise ValueError(f"N={n} must be a multiple of {CB}")
+    if d % 128 and not interpret:
+        raise ValueError(f"D={d} must be 128-aligned for the Pallas kernel")
+    nblocks = n // CB
+    kwargs = {}
+    if not interpret:
+        # the transposed dot plane + fold temporaries push the default 16 MB
+        # scoped-VMEM budget (~19.9 MB measured at B=128, D=768); v5e has
+        # 128 MB of VMEM — raise the Mosaic cap rather than shrink CB (the
+        # 6.3 MB corpus block is what keeps the DMA at streaming bandwidth)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        _segmax_kernel_contig,
+        out_shape=jax.ShapeDtypeStruct((n // SEG, b), jnp.float32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),            # q resident
+            pl.BlockSpec((CB, d), lambda i: (i, 0)),           # corpus block
+            pl.BlockSpec((CB, 8), lambda i: (i, 0)),           # weight block
+        ],
+        out_specs=pl.BlockSpec((CB // SEG, b), lambda i: (i, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(q, vectors, w_plane_t)
+
+
 def make_weight_plane(norms: jax.Array, valid: jax.Array,
                       metric: str = "cosine") -> jax.Array:
     """[N] norms + validity -> [8, N] f32 score-weight plane (kernel reads
@@ -117,8 +189,21 @@ def make_weight_plane(norms: jax.Array, valid: jax.Array,
     return jnp.broadcast_to(w[None, :], (8, w.shape[0])).astype(jnp.float32)
 
 
+def make_weight_plane_t(norms: jax.Array, valid: jax.Array,
+                        metric: str = "cosine") -> jax.Array:
+    """[N] norms + validity -> [N, 8] f32 weight plane for the contiguous
+    (transposed) kernel; column 0 is read, 8-lane broadcast keeps the DMA
+    tile shape legal."""
+    if metric == "cosine":
+        w = 1.0 / jnp.maximum(norms, 1e-12)
+    else:
+        w = jnp.ones_like(norms)
+    w = jnp.where(valid, w, 0.0)
+    return jnp.broadcast_to(w[:, None], (w.shape[0], 8)).astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "interpret")
+    jax.jit, static_argnames=("k", "metric", "interpret", "layout", "select")
 )
 def pallas_segmax_topk(
     queries: jax.Array,   # [B, D] f32 raw
@@ -129,10 +214,17 @@ def pallas_segmax_topk(
     metric: str = "cosine",
     interpret: bool = False,
     mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
+    layout: str = "strided",        # "strided" | "contig"
+    select: str = "auto",           # "auto" | "iterative" | "verified"
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over the shard via the fused segmax kernel + exact
     rescore of the chosen segments' member rows. Same (vals, idxs) contract
-    as ops.distance.scored_topk (cosine/dot; euclidean uses the XLA path)."""
+    as ops.distance.scored_topk (cosine/dot; euclidean uses the XLA path).
+
+    ``layout="contig"`` (default) uses the transposed kernel whose segments
+    are 32 CONTIGUOUS rows, so the rescore gathers k slices per query
+    instead of k*SEG scattered rows; "strided" is the original fold-in-lane
+    kernel kept for A/B."""
     from grape_vector_db_tpu.ops.distance import (_iterative_topk,
                                                   _verified_exact_topk,
                                                   prepare_queries)
@@ -142,25 +234,41 @@ def pallas_segmax_topk(
     if mask is not None:
         valid = jnp.logical_and(valid, mask)
     q = prepare_queries(queries, metric)
-    w_plane = make_weight_plane(norms, valid, metric)
-    segmax = segmax_scores_pallas(q, vectors, w_plane,
-                                  interpret=interpret)   # [B, N/SEG]
+    if layout == "contig":
+        w_plane_t = make_weight_plane_t(norms, valid, metric)
+        segmax = segmax_scores_pallas_contig(
+            q, vectors, w_plane_t, interpret=interpret).T  # [B, N/SEG]
+    else:
+        w_plane = make_weight_plane(norms, valid, metric)
+        segmax = segmax_scores_pallas(q, vectors, w_plane,
+                                      interpret=interpret)  # [B, N/SEG]
     num_seg = n // SEG
     kk = min(k, num_seg)
-    if num_seg <= 262_144:
+    if select == "auto":
+        select = "iterative" if num_seg <= 262_144 else "verified"
+    if select == "iterative":
         _, seg_ids = _iterative_topk(segmax, kk)
     else:
         _, seg_ids = _verified_exact_topk(segmax, kk)
 
-    # strided member-row expansion: segment g = blk * spb + j covers rows
-    # blk*CB + j + m*(CB/SEG), m in [0, SEG)
-    spb = CB // SEG
-    blk = seg_ids // spb
-    j = seg_ids % spb
-    m = jnp.arange(SEG, dtype=jnp.int32)[None, None, :]
-    rows = (blk[:, :, None] * CB + j[:, :, None] + m * spb
-            ).reshape(b, kk * SEG)                        # [B, kk*SEG]
-    cvecs = vectors[rows]
+    if layout == "contig":
+        # segment g covers rows g*SEG .. g*SEG+SEG-1: gather each as one
+        # [SEG, D] slice (contiguous HBM reads, SEG x fewer descriptors)
+        rows = (seg_ids[:, :, None] * SEG
+                + jnp.arange(SEG, dtype=jnp.int32)[None, None, :]
+                ).reshape(b, kk * SEG)                    # [B, kk*SEG]
+        cvecs = vectors.reshape(n // SEG, SEG, d)[seg_ids]  # [B, kk, SEG, D]
+        cvecs = cvecs.reshape(b, kk * SEG, d)
+    else:
+        # strided member-row expansion: segment g = blk * spb + j covers
+        # rows blk*CB + j + m*(CB/SEG), m in [0, SEG)
+        spb = CB // SEG
+        blk = seg_ids // spb
+        j = seg_ids % spb
+        m = jnp.arange(SEG, dtype=jnp.int32)[None, None, :]
+        rows = (blk[:, :, None] * CB + j[:, :, None] + m * spb
+                ).reshape(b, kk * SEG)                    # [B, kk*SEG]
+        cvecs = vectors[rows]
     precision = (
         lax.Precision.HIGHEST if vectors.dtype == jnp.float32
         else lax.Precision.DEFAULT

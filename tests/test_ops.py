@@ -309,14 +309,19 @@ def test_segmax_pallas_matches_exact(rng):
     for metric in ("cosine", "dot"):
         rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric=metric,
                             chunk=n, mode="exact")
-        pv, _ = pallas_segmax_topk(q, vecs, norms, valid, k=k, metric=metric,
-                                   interpret=True)
-        np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
-                                   rtol=1e-5, atol=1e-5)
+        for layout in ("contig", "strided"):
+            for select in ("iterative", "verified"):
+                pv, _ = pallas_segmax_topk(q, vecs, norms, valid, k=k,
+                                           metric=metric, interpret=True,
+                                           layout=layout, select=select)
+                np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                           rtol=1e-5, atol=1e-5)
     mask = jnp.asarray(rng.random(n) > 0.7)
     rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric="cosine",
                         chunk=n, mode="exact", mask=mask)
-    pv, _ = pallas_segmax_topk(q, vecs, norms, valid, k=k, metric="cosine",
-                               interpret=True, mask=mask)
-    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
-                               rtol=1e-5, atol=1e-5)
+    for layout in ("contig", "strided"):
+        pv, _ = pallas_segmax_topk(q, vecs, norms, valid, k=k,
+                                   metric="cosine", interpret=True,
+                                   mask=mask, layout=layout)
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)

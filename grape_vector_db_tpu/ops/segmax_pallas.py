@@ -36,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["segmax_scores_pallas", "segmax_scores_pallas_contig",
-           "pallas_segmax_topk", "segmax_pallas_supported", "SEG"]
+           "segmax2_scores_pallas", "pallas_segmax_topk",
+           "pallas_segmax2_topk", "segmax_pallas_supported", "SEG"]
 
 SEG = 32          # rows per segment (matches ops/distance.SEGMENT)
 CB = 4096         # corpus rows per grid step; CB/SEG = 128 keeps the output
@@ -92,6 +93,17 @@ def segmax_scores_pallas(
     if d % 128 and not interpret:
         raise ValueError(f"D={d} must be 128-aligned for the Pallas kernel")
     nblocks = n // CB
+    kwargs = {}
+    if not interpret:
+        # At B=128 the strided kernel sits just under Mosaic's 16 MB scoped
+        # VMEM default; the B=256 routing cap (ops/distance.scored_topk)
+        # would blow it. Same remedy as the contig kernel: raise the cap
+        # (v5e has 128 MB of VMEM) instead of shrinking the 6.3 MB corpus
+        # block that keeps the DMA at streaming bandwidth.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        )
     return pl.pallas_call(
         _segmax_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
@@ -103,6 +115,92 @@ def segmax_scores_pallas(
         ],
         out_specs=pl.BlockSpec((b, CB // SEG), lambda i: (0, i)),
         interpret=interpret,
+        **kwargs,
+    )(q, vectors, w_plane)
+
+
+def _segmax2_kernel(q_vmem, vec_vmem, w_vmem, m1_vmem, i1_vmem, m2_vmem):
+    """One grid step: score a [CB, D] corpus block, reduce each strided
+    segment to its TOP-2 values + the argmax row id.
+
+    The extra m2 plane buys phase 2 a provable shrink: a segment can hide a
+    top-k row beyond its maximum only if its SECOND value beats the global
+    k-th — and at most floor(k/2) segments can (each such segment holds two
+    rows above the threshold). So only the top-floor(k/2) segments by m2
+    need their members gathered, and every other candidate row (each
+    segment's argmax) is already known as (m1, i1) — no gather. Fold merge:
+    m1' = max(a1, b1); i1' follows the winner; m2' = max(min(a1, b1),
+    max(a2, b2))."""
+    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    dots = jax.lax.dot_general(
+        q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                      # [B, CB]
+    w = w_vmem[0:1, :]
+    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
+    b, cb = scores.shape
+    base = pl.program_id(0) * cb
+    m1 = scores
+    i1 = base + lax.broadcasted_iota(jnp.int32, (b, cb), 1)
+    m2 = jnp.full_like(scores, -jnp.inf)
+    width = cb
+    while width > cb // SEG:
+        half = width // 2
+        a1, b1 = m1[:, :half], m1[:, half:width]
+        ai, bi = i1[:, :half], i1[:, half:width]
+        a2, b2 = m2[:, :half], m2[:, half:width]
+        take_a = a1 >= b1
+        m1 = jnp.maximum(a1, b1)
+        i1 = jnp.where(take_a, ai, bi)
+        m2 = jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2))
+        width = half
+    m1_vmem[...] = m1
+    i1_vmem[...] = i1
+    m2_vmem[...] = m2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segmax2_scores_pallas(
+    q: jax.Array,        # [B, D] f32 prepared (normalized for cosine)
+    vectors: jax.Array,  # [N, D] bf16/f32, N % CB == 0, D % 128 == 0
+    w_plane: jax.Array,  # [8, N] f32 validity-masked weight (0 = invalid)
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(m1, i1, m2): [B, N/SEG] top-2 strided segment values + argmax GLOBAL
+    row ids (block-major segment numbering, same as segmax_scores_pallas)."""
+    b, d = q.shape
+    n = vectors.shape[0]
+    if n % CB:
+        raise ValueError(f"N={n} must be a multiple of {CB}")
+    if d % 128 and not interpret:
+        raise ValueError(f"D={d} must be 128-aligned for the Pallas kernel")
+    nblocks = n // CB
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    spec_out = pl.BlockSpec((b, CB // SEG), lambda i: (0, i))
+    return pl.pallas_call(
+        _segmax2_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
+            jax.ShapeDtypeStruct((b, n // SEG), jnp.int32),
+            jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
+        ),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),            # q resident
+            pl.BlockSpec((CB, d), lambda i: (i, 0)),           # corpus block
+            pl.BlockSpec((8, CB), lambda i: (0, i)),           # weight block
+        ],
+        out_specs=(spec_out, spec_out, spec_out),
+        interpret=interpret,
+        **kwargs,
     )(q, vectors, w_plane)
 
 
@@ -200,6 +298,88 @@ def make_weight_plane_t(norms: jax.Array, valid: jax.Array,
         w = jnp.ones_like(norms)
     w = jnp.where(valid, w, 0.0)
     return jnp.broadcast_to(w[:, None], (w.shape[0], 8)).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "interpret")
+)
+def pallas_segmax2_topk(
+    queries: jax.Array,   # [B, D] f32 raw
+    vectors: jax.Array,   # [N, D] storage dtype
+    norms: jax.Array,     # [N] f32
+    valid: jax.Array,     # [N] bool
+    k: int,
+    metric: str = "cosine",
+    interpret: bool = False,
+    mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k via the top-2-per-segment kernel: candidate rows are the
+    top-k segment argmaxes (values already exact — no gather) plus a full
+    rescore of only the top-floor(k/2) segments by SECOND value.
+
+    Exactness: let tau be the true k-th score. A top-k row r in segment s is
+    either s's argmax — then m1(s) = score(r) >= tau puts s in the top-k
+    segments by m1 (k segments with larger m1 would mean k larger rows) — or
+    not, in which case m2(s) >= score(r) >= tau; every such segment holds
+    two rows >= tau, so more than floor(k/2) of them would exceed k rows.
+    Boundary ties are interchangeable by value (same convention as
+    _verified_exact_topk). For k == 1 the rescore set is empty and the
+    result needs no gather at all."""
+    from grape_vector_db_tpu.ops.distance import (_iterative_topk,
+                                                  prepare_queries)
+
+    n, d = vectors.shape
+    b = queries.shape[0]
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
+    q = prepare_queries(queries, metric)
+    w_plane = make_weight_plane(norms, valid, metric)
+    m1, i1, m2 = segmax2_scores_pallas(q, vectors, w_plane,
+                                       interpret=interpret)  # [B, N/SEG]
+    num_seg = n // SEG
+    kk = min(k, num_seg)
+    v1, seg1 = _iterative_topk(m1, kk)            # candidate argmax rows
+    rows1 = jnp.take_along_axis(i1, seg1, axis=1)            # [B, kk]
+    if metric == "cosine":
+        v1 = jnp.minimum(v1, 1.0)
+    r = min(kk // 2, num_seg)
+    if r == 0:
+        return v1, rows1.astype(jnp.int32)
+
+    _, seg2 = _iterative_topk(m2, r)              # segments needing rescore
+    spb = CB // SEG
+    blk = seg2 // spb
+    j = seg2 % spb
+    m = jnp.arange(SEG, dtype=jnp.int32)[None, None, :]
+    rows2 = (blk[:, :, None] * CB + j[:, :, None] + m * spb
+             ).reshape(b, r * SEG)                # [B, r*SEG]
+    cvecs = vectors[rows2]
+    precision = (
+        lax.Precision.HIGHEST if vectors.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    dots = jnp.einsum("bd,bcd->bc", q.astype(vectors.dtype), cvecs,
+                      preferred_element_type=jnp.float32, precision=precision)
+    cnorms = norms[rows2]
+    if metric == "cosine":
+        cw = 1.0 / jnp.maximum(cnorms, 1e-12)
+    else:
+        cw = jnp.ones_like(cnorms)
+    cw = jnp.where(valid[rows2], cw, 0.0)
+    rs = jnp.where(cw == 0.0, -jnp.inf, dots * cw)
+    if metric == "cosine":
+        rs = jnp.minimum(rs, 1.0)
+
+    # dedup: argmax candidates whose segment is fully rescored would appear
+    # twice — mask the m1 copy (the rescore copy carries the same value)
+    dup = jnp.any(seg1[:, :, None] == seg2[:, None, :], axis=2)  # [B, kk]
+    v1 = jnp.where(dup, -jnp.inf, v1)
+
+    cand_vals = jnp.concatenate([v1, rs], axis=1)         # [B, kk + r*SEG]
+    cand_rows = jnp.concatenate([rows1, rows2], axis=1)
+    fvals, fpos = lax.top_k(cand_vals, kk)
+    fidx = jnp.take_along_axis(cand_rows, fpos, axis=1)
+    return fvals, fidx.astype(jnp.int32)
 
 
 @functools.partial(

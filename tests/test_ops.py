@@ -325,3 +325,46 @@ def test_segmax_pallas_matches_exact(rng):
                                    mask=mask, layout=layout)
         np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_segmax2_pallas_matches_exact(rng):
+    """Top-2-per-segment engine: exact for every k (k=1 is gather-free),
+    masked search, and the adversarial case where many of the true top-k
+    live in ONE segment (only the m2-rescore path can find rows 3..k)."""
+    from grape_vector_db_tpu.ops.segmax_pallas import pallas_segmax2_topk
+    from grape_vector_db_tpu.ops.distance import scored_topk
+
+    n, d, b = 8192, 128, 16
+    vecs = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    norms = jnp.linalg.norm(vecs, axis=1)
+    valid = jnp.asarray(rng.random(n) > 0.1)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    for metric in ("cosine", "dot"):
+        for k in (1, 2, 10, 33):
+            rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric=metric,
+                                chunk=n, mode="exact")
+            pv, _ = pallas_segmax2_topk(q, vecs, norms, valid, k=k,
+                                        metric=metric, interpret=True)
+            np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                       rtol=1e-5, atol=1e-5)
+    mask = jnp.asarray(rng.random(n) > 0.7)
+    rv, _ = scored_topk(q, vecs, norms, valid, k=10, metric="cosine",
+                        chunk=n, mode="exact", mask=mask)
+    pv, _ = pallas_segmax2_topk(q, vecs, norms, valid, k=10,
+                                metric="cosine", interpret=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    # 12 near-duplicates of one strong row, all in strided segment
+    # (blk=1, j=5): member rows 4096 + 5 + m*128
+    v2 = np.asarray(vecs).copy()
+    for m in range(12):
+        v2[4096 + 5 + m * 128] = v2[77] * (1.0 + 1e-4 * m)
+    v2 = jnp.asarray(v2)
+    n2 = jnp.linalg.norm(v2, axis=1)
+    av = jnp.ones(n, bool)
+    rv, _ = scored_topk(q, v2, n2, av, k=10, metric="dot", chunk=n,
+                        mode="exact")
+    pv, _ = pallas_segmax2_topk(q, v2, n2, av, k=10, metric="dot",
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)

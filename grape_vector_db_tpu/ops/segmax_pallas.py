@@ -119,18 +119,25 @@ def segmax_scores_pallas(
     )(q, vectors, w_plane)
 
 
-def _segmax2_kernel(q_vmem, vec_vmem, w_vmem, m1_vmem, i1_vmem, m2_vmem):
+def _segmax2_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
+                    m1_vmem, i1_vmem, m2_vmem):
     """One grid step: score a [CB, D] corpus block, reduce each strided
-    segment to its TOP-2 values + the argmax row id.
+    segment to its TOP-2 values + the argmax MEMBER index.
 
     The extra m2 plane buys phase 2 a provable shrink: a segment can hide a
     top-k row beyond its maximum only if its SECOND value beats the global
     k-th — and at most floor(k/2) segments can (each such segment holds two
     rows above the threshold). So only the top-floor(k/2) segments by m2
     need their members gathered, and every other candidate row (each
-    segment's argmax) is already known as (m1, i1) — no gather. Fold merge:
-    m1' = max(a1, b1); i1' follows the winner; m2' = max(min(a1, b1),
-    max(a2, b2))."""
+    segment's argmax) is already known as (m1, i1) — no gather.
+
+    Argmax recovery: carrying an iota-derived id plane through the fold
+    slices crashes Mosaic (lazily-replicated iota hits the
+    vector_extract_strided_slice "limits <= dim" check on v5e), so instead
+    the folded m1 is strided-expanded back over the block (lane-concat of
+    SEG copies), compared for equality against the scores, and the member
+    index of the (first) hit is extracted by a min-fold over the constant
+    member-index input plane."""
     precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
                  else lax.Precision.DEFAULT)
     dots = jax.lax.dot_general(
@@ -141,24 +148,34 @@ def _segmax2_kernel(q_vmem, vec_vmem, w_vmem, m1_vmem, i1_vmem, m2_vmem):
     )                                                      # [B, CB]
     w = w_vmem[0:1, :]
     scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
-    b, cb = scores.shape
-    base = pl.program_id(0) * cb
-    m1 = scores
-    i1 = base + lax.broadcasted_iota(jnp.int32, (b, cb), 1)
-    m2 = jnp.full_like(scores, -jnp.inf)
-    width = cb
+    cb = scores.shape[1]
+    # top-2 fold; the first step is special-cased (top-2 of a pair is
+    # (max, min)) so no -inf init plane is ever sliced
+    half = cb // 2
+    a1, b1 = scores[:, :half], scores[:, half:]
+    m1 = jnp.maximum(a1, b1)
+    m2 = jnp.minimum(a1, b1)
+    width = half
     while width > cb // SEG:
         half = width // 2
         a1, b1 = m1[:, :half], m1[:, half:width]
-        ai, bi = i1[:, :half], i1[:, half:width]
         a2, b2 = m2[:, :half], m2[:, half:width]
-        take_a = a1 >= b1
         m1 = jnp.maximum(a1, b1)
-        i1 = jnp.where(take_a, ai, bi)
         m2 = jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2))
         width = half
+    # member-index recovery: column c of the block belongs to segment
+    # j = c % spb with member m = c // spb, so lane-concat of SEG copies of
+    # m1 puts each segment's max at all of its member columns
+    tiled = jnp.concatenate([m1] * SEG, axis=1)            # [B, CB]
+    mrow = mrow_vmem[0:1, :]                               # [1, CB] m-index
+    sel = jnp.where(scores == tiled, mrow, float(SEG))
+    width = cb
+    while width > cb // SEG:
+        half = width // 2
+        sel = jnp.minimum(sel[:, :half], sel[:, half:width])
+        width = half
     m1_vmem[...] = m1
-    i1_vmem[...] = i1
+    i1_vmem[...] = sel                                     # member index f32
     m2_vmem[...] = m2
 
 
@@ -169,8 +186,10 @@ def segmax2_scores_pallas(
     w_plane: jax.Array,  # [8, N] f32 validity-masked weight (0 = invalid)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(m1, i1, m2): [B, N/SEG] top-2 strided segment values + argmax GLOBAL
-    row ids (block-major segment numbering, same as segmax_scores_pallas)."""
+    """(m1, i1, m2): [B, N/SEG] top-2 strided segment values + argmax
+    MEMBER index (f32 in [0, SEG); block-major segment numbering, same as
+    segmax_scores_pallas). Global row of segment g's argmax =
+    (g // (CB//SEG)) * CB + g % (CB//SEG) + i1 * (CB//SEG)."""
     b, d = q.shape
     n = vectors.shape[0]
     if n % CB:
@@ -184,12 +203,17 @@ def segmax2_scores_pallas(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         )
+    # constant member-index plane: column c holds c // (CB//SEG), the same
+    # pattern for every block (8-sublane broadcast, like the weight plane)
+    mrow = jnp.broadcast_to(
+        (jnp.arange(CB, dtype=jnp.int32) // (CB // SEG)
+         ).astype(jnp.float32)[None, :], (8, CB))
     spec_out = pl.BlockSpec((b, CB // SEG), lambda i: (0, i))
     return pl.pallas_call(
         _segmax2_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
-            jax.ShapeDtypeStruct((b, n // SEG), jnp.int32),
+            jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
             jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
         ),
         grid=(nblocks,),
@@ -197,11 +221,12 @@ def segmax2_scores_pallas(
             pl.BlockSpec((b, d), lambda i: (0, 0)),            # q resident
             pl.BlockSpec((CB, d), lambda i: (i, 0)),           # corpus block
             pl.BlockSpec((8, CB), lambda i: (0, i)),           # weight block
+            pl.BlockSpec((8, CB), lambda i: (0, 0)),           # member idx
         ],
         out_specs=(spec_out, spec_out, spec_out),
         interpret=interpret,
         **kwargs,
-    )(q, vectors, w_plane)
+    )(q, vectors, w_plane, mrow)
 
 
 def _segmax_kernel_contig(q_vmem, vec_vmem, w_vmem, out_vmem):
@@ -338,8 +363,10 @@ def pallas_segmax2_topk(
                                        interpret=interpret)  # [B, N/SEG]
     num_seg = n // SEG
     kk = min(k, num_seg)
+    spb_ = CB // SEG
     v1, seg1 = _iterative_topk(m1, kk)            # candidate argmax rows
-    rows1 = jnp.take_along_axis(i1, seg1, axis=1)            # [B, kk]
+    mem1 = jnp.take_along_axis(i1, seg1, axis=1).astype(jnp.int32)
+    rows1 = ((seg1 // spb_) * CB + seg1 % spb_ + mem1 * spb_)  # [B, kk]
     if metric == "cosine":
         v1 = jnp.minimum(v1, 1.0)
     r = min(kk // 2, num_seg)

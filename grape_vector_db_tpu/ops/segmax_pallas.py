@@ -428,7 +428,7 @@ def pallas_segmax_topk(
     rescore of the chosen segments' member rows. Same (vals, idxs) contract
     as ops.distance.scored_topk (cosine/dot; euclidean uses the XLA path).
 
-    ``layout="contig"`` (default) uses the transposed kernel whose segments
+    ``layout="contig"`` uses the transposed kernel whose segments
     are 32 CONTIGUOUS rows, so the rescore gathers k slices per query
     instead of k*SEG scattered rows; "strided" is the original fold-in-lane
     kernel kept for A/B."""

@@ -566,17 +566,40 @@ class ClusterNode:
             )
             if not done:
                 continue
+            # Relinquish is a HANDOFF, not a trust-based drop. An owner's
+            # complete flag can be stale in direct-replication mode: a
+            # deposed owner stops receiving writes the moment placement
+            # changes, so a resync chain that sourced from it (while the
+            # true holder was down) yields owners that claim completeness
+            # yet miss writes only this node still holds — dropping on the
+            # flag alone then erases acknowledged data cluster-wide
+            # (observed in the chaos suite: surviving=0/27). Push the local
+            # copy to every current owner first (upsert-if-newer, so a
+            # stale doc revision never clobbers a later update), and drop
+            # only after every owner acked the reconcile.
+            local = [rec.to_document().to_dict()
+                     for rec in self.db.store.iter_records()
+                     if self._shard_of_record(rec.id) == sid]
+            if local:
+                acked = True
+                for n in owners:
+                    try:
+                        self._call(n, "data_reconcile", {"docs": local},
+                                   timeout_s=10.0)
+                    except Exception:
+                        acked = False
+                        break
+                if not acked:
+                    continue  # retry on a later sweep
             with self._version_lock:
                 self._complete_shards.discard(sid)
                 self._persist_complete()
-            # Drop the absorbed copy: every current owner provably holds
-            # the shard in full, and a lingering local copy would serve
-            # stale hits from this node's whole-corpus local search (and
-            # double-count capacity). Placement decides redundancy.
-            drop = [rid for rid in self.db.store.iter_ids()
-                    if self._shard_of_record(rid) == sid]
-            if drop:
-                self.db.batch_delete_documents(drop)
+            # Every current owner now provably holds this node's copy; a
+            # lingering local copy would serve stale hits from this node's
+            # whole-corpus local search (and double-count capacity).
+            # Placement decides redundancy.
+            if local:
+                self.db.batch_delete_documents([d["id"] for d in local])
 
     def _try_resync_shard(self, sid: int, target: int) -> bool:
         """One resync attempt; returns True when the shard is settled (data
@@ -1088,6 +1111,22 @@ class ClusterNode:
             if self._shard_of_record(rec.id) == sid:
                 docs.append(rec.to_document().to_dict())
         return {"docs": docs}
+
+    def _rpc_data_reconcile(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Anti-entropy upsert-if-newer: accept each doc only when it is
+        locally absent or the incoming revision is strictly newer
+        (``updated_at``). Used by the relinquish handoff so an old owner's
+        copy can never clobber a later update on a current owner, while
+        writes only the old owner still holds are preserved."""
+        accepted = []
+        for d in payload["docs"]:
+            local = self.db.store.get(d["id"])
+            if local is None or local.updated_at < d.get("updated_at", 0):
+                accepted.append(Document.from_dict(d))
+        if accepted:
+            self.db.batch_add_documents(accepted)
+            self._bump_shard_versions([d.id for d in accepted])
+        return {"accepted": len(accepted), "node_id": self.node_id}
 
     def _rpc_data_drop(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         sid = payload["shard_id"]

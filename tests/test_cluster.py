@@ -966,3 +966,35 @@ def test_membership_churn_converges(seed):
         assert hits and hits[0][0] == final[1].id
     finally:
         svc.stop()
+
+
+def test_data_reconcile_upserts_only_newer(svc):
+    """The relinquish handoff's anti-entropy RPC: a doc lands only when
+    locally absent or strictly newer by updated_at — a deposed owner's
+    stale revision never clobbers a current owner's later update, while
+    writes only the old owner still holds are preserved (the chaos-suite
+    data-loss mode: drop-on-trusted-complete erased acknowledged docs)."""
+    node = svc.any_node()
+    base = make_docs(1, seed=5)[0]
+    base.id = "recon-doc"
+    base.content = "current revision"
+    base.updated_at = 2000
+    node.db.batch_add_documents([base])
+
+    stale = Document(id="recon-doc", content="stale revision",
+                     vector=base.vector, updated_at=1000)
+    missing = Document(id="recon-missing", content="only on old owner",
+                       vector=base.vector, updated_at=1500)
+    newer = Document(id="recon-doc2", content="newer revision",
+                     vector=base.vector, updated_at=3000)
+    node.db.batch_add_documents([Document(
+        id="recon-doc2", content="old revision", vector=base.vector,
+        updated_at=2500)])
+
+    resp = node._handle_rpc("data_reconcile", {
+        "docs": [d.to_dict() for d in (stale, missing, newer)]})
+    assert resp["accepted"] == 2  # missing + newer; stale rejected
+
+    assert node.db.store.get("recon-doc").content == "current revision"
+    assert node.db.store.get("recon-missing").content == "only on old owner"
+    assert node.db.store.get("recon-doc2").content == "newer revision"

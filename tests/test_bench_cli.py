@@ -71,16 +71,21 @@ def test_cli_storage_analysis(capsys):
     assert out["with_vectors_bytes"] > 0
 
 
-def test_chaos_engine():
+@pytest.mark.parametrize("consistency", ["SESSION", "STRONG"])
+def test_chaos_engine(consistency):
+    """SESSION drives the direct-replication write path (incl. the
+    relinquish handoff that guards against stale-complete drops); STRONG
+    drives the raft data-command path under the same fault schedule."""
     from grape_vector_db_tpu.testing.chaos import (
         ChaosEngine,
         ChaosExperiment,
         NetworkChaos,
         WorkloadConfig,
     )
+    from grape_vector_db_tpu.distributed.types import ConsistencyLevel
     from tests.test_cluster import make_service
 
-    svc = make_service()
+    svc = make_service(consistency=ConsistencyLevel[consistency])
     try:
         exp = ChaosExperiment(
             duration_s=4.0, node_failure_rate=0.2, recovery_time_s=0.8,

@@ -110,19 +110,26 @@ def main() -> None:
 
     rows["p2_gather320_b128"] = timed(f_gather, q128, vecs, norms, valid)
 
-    # correctness spot-check on-chip: top2 vs current, same values
-    v_cur, _ = jax.jit(lambda q: pallas_segmax_topk(
-        q, vecs, norms, valid, k=K, metric="cosine"))(q128)
-    v_t2, _ = jax.jit(lambda q: pallas_segmax2_topk(
-        q, vecs, norms, valid, k=K, metric="cosine"))(q128)
-    agree = bool(np.allclose(np.asarray(v_cur), np.asarray(v_t2),
-                             rtol=1e-5, atol=1e-5))
-
+    # print + persist timings BEFORE the correctness check — a transient
+    # relay failure there must not discard 30+ min of compile+measure
     out = {"tag": "top2_ab", "n": n, "dim": DIM, "iters": ITERS,
-           "backend": jax.default_backend(), "values_agree_onchip": agree,
+           "backend": jax.default_backend(), "values_agree_onchip": None,
            "rows_ms_best_median": {k_: [round(a, 3), round(b, 3)]
                                    for k_, (a, b) in rows.items()}}
-    print(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2), flush=True)
+
+    # correctness spot-check on-chip: top2 vs current, same values
+    try:
+        v_cur, _ = jax.jit(lambda q: pallas_segmax_topk(
+            q, vecs, norms, valid, k=K, metric="cosine"))(q128)
+        v_t2, _ = jax.jit(lambda q: pallas_segmax2_topk(
+            q, vecs, norms, valid, k=K, metric="cosine"))(q128)
+        out["values_agree_onchip"] = bool(np.allclose(
+            np.asarray(v_cur), np.asarray(v_t2), rtol=1e-5, atol=1e-5))
+    except Exception as e:  # relay hiccup — timings above still stand
+        out["values_agree_onchip"] = f"check-failed: {e}"[:120]
+    print(json.dumps({"values_agree_onchip": out["values_agree_onchip"]}),
+          flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "SEGMAX_AB.jsonl"), "a") as f:
         f.write(json.dumps(out) + "\n")

@@ -300,6 +300,41 @@ def segmax_scores_pallas_contig(
     )(q, vectors, w_plane_t)
 
 
+def _twolevel_topk(plane: jax.Array, kk: int, fan: int = 32
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-kk over the minor axis via supersegment pre-selection.
+
+    The iterative max-and-mask selection reads the full [B, W] plane kk
+    times (~10x 16.7 MB at 1M rows) — the single largest phase-2 term.
+    Fold the plane once more to [B, W/fan] supersegment maxima (strided
+    fold-by-halves partition: supersegment j covers columns {j + m*W/fan}),
+    select top-kk there (kk passes over a fan-x smaller plane), then top-kk
+    over the chosen supersegments' fan children ([B, kk*fan] short axis —
+    safe for lax.top_k). Exactness is the segment argument one level up: a
+    top-kk column's supersegment bounds it from above, so kk better
+    supersegments would imply kk better columns; boundary ties are
+    interchangeable by value (same convention as _verified_exact_topk)."""
+    from grape_vector_db_tpu.ops.distance import _iterative_topk
+
+    b, w = plane.shape
+    ns = w // fan
+    if ns < kk or w % fan:
+        return _iterative_topk(plane, kk)
+    cur = plane
+    width = w
+    while width > ns:
+        half = width // 2
+        cur = jnp.maximum(cur[:, :half], cur[:, half:width])
+        width = half
+    _, sup = _iterative_topk(cur, kk)                       # [B, kk]
+    child = (sup[:, :, None]
+             + (jnp.arange(fan, dtype=jnp.int32) * ns)[None, None, :]
+             ).reshape(b, kk * fan)
+    cvals = jnp.take_along_axis(plane, child, axis=1)
+    tv, tp = lax.top_k(cvals, kk)
+    return tv, jnp.take_along_axis(child, tp, axis=1)
+
+
 def make_weight_plane(norms: jax.Array, valid: jax.Array,
                       metric: str = "cosine") -> jax.Array:
     """[N] norms + validity -> [8, N] f32 score-weight plane (kernel reads
@@ -326,7 +361,7 @@ def make_weight_plane_t(norms: jax.Array, valid: jax.Array,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "interpret")
+    jax.jit, static_argnames=("k", "metric", "interpret", "select")
 )
 def pallas_segmax2_topk(
     queries: jax.Array,   # [B, D] f32 raw
@@ -337,6 +372,7 @@ def pallas_segmax2_topk(
     metric: str = "cosine",
     interpret: bool = False,
     mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
+    select: str = "auto",           # "auto" | "iterative" | "twolevel"
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k via the top-2-per-segment kernel: candidate rows are the
     top-k segment argmaxes (values already exact — no gather) plus a full
@@ -363,8 +399,14 @@ def pallas_segmax2_topk(
                                        interpret=interpret)  # [B, N/SEG]
     num_seg = n // SEG
     kk = min(k, num_seg)
+    if select == "auto":
+        # two-level needs >= kk supersegments with headroom; at the >262k-row
+        # sizes this engine serves, num_seg/32 >= 512 >> kk <= 64
+        select = ("twolevel" if num_seg >= 16_384 and num_seg % 32 == 0
+                  else "iterative")
+    sel = _twolevel_topk if select == "twolevel" else _iterative_topk
     spb_ = CB // SEG
-    v1, seg1 = _iterative_topk(m1, kk)            # candidate argmax rows
+    v1, seg1 = sel(m1, kk)                        # candidate argmax rows
     mem1 = jnp.take_along_axis(i1, seg1, axis=1).astype(jnp.int32)
     rows1 = ((seg1 // spb_) * CB + seg1 % spb_ + mem1 * spb_)  # [B, kk]
     if metric == "cosine":
@@ -373,7 +415,7 @@ def pallas_segmax2_topk(
     if r == 0:
         return v1, rows1.astype(jnp.int32)
 
-    _, seg2 = _iterative_topk(m2, r)              # segments needing rescore
+    _, seg2 = sel(m2, r)                          # segments needing rescore
     spb = CB // SEG
     blk = seg2 // spb
     j = seg2 % spb
@@ -422,7 +464,7 @@ def pallas_segmax_topk(
     interpret: bool = False,
     mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
     layout: str = "strided",        # "strided" | "contig"
-    select: str = "auto",           # "auto" | "iterative" | "verified"
+    select: str = "auto",  # "auto" | "iterative" | "verified" | "twolevel"
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over the shard via the fused segmax kernel + exact
     rescore of the chosen segments' member rows. Same (vals, idxs) contract
@@ -452,8 +494,15 @@ def pallas_segmax_topk(
     num_seg = n // SEG
     kk = min(k, num_seg)
     if select == "auto":
-        select = "iterative" if num_seg <= 262_144 else "verified"
-    if select == "iterative":
+        if num_seg >= 16_384 and num_seg % 32 == 0:
+            select = "twolevel"
+        elif num_seg <= 262_144:
+            select = "iterative"
+        else:
+            select = "verified"
+    if select == "twolevel":
+        _, seg_ids = _twolevel_topk(segmax, kk)
+    elif select == "iterative":
         _, seg_ids = _iterative_topk(segmax, kk)
     else:
         _, seg_ids = _verified_exact_topk(segmax, kk)

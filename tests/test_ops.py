@@ -310,7 +310,7 @@ def test_segmax_pallas_matches_exact(rng):
         rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric=metric,
                             chunk=n, mode="exact")
         for layout in ("contig", "strided"):
-            for select in ("iterative", "verified"):
+            for select in ("iterative", "verified", "twolevel"):
                 pv, _ = pallas_segmax_topk(q, vecs, norms, valid, k=k,
                                            metric=metric, interpret=True,
                                            layout=layout, select=select)
@@ -368,3 +368,24 @@ def test_segmax2_pallas_matches_exact(rng):
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_twolevel_topk_matches_topk(rng):
+    """_twolevel_topk (supersegment pre-selection) must return the exact
+    top-k values over the minor axis — both above and below its ns >= kk
+    routing guard, and with -inf (masked) columns present."""
+    import jax
+
+    from grape_vector_db_tpu.ops.segmax_pallas import _twolevel_topk
+
+    for b, w, kk in ((4, 2048, 10), (3, 4096, 64), (2, 512, 32)):
+        plane = rng.standard_normal((b, w)).astype(np.float32)
+        plane[:, rng.integers(0, w, size=w // 8)] = -np.inf
+        ref_v, _ = jax.lax.top_k(jnp.asarray(plane), kk)
+        got_v, got_i = _twolevel_topk(jnp.asarray(plane), kk)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                                   rtol=1e-6, atol=1e-6)
+        # returned indices must point at the returned values
+        picked = np.take_along_axis(plane, np.asarray(got_i), axis=1)
+        np.testing.assert_allclose(picked, np.asarray(got_v),
+                                   rtol=1e-6, atol=1e-6)

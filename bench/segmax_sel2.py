@@ -111,6 +111,13 @@ def main() -> None:
                                    for k_, (a, b) in rows.items()}}
     print(json.dumps(out, indent=2), flush=True)
 
+    if os.environ.get("AB_SKIP_CHECK"):
+        print(json.dumps(out), flush=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SEGMAX_AB.jsonl"), "a") as f:
+            f.write(json.dumps(out) + "\n")
+        return
+
     try:
         v_it, _ = jax.jit(lambda q: pallas_segmax_topk(
             q, vecs, norms, valid, k=K, metric="cosine",

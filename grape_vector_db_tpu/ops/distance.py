@@ -278,10 +278,14 @@ def scored_topk(
     ):
         # Fused Pallas form when shapes align on TPU: the matmul + segment
         # reduction happen in VMEM, so the [B, chunk] score blocks never
-        # round-trip HBM (measured 4.0 ms vs 5.4 ms per 128-batch at
-        # 1M x 768 on v5e, bit-identical results).
+        # round-trip HBM. The top-2-per-segment kernel additionally returns
+        # each segment's argmax member, so phase 2 gathers only the
+        # floor(k/2) segments whose SECOND value could hide a top-k row —
+        # the rescore gather was the largest phase-2 term (measured at
+        # 1M x 768, 128-batch on v5e: 3.15 ms vs 3.95 ms single-max vs
+        # 5.4 ms XLA scan; identical results).
         from grape_vector_db_tpu.ops.segmax_pallas import (
-            CB as _SEG_CB, segmax_pallas_supported, pallas_segmax_topk)
+            CB as _SEG_CB, segmax_pallas_supported, pallas_segmax2_topk)
 
         if (
             segmax_pallas_supported()
@@ -292,8 +296,8 @@ def scored_topk(
                           # bigger batches (e.g. graph-build centroid scans)
                           # stay on the chunked XLA engine
         ):
-            vals, idxs = pallas_segmax_topk(queries, vectors, norms, valid,
-                                            k=kk, metric=metric)
+            vals, idxs = pallas_segmax2_topk(queries, vectors, norms, valid,
+                                             k=kk, metric=metric)
             return _pad_k(vals, idxs, k)
         vals, idxs = _segmax_exact_topk(q, vectors, norms, valid, kk, metric,
                                         chunk)

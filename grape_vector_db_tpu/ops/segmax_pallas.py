@@ -179,12 +179,13 @@ def _segmax2_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
     m2_vmem[...] = m2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "impl"))
 def segmax2_scores_pallas(
     q: jax.Array,        # [B, D] f32 prepared (normalized for cosine)
     vectors: jax.Array,  # [N, D] bf16/f32, N % CB == 0, D % 128 == 0
     w_plane: jax.Array,  # [8, N] f32 validity-masked weight (0 = invalid)
     interpret: bool = False,
+    impl: str = "eqfold",  # "eqfold" | "selfold" (member-index recovery)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(m1, i1, m2): [B, N/SEG] top-2 strided segment values + argmax
     MEMBER index (f32 in [0, SEG); block-major segment numbering, same as
@@ -209,8 +210,10 @@ def segmax2_scores_pallas(
         (jnp.arange(CB, dtype=jnp.int32) // (CB // SEG)
          ).astype(jnp.float32)[None, :], (8, CB))
     spec_out = pl.BlockSpec((b, CB // SEG), lambda i: (0, i))
+    kernel = (_segmax2_kernel_selfold if impl == "selfold"
+              else _segmax2_kernel)
     return pl.pallas_call(
-        _segmax2_kernel,
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
             jax.ShapeDtypeStruct((b, n // SEG), jnp.float32),
@@ -227,6 +230,50 @@ def segmax2_scores_pallas(
         interpret=interpret,
         **kwargs,
     )(q, vectors, w_plane, mrow)
+
+
+def _segmax2_kernel_selfold(q_vmem, vec_vmem, w_vmem, mrow_vmem,
+                            m1_vmem, i1_vmem, m2_vmem):
+    """Variant of _segmax2_kernel: recover the argmax member index by
+    carrying the member-index plane THROUGH the fold with where-selects
+    instead of the equality + min-fold pass. The index plane folded here is
+    derived from the mrow INPUT (VMEM-resident), not an iota — the Mosaic
+    crash that forced the equality workaround was specific to slicing
+    lazily-replicated iota-derived planes. Saves the [B, CB] tiled-concat,
+    the equality compare against the score plane, and the 5-step min-fold
+    (~half the member-recovery VPU work)."""
+    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    dots = jax.lax.dot_general(
+        q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                      # [B, CB]
+    w = w_vmem[0:1, :]
+    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
+    mrow = mrow_vmem[0:1, :]                               # [1, CB] f32
+    cb = scores.shape[1]
+    half = cb // 2
+    a1, b1 = scores[:, :half], scores[:, half:]
+    ge = a1 >= b1
+    m1 = jnp.where(ge, a1, b1)
+    m2 = jnp.where(ge, b1, a1)
+    i1 = jnp.where(ge, mrow[:, :half], mrow[:, half:])     # [B, half]
+    width = half
+    while width > cb // SEG:
+        half = width // 2
+        a1, b1 = m1[:, :half], m1[:, half:width]
+        a2, b2 = m2[:, :half], m2[:, half:width]
+        ia, ib = i1[:, :half], i1[:, half:width]
+        ge = a1 >= b1
+        m1 = jnp.where(ge, a1, b1)
+        i1 = jnp.where(ge, ia, ib)
+        m2 = jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2))
+        width = half
+    m1_vmem[...] = m1
+    i1_vmem[...] = i1
+    m2_vmem[...] = m2
 
 
 def _segmax_kernel_contig(q_vmem, vec_vmem, w_vmem, out_vmem):
@@ -300,37 +347,38 @@ def segmax_scores_pallas_contig(
     )(q, vectors, w_plane_t)
 
 
-def _twolevel_topk(plane: jax.Array, kk: int, fan: int = 32
+def _twolevel_topk(plane: jax.Array, kk: int, fan: int = 128
                    ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-kk over the minor axis via supersegment pre-selection.
 
     The iterative max-and-mask selection reads the full [B, W] plane kk
-    times (~10x 16.7 MB at 1M rows) — the single largest phase-2 term.
-    Fold the plane once more to [B, W/fan] supersegment maxima (strided
-    fold-by-halves partition: supersegment j covers columns {j + m*W/fan}),
-    select top-kk there (kk passes over a fan-x smaller plane), then top-kk
-    over the chosen supersegments' fan children ([B, kk*fan] short axis —
-    safe for lax.top_k). Exactness is the segment argument one level up: a
-    top-kk column's supersegment bounds it from above, so kk better
-    supersegments would imply kk better columns; boundary ties are
-    interchangeable by value (same convention as _verified_exact_topk)."""
+    times (~10x 16.7 MB at 1M rows, 0.45 ms measured) — a large phase-2
+    term. Reduce the plane to [B, W/fan] supersegment maxima over
+    CONTIGUOUS fan-column blocks (one XLA minor-split reshape + reduce:
+    ~one pass of traffic), select top-kk there (kk passes over a fan-x
+    smaller plane), then top-kk over the chosen supersegments' children.
+    Contiguity is the point: the child fetch is a [1, 1, fan] slice-gather
+    (XLA lowers it as kk wide vector loads per row), NOT a kk*fan-element
+    scattered gather — the strided-partition variant of this idea measured
+    SLOWER than iterative selection (0.75 vs 0.45 ms) purely on that
+    gather. Exactness is the segment argument one level up: a top-kk
+    column's supersegment bounds it from above, so kk better supersegments
+    would imply kk better columns; boundary ties are interchangeable by
+    value (same convention as _verified_exact_topk)."""
     from grape_vector_db_tpu.ops.distance import _iterative_topk
 
     b, w = plane.shape
     ns = w // fan
     if ns < kk or w % fan:
         return _iterative_topk(plane, kk)
-    cur = plane
-    width = w
-    while width > ns:
-        half = width // 2
-        cur = jnp.maximum(cur[:, :half], cur[:, half:width])
-        width = half
-    _, sup = _iterative_topk(cur, kk)                       # [B, kk]
-    child = (sup[:, :, None]
-             + (jnp.arange(fan, dtype=jnp.int32) * ns)[None, None, :]
+    p3 = plane.reshape(b, ns, fan)
+    sup = p3.max(axis=-1)                                   # [B, ns]
+    _, blks = _iterative_topk(sup, kk)                      # [B, kk]
+    cvals = jnp.take_along_axis(p3, blks[:, :, None], axis=1)  # [B, kk, fan]
+    cvals = cvals.reshape(b, kk * fan)
+    child = (blks[:, :, None] * fan
+             + jnp.arange(fan, dtype=jnp.int32)[None, None, :]
              ).reshape(b, kk * fan)
-    cvals = jnp.take_along_axis(plane, child, axis=1)
     tv, tp = lax.top_k(cvals, kk)
     return tv, jnp.take_along_axis(child, tp, axis=1)
 
@@ -361,7 +409,7 @@ def make_weight_plane_t(norms: jax.Array, valid: jax.Array,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "interpret", "select")
+    jax.jit, static_argnames=("k", "metric", "interpret", "select", "impl")
 )
 def pallas_segmax2_topk(
     queries: jax.Array,   # [B, D] f32 raw
@@ -373,6 +421,7 @@ def pallas_segmax2_topk(
     interpret: bool = False,
     mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
     select: str = "auto",           # "auto" | "iterative" | "twolevel"
+    impl: str = "eqfold",           # member-recovery kernel variant
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k via the top-2-per-segment kernel: candidate rows are the
     top-k segment argmaxes (values already exact — no gather) plus a full
@@ -396,13 +445,14 @@ def pallas_segmax2_topk(
     q = prepare_queries(queries, metric)
     w_plane = make_weight_plane(norms, valid, metric)
     m1, i1, m2 = segmax2_scores_pallas(q, vectors, w_plane,
-                                       interpret=interpret)  # [B, N/SEG]
+                                       interpret=interpret,
+                                       impl=impl)            # [B, N/SEG]
     num_seg = n // SEG
     kk = min(k, num_seg)
     if select == "auto":
         # two-level needs >= kk supersegments with headroom; at the >262k-row
         # sizes this engine serves, num_seg/32 >= 512 >> kk <= 64
-        select = ("twolevel" if num_seg >= 16_384 and num_seg % 32 == 0
+        select = ("twolevel" if num_seg >= 16_384 and num_seg % 128 == 0
                   else "iterative")
     sel = _twolevel_topk if select == "twolevel" else _iterative_topk
     spb_ = CB // SEG
@@ -494,7 +544,7 @@ def pallas_segmax_topk(
     num_seg = n // SEG
     kk = min(k, num_seg)
     if select == "auto":
-        if num_seg >= 16_384 and num_seg % 32 == 0:
+        if num_seg >= 16_384 and num_seg % 128 == 0:
             select = "twolevel"
         elif num_seg <= 262_144:
             select = "iterative"

@@ -343,10 +343,12 @@ def test_segmax2_pallas_matches_exact(rng):
         for k in (1, 2, 10, 33):
             rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric=metric,
                                 chunk=n, mode="exact")
-            pv, _ = pallas_segmax2_topk(q, vecs, norms, valid, k=k,
-                                        metric=metric, interpret=True)
-            np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
-                                       rtol=1e-5, atol=1e-5)
+            for impl in ("eqfold", "selfold"):
+                pv, _ = pallas_segmax2_topk(q, vecs, norms, valid, k=k,
+                                            metric=metric, interpret=True,
+                                            impl=impl)
+                np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                           rtol=1e-5, atol=1e-5)
     mask = jnp.asarray(rng.random(n) > 0.7)
     rv, _ = scored_topk(q, vecs, norms, valid, k=10, metric="cosine",
                         chunk=n, mode="exact", mask=mask)
@@ -364,10 +366,11 @@ def test_segmax2_pallas_matches_exact(rng):
     av = jnp.ones(n, bool)
     rv, _ = scored_topk(q, v2, n2, av, k=10, metric="dot", chunk=n,
                         mode="exact")
-    pv, _ = pallas_segmax2_topk(q, v2, n2, av, k=10, metric="dot",
-                                interpret=True)
-    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
-                               rtol=1e-5, atol=1e-5)
+    for impl in ("eqfold", "selfold"):
+        pv, _ = pallas_segmax2_topk(q, v2, n2, av, k=10, metric="dot",
+                                    interpret=True, impl=impl)
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_twolevel_topk_matches_topk(rng):

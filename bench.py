@@ -334,7 +334,20 @@ def main() -> None:
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "batch_ms_median": round(ms_med, 3),
         "qps_median": round(BATCH / ms_med * 1e3, 0),
-        "note": "fused Pallas matmul+segmax, recall 1.0 by construction",
+        "note": "fused Pallas top-2 segmax, recall 1.0 by construction",
+    }
+
+    # Throughput-optimal batch for the same engine: the 1.6 GB corpus read
+    # (~2 ms) dominates and amortizes across the batch, so doubling B nearly
+    # halves per-query cost (the b<=256 VMEM-residency cap is the limit).
+    q256_dev = jnp.concatenate([q_dev, q_dev * 1.0001 + 0.001])
+    ms, ms_med = timed_fori_reps(step_1m_exact, q256_dev, v1m, n1m, m1m,
+                                 its=16 if SCALE == 1 else 2, reps=5)
+    matrix["flat_exact_1M_b256"] = {
+        "batch_ms": round(ms, 3), "qps": round(256 / ms * 1e3, 0),
+        "batch_ms_median": round(ms_med, 3),
+        "qps_median": round(256 / ms_med * 1e3, 0),
+        "note": "same exact engine at the throughput batch (256 queries)",
     }
     del v1m, n1m, m1m, c1m, f1m
 

@@ -20,6 +20,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench._harness import append_jsonl, gen_corpus, make_timed  # noqa: E402
+
 DIM, K = 768, 10
 ITERS = int(os.environ.get("AB_ITERS", "32"))
 REPS = int(os.environ.get("AB_REPS", "3"))
@@ -32,46 +34,12 @@ def main() -> None:
 
     from grape_vector_db_tpu.ops.segmax_pallas import pallas_segmax2_topk
 
-    chunk = 131_072
-    key = random.PRNGKey(1)
-
-    @jax.jit
-    def gen(k1):
-        x = random.normal(k1, (chunk, DIM), jnp.float32)
-        return x.astype(jnp.bfloat16), jnp.linalg.norm(x, axis=1)
-
-    pv, pn = [], []
-    for _ in range(8):
-        k1, key = random.split(key)
-        v, nn_ = gen(k1)
-        pv.append(v)
-        pn.append(nn_)
-    vecs = jnp.concatenate(pv)
-    norms = jnp.concatenate(pn)
-    valid = jnp.ones((vecs.shape[0],), jnp.bool_)
-    del pv, pn
+    vecs, norms, valid, key = gen_corpus(DIM)
     n = vecs.shape[0]
     kq, key = random.split(key)
     qbig = random.normal(kq, (512, DIM), jnp.float32)
 
-    def timed(step_fn, q0, *ops, its=ITERS, reps=REPS):
-        @jax.jit
-        def loop(qq, *o):
-            def body(i, acc):
-                qi = qq * (1.0 + acc * 1e-9)
-                out = step_fn(qi, *o)
-                return acc * 0.5 + out * 1e-6
-            return lax.fori_loop(0, its, body, jnp.float32(0))
-
-        float(np.asarray(loop(q0, *ops)))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(loop(q0, *ops)))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        to_ms = lambda t: max(t - 0.025, 1e-9) * 1e3 / its
-        return to_ms(ts[0]), to_ms(ts[len(ts) // 2])
+    timed = make_timed(ITERS, REPS)
 
     def step(qi, vecs, norms, valid):
         vals, _ = pallas_segmax2_topk(qi, vecs, norms, valid, k=K,
@@ -97,9 +65,7 @@ def main() -> None:
             print(out[f"b{b}_error"], flush=True)
         flush()
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SEGMAX_AB.jsonl"), "a") as f:
-        f.write(json.dumps(out) + "\n")
+    append_jsonl("SEGMAX_AB.jsonl", out)
 
 
 if __name__ == "__main__":

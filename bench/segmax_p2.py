@@ -27,6 +27,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench._harness import append_jsonl  # noqa: E402
+
 DIM, K = 768, 10
 ITERS = int(os.environ.get("AB_ITERS", "32"))
 REPS = int(os.environ.get("AB_REPS", "3"))
@@ -132,9 +134,7 @@ def main() -> None:
            "rows_ms_best_median": {k_: [round(a, 3), round(bb, 3)]
                                    for k_, (a, bb) in rows.items()}}
     print(json.dumps(out, indent=2), flush=True)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SEGMAX_AB.jsonl"), "a") as f:
-        f.write(json.dumps(out) + "\n")
+    append_jsonl("SEGMAX_AB.jsonl", out)
 
 
 if __name__ == "__main__":

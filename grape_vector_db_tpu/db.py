@@ -293,6 +293,14 @@ class VectorDatabase:
         if self.store.count():
             self.rebuild_index()
 
+    @property
+    def write_lock(self) -> threading.RLock:
+        """The database's write lock (reentrant), exposed for callers that
+        need a compound check-then-act to be atomic against concurrent
+        writes (e.g. the cluster's upsert-if-newer reconcile: read the
+        stored revision, compare timestamps, conditionally upsert)."""
+        return self._lock
+
     # -- ingest (batch-first, lib.rs:309-356) -----------------------------------
 
     def add_document(self, doc: Document) -> str:

@@ -576,30 +576,57 @@ class ClusterNode:
             # (observed in the chaos suite: surviving=0/27). Push the local
             # copy to every current owner first (upsert-if-newer, so a
             # stale doc revision never clobbers a later update), and drop
-            # only after every owner acked the reconcile.
+            # only after every owner acked every chunk.
             local = [rec.to_document().to_dict()
                      for rec in self.db.store.iter_records()
                      if self._shard_of_record(rec.id) == sid]
             if local:
+                # chunked: one whole-shard message would blow the gRPC
+                # transport's 4 MB default frame cap and wedge relinquish
+                # forever on production transport
                 acked = True
                 for n in owners:
-                    try:
-                        self._call(n, "data_reconcile", {"docs": local},
-                                   timeout_s=10.0)
-                    except Exception:
-                        acked = False
+                    for i in range(0, len(local), 128):
+                        try:
+                            self._call(n, "data_reconcile",
+                                       {"docs": local[i:i + 128]},
+                                       timeout_s=10.0)
+                        except Exception:
+                            acked = False
+                            break
+                    if not acked:
                         break
                 if not acked:
                     continue  # retry on a later sweep
-            with self._version_lock:
-                self._complete_shards.discard(sid)
-                self._persist_complete()
-            # Every current owner now provably holds this node's copy; a
-            # lingering local copy would serve stale hits from this node's
-            # whole-corpus local search (and double-count capacity).
-            # Placement decides redundancy.
-            if local:
-                self.db.batch_delete_documents([d["id"] for d in local])
+            # Drop ONLY what was pushed, atomically against concurrent
+            # absorbs: a write landing during the (slow) push window is
+            # either a newer revision of a pushed id or a brand-new id —
+            # both make the sweep dirty; keep the complete flag and retry
+            # on a later sweep so nothing is deleted un-pushed or stranded
+            # un-tracked. Lock order: db.write_lock, then _version_lock
+            # (no path acquires them in reverse).
+            pushed_at = {d["id"]: d.get("updated_at", 0) for d in local}
+            with self.db.write_lock:
+                drop, dirty = [], False
+                for rec in self.db.store.iter_records():
+                    if self._shard_of_record(rec.id) != sid:
+                        continue
+                    pushed = pushed_at.get(rec.id)
+                    if pushed is not None and rec.updated_at <= pushed:
+                        drop.append(rec.id)
+                    else:
+                        dirty = True
+                if dirty:
+                    continue
+                # Every current owner now provably holds this node's copy;
+                # a lingering local copy would serve stale hits from this
+                # node's whole-corpus local search (and double-count
+                # capacity). Placement decides redundancy.
+                with self._version_lock:
+                    self._complete_shards.discard(sid)
+                    self._persist_complete()
+                if drop:
+                    self.db.batch_delete_documents(drop)
 
     def _try_resync_shard(self, sid: int, target: int) -> bool:
         """One resync attempt; returns True when the shard is settled (data
@@ -1117,15 +1144,23 @@ class ClusterNode:
         locally absent or the incoming revision is strictly newer
         (``updated_at``). Used by the relinquish handoff so an old owner's
         copy can never clobber a later update on a current owner, while
-        writes only the old owner still holds are preserved."""
+        writes only the old owner still holds are preserved.
+
+        The compare and the conditional upsert run under the db write lock
+        as one atomic step — otherwise a concurrent client write landing
+        between them would be silently overwritten by the older pushed
+        revision (permanent replica divergence). No shard-version bump:
+        reconciled docs carry no session token, and bumping only the
+        owners that happened to accept would skew the counter agreement
+        the SESSION read gate relies on."""
         accepted = []
-        for d in payload["docs"]:
-            local = self.db.store.get(d["id"])
-            if local is None or local.updated_at < d.get("updated_at", 0):
-                accepted.append(Document.from_dict(d))
-        if accepted:
-            self.db.batch_add_documents(accepted)
-            self._bump_shard_versions([d.id for d in accepted])
+        with self.db.write_lock:
+            for d in payload["docs"]:
+                local = self.db.store.get(d["id"])
+                if local is None or local.updated_at < d.get("updated_at", 0):
+                    accepted.append(Document.from_dict(d))
+            if accepted:
+                self.db.batch_add_documents(accepted)
         return {"accepted": len(accepted), "node_id": self.node_id}
 
     def _rpc_data_drop(self, payload: Dict[str, Any]) -> Dict[str, Any]:

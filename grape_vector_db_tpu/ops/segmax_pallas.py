@@ -375,6 +375,18 @@ def _twolevel_topk(plane: jax.Array, kk: int, fan: int = 128
     sup = p3.max(axis=-1)                                   # [B, ns]
     _, blks = _iterative_topk(sup, kk)                      # [B, kk]
     cvals = jnp.take_along_axis(p3, blks[:, :, None], axis=1)  # [B, kk, fan]
+    # Degenerate-plane guard: when fewer than kk supersegments hold any
+    # finite entry, the iterative selection's tail picks repeat over the
+    # all--inf remainder (argmax of -inf = 0), so blks can contain
+    # DUPLICATES — without masking, a duplicated supersegment's children
+    # enter the final top-k twice and displace true rows. Keep only the
+    # first occurrence of each supersegment (finite picks are always
+    # distinct; only the -inf tail duplicates).
+    is_dup = jnp.any(
+        (blks[:, :, None] == blks[:, None, :])
+        & (jnp.arange(kk)[None, None, :] < jnp.arange(kk)[None, :, None]),
+        axis=2)                                             # [B, kk]
+    cvals = jnp.where(is_dup[:, :, None], -jnp.inf, cvals)
     cvals = cvals.reshape(b, kk * fan)
     child = (blks[:, :, None] * fan
              + jnp.arange(fan, dtype=jnp.int32)[None, None, :]
@@ -450,10 +462,9 @@ def pallas_segmax2_topk(
     num_seg = n // SEG
     kk = min(k, num_seg)
     if select == "auto":
-        # two-level needs >= kk supersegments with headroom; at the >262k-row
-        # sizes this engine serves, num_seg/32 >= 512 >> kk <= 64
-        select = ("twolevel" if num_seg >= 16_384 and num_seg % 128 == 0
-                  else "iterative")
+        # num_seg is always a multiple of CB/SEG = 128 here (the kernel
+        # requires N % CB == 0), so the only gate is enough supersegments
+        select = "twolevel" if num_seg >= 16_384 else "iterative"
     sel = _twolevel_topk if select == "twolevel" else _iterative_topk
     spb_ = CB // SEG
     v1, seg1 = sel(m1, kk)                        # candidate argmax rows
@@ -544,12 +555,9 @@ def pallas_segmax_topk(
     num_seg = n // SEG
     kk = min(k, num_seg)
     if select == "auto":
-        if num_seg >= 16_384 and num_seg % 128 == 0:
-            select = "twolevel"
-        elif num_seg <= 262_144:
-            select = "iterative"
-        else:
-            select = "verified"
+        # num_seg is always a multiple of CB/SEG = 128 (kernel precondition),
+        # so auto is a two-way choice; "verified" remains explicit-only
+        select = "twolevel" if num_seg >= 16_384 else "iterative"
     if select == "twolevel":
         _, seg_ids = _twolevel_topk(segmax, kk)
     elif select == "iterative":

@@ -392,3 +392,29 @@ def test_twolevel_topk_matches_topk(rng):
         picked = np.take_along_axis(plane, np.asarray(got_i), axis=1)
         np.testing.assert_allclose(picked, np.asarray(got_v),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_twolevel_topk_degenerate_sparse_plane(rng):
+    """Fewer finite supersegments than k: the -inf tail of the supersegment
+    selection repeats block 0, and without first-occurrence masking the
+    duplicated children displace true top-k rows (review-confirmed bug)."""
+    import jax
+
+    from grape_vector_db_tpu.ops.segmax_pallas import _twolevel_topk
+
+    b, w, kk, fan = (3, 4096, 10, 128)
+    plane = np.full((b, w), -np.inf, dtype=np.float32)
+    # finite values confined to 2 supersegments (blocks 3 and 17)
+    for blk in (3, 17):
+        plane[:, blk * fan:(blk + 1) * fan] = rng.standard_normal(
+            (b, fan)).astype(np.float32)
+    ref_v, _ = jax.lax.top_k(jnp.asarray(plane), kk)
+    got_v, got_i = _twolevel_topk(jnp.asarray(plane), kk, fan=fan)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               rtol=1e-6, atol=1e-6)
+    # the finite results must be distinct columns (no duplicated rows)
+    gi = np.asarray(got_i)
+    gv = np.asarray(got_v)
+    for row in range(b):
+        finite = gi[row][np.isfinite(gv[row])]
+        assert len(set(finite.tolist())) == len(finite)

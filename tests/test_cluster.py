@@ -998,3 +998,48 @@ def test_data_reconcile_upserts_only_newer(svc):
     assert node.db.store.get("recon-doc").content == "current revision"
     assert node.db.store.get("recon-missing").content == "only on old owner"
     assert node.db.store.get("recon-doc2").content == "newer revision"
+
+
+def test_relinquish_hands_off_before_dropping(svc):
+    """Deterministic reconstruction of the chaos-suite data-loss mode: a
+    deposed owner holds acknowledged docs the current owners miss (their
+    complete flags went stale through a resync chain while the true holder
+    was down). The relinquish sweep must push the docs to every current
+    owner before dropping its local copy — never trust the flag alone."""
+    docs = make_docs(6, seed=11)
+    svc.any_node().upsert(docs)
+    # pick a doc and find a node that physically holds it
+    target = docs[0]
+    holder = next(n for n in svc.nodes.values()
+                  if n.db.store.get(target.id) is not None)
+    sid = holder._shard_of_record(target.id)
+    others = [n for n in svc.nodes.values() if n.node_id != holder.node_id]
+
+    # simulate the stale-complete divergence: current owners lose the doc
+    # but still claim the shard complete; the holder is deposed from the
+    # placement yet keeps its (true) complete flag
+    for n in others:
+        if n.db.store.get(target.id) is not None:
+            n.db.batch_delete_documents([target.id])
+        with n._version_lock:
+            n._complete_shards.add(sid)
+            n._persist_complete()
+    for n in svc.nodes.values():
+        with n._state_lock:
+            info = n.shard_map.shards[sid]
+            info.primary_node = others[0].node_id
+            info.replica_nodes = [others[1].node_id]
+    with holder._version_lock:
+        holder._complete_shards.add(sid)
+        holder._persist_complete()
+
+    holder._relinquish_complete()
+
+    # the doc must have been handed to BOTH current owners, and the
+    # holder's copy dropped along with its complete flag
+    for n in others:
+        rec = n.db.store.get(target.id)
+        assert rec is not None and rec.content == target.content
+    assert holder.db.store.get(target.id) is None
+    with holder._version_lock:
+        assert sid not in holder._complete_shards

@@ -392,19 +392,25 @@ def test_cosine_scores_never_exceed_one():
 
 
 @pytest.mark.parametrize("kind", ["flat", "int8", "binary", "ivf", "ivf_pq",
-                                  "ivf_int8", "graph"])
+                                  "ivf_int8", "graph", "pq", "ivf_int8_proj",
+                                  "sharded_flat", "sharded_ivf",
+                                  "sharded_ivf_int8"])
 def test_index_snapshot_roundtrip_every_engine(tmp_path, rng, kind):
     """save_index/load_index must round-trip EVERY engine kind (the
     reference's postcard+gzip snapshot covered one index type,
-    query.rs:282-409)."""
-    cfg = VectorDbConfig(vector_dimension=32)
+    query.rs:282-409) — including the quantized, projected, and
+    mesh-sharded kinds, whose snapshots reconstruct from full-precision
+    vectors via get_all()."""
+    dim = 256 if kind == "ivf_int8_proj" else 32  # proj_dim is 128-aligned
+    cfg = VectorDbConfig(vector_dimension=dim)
     cfg.device.storage_dtype = "float32"
     cfg.index.kind = kind
     cfg.index.initial_capacity = 1024
     cfg.index.nlist = 4
+    cfg.index.proj_dim = 128
     cfg.cache.enabled = False
     db = VectorDatabase(config=cfg)
-    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    vecs = rng.standard_normal((300, dim)).astype(np.float32)
     db.batch_add_documents([Document(id=f"d{i}", content=f"c{i}",
                                      vector=vecs[i].tolist())
                             for i in range(300)])

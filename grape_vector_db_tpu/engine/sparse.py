@@ -24,7 +24,6 @@ import re
 import threading
 import unicodedata
 from collections import Counter
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -237,12 +236,121 @@ class SimpleTokenizer:
         return Counter(toks), len(toks)
 
 
-@dataclass
-class _Posting:
-    """Growable posting list for one term."""
+class _GrowBuf:
+    """Amortized-doubling numpy buffer: the list-backed postings paid a
+    Python object per (doc, term) pair on the write path and an O(len)
+    list->array conversion per query term on the read path; this holds the
+    live prefix of a preallocated array instead."""
 
-    handles: List[int]
-    tfs: List[float]
+    __slots__ = ("buf", "n")
+
+    def __init__(self, dtype, cap: int = 16):
+        self.buf = np.empty(cap, dtype)
+        self.n = 0
+
+    @classmethod
+    def from_array(cls, arr: np.ndarray) -> "_GrowBuf":
+        g = cls(arr.dtype, cap=max(len(arr), 16))
+        g.buf[: len(arr)] = arr
+        g.n = len(arr)
+        return g
+
+    def _ensure(self, extra: int) -> None:
+        need = self.n + extra
+        cap = self.buf.shape[0]
+        if need > cap:
+            new = np.empty(max(need, 2 * cap), self.buf.dtype)
+            new[: self.n] = self.buf[: self.n]
+            self.buf = new
+
+    def append(self, v) -> None:
+        self._ensure(1)
+        self.buf[self.n] = v
+        self.n += 1
+
+    def extend(self, arr) -> None:
+        m = len(arr)
+        self._ensure(m)
+        self.buf[self.n:self.n + m] = arr
+        self.n += m
+
+    def view(self) -> np.ndarray:
+        return self.buf[: self.n]
+
+
+class _Posting:
+    """Posting list for one term.
+
+    Write side: batch ingest appends SLICES of the batch-wide pair arrays
+    (the sort by term partitions them perfectly, so the slices are zero-copy
+    views sharing one parent per batch) to ``chunks``; single-doc adds go to
+    the small ``tail`` buffers. Both are O(1) per call — the previous
+    list-backed form paid a Python float/int object per pair, and a
+    numpy-buffer form paid ~2us of slice-assign overhead per (term, batch).
+
+    Read side: ``view()`` concatenates chunks+tail once and caches (mutation
+    invalidates); the old form converted list->array per query term.
+
+    INVARIANT: handles within one posting are unique (a document contributes
+    one aggregated tf per term; re-adds mint a new handle), so BM25
+    accumulation may use fancy-index += instead of np.add.at."""
+
+    __slots__ = ("chunks_h", "chunks_t", "tail_h", "tail_t", "n", "_h", "_t")
+
+    def __init__(self):
+        self.chunks_h: List[np.ndarray] = []
+        self.chunks_t: List[np.ndarray] = []
+        # lazy: batch ingest never appends, and these are 4 allocations per
+        # vocabulary term — real GC pressure at 100k+ vocabularies
+        self.tail_h: Optional[_GrowBuf] = None
+        self.tail_t: Optional[_GrowBuf] = None
+        self.n = 0
+        self._h: Optional[np.ndarray] = None
+        self._t: Optional[np.ndarray] = None
+
+    def append(self, handle: int, tf: float) -> None:
+        if self.tail_h is None:
+            self.tail_h = _GrowBuf(np.int64)
+            self.tail_t = _GrowBuf(np.float64)
+        self.tail_h.append(handle)
+        self.tail_t.append(tf)
+        self.n += 1
+        self._h = self._t = None
+
+    def extend(self, h_arr: np.ndarray, t_arr: np.ndarray) -> None:
+        self.chunks_h.append(h_arr)
+        self.chunks_t.append(t_arr)
+        self.n += len(h_arr)
+        self._h = self._t = None
+
+    def view(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if self._h is None:
+            tail = self.tail_h is not None and self.tail_h.n > 0
+            hs = self.chunks_h + ([self.tail_h.view()] if tail else [])
+            ts = self.chunks_t + ([self.tail_t.view()] if tail else [])
+            if len(hs) == 1:
+                # single-source: materialize copies so the cache stays valid
+                # when a tail append follows
+                self._h = np.ascontiguousarray(hs[0], dtype=np.int64)
+                self._t = np.ascontiguousarray(ts[0], dtype=np.float64)
+            else:
+                self._h = np.concatenate(hs).astype(np.int64, copy=False)
+                self._t = np.concatenate(ts).astype(np.float64, copy=False)
+            # collapse: future views are O(1), parents are released
+            self.chunks_h = [self._h]
+            self.chunks_t = [self._t]
+            self.tail_h = self.tail_t = None
+        return self._h, self._t
+
+    def replace(self, h_arr: np.ndarray, t_arr: np.ndarray) -> None:
+        """Swap in rewritten (compacted) postings."""
+        self.chunks_h = [h_arr]
+        self.chunks_t = [t_arr]
+        self.tail_h = self.tail_t = None
+        self.n = len(h_arr)
+        self._h = self._t = None
 
 
 class SparseIndex:
@@ -262,7 +370,10 @@ class SparseIndex:
         self._postings: Dict[int, _Posting] = {}
         self._doc_handle: Dict[str, int] = {}
         self._handle_doc: List[Optional[str]] = []
-        self._doc_len: List[float] = []
+        self._doc_len = _GrowBuf(np.float64)
+        # bool twin of "self._handle_doc[h] is not None": keeps liveness a
+        # vector op on the query path (mask, df) instead of an O(N) listcomp
+        self._live = _GrowBuf(np.bool_)
         self._total_len = 0.0
         self._live_docs = 0
         self._tombstones = 0
@@ -274,7 +385,7 @@ class SparseIndex:
         if tid is None and create and len(self._vocab) < self.config.max_vocabulary_size:
             tid = len(self._vocab)
             self._vocab[term] = tid
-            self._postings[tid] = _Posting([], [])
+            self._postings[tid] = _Posting()
         return tid
 
     def vocabulary_size(self) -> int:
@@ -310,6 +421,7 @@ class SparseIndex:
             handle = len(self._handle_doc)
             self._handle_doc.append(doc_id)
             self._doc_len.append(float(total))
+            self._live.append(True)
             self._doc_handle[doc_id] = handle
             self._total_len += total
             self._live_docs += 1
@@ -318,8 +430,7 @@ class SparseIndex:
                 if tid is None:
                     continue
                 p = self._postings[tid]
-                p.handles.append(handle)
-                p.tfs.append(float(count))
+                p.append(handle, float(count))
 
     def add_documents(self, doc_ids: Sequence[str], texts: Sequence[str]) -> None:
         """Batch ingest: ONE native tokenizer call for the whole batch
@@ -340,12 +451,9 @@ class SparseIndex:
             doc_ids = [doc_ids[i] for i in keep]
             texts = [texts[i] for i in keep]
         with self._lock:
-            ascii_ix: List[int] = []
-            for i, (d, t) in enumerate(zip(doc_ids, texts)):
-                if d in self._doc_handle:
-                    self._remove_locked(d)
-                if t.isascii():
-                    ascii_ix.append(i)
+            for d in self._doc_handle.keys() & set(doc_ids):
+                self._remove_locked(d)
+            ascii_ix = [i for i, t in enumerate(texts) if t.isascii()]
             out = (_native_batch_counts(lib, [texts[i] for i in ascii_ix])
                    if ascii_ix else ([], np.zeros(0, np.int32),
                                      np.zeros(0, np.int32),
@@ -365,7 +473,8 @@ class SparseIndex:
                 self._handle_doc.extend(doc_ids)
                 self._doc_handle.update(
                     zip(doc_ids, range(base, base + n_docs)))
-                self._doc_len.extend(doc_tot.astype(np.float64).tolist())
+                self._doc_len.extend(doc_tot)
+                self._live.extend(np.ones(n_docs, np.bool_))
                 self._total_len += float(doc_tot.sum())
             else:
                 handle_of_ascii = np.empty(len(ascii_ix), dtype=np.int64)
@@ -374,6 +483,7 @@ class SparseIndex:
                     did, text = d
                     handle = base + i
                     self._handle_doc.append(did)
+                    self._live.append(True)
                     self._doc_handle[did] = handle
                     j = ascii_pos.get(i)
                     if j is not None:
@@ -391,16 +501,30 @@ class SparseIndex:
                             if tid is None:
                                 continue
                             post = self._postings[tid]
-                            post.handles.append(handle)
-                            post.tfs.append(float(count))
+                            post.append(handle, float(count))
             self._live_docs += len(doc_ids)
             if len(pair_term) == 0:
                 return
-            # batch-local term id -> global vocab id (-1: vocabulary full)
-            tid_map = np.empty(len(terms), dtype=np.int64)
-            for b, term in enumerate(terms):
-                tid = self._term_id(term, create=True)
-                tid_map[b] = -1 if tid is None else tid
+            # batch-local term id -> global vocab id (-1: vocabulary full).
+            # Inlined _term_id with locals: this loop runs once per unique
+            # term per batch and the attribute/np-scalar overhead of the
+            # naive form measured 18 ms/4096-doc batch vs ~4 ms inlined.
+            vocab = self._vocab
+            postings = self._postings
+            vocab_get = vocab.get
+            cap = self.config.max_vocabulary_size
+            tid_list: List[int] = []
+            for term in terms:
+                tid = vocab_get(term)
+                if tid is None:
+                    if len(vocab) < cap:
+                        tid = len(vocab)
+                        vocab[term] = tid
+                        postings[tid] = _Posting()
+                    else:
+                        tid = -1
+                tid_list.append(tid)
+            tid_map = np.asarray(tid_list, dtype=np.int64)
             # group pairs by term and extend each posting list once
             order = np.argsort(pair_term, kind="stable")
             pt_s = pair_term[order]
@@ -408,13 +532,11 @@ class SparseIndex:
             tfs = pair_count[order].astype(np.float64)
             uniq, starts = np.unique(pt_s, return_index=True)
             ends = np.append(starts[1:], len(pt_s))
-            for u, s, e in zip(uniq, starts, ends):
-                tid = int(tid_map[u])
+            gtids = tid_map[uniq].tolist()
+            for tid, s, e in zip(gtids, starts.tolist(), ends.tolist()):
                 if tid < 0:
                     continue
-                post = self._postings[tid]
-                post.handles.extend(handles[s:e].tolist())
-                post.tfs.extend(tfs[s:e].tolist())
+                postings[tid].extend(handles[s:e], tfs[s:e])
 
     def remove_document(self, doc_id: str) -> bool:
         with self._lock:
@@ -425,7 +547,8 @@ class SparseIndex:
         if handle is None:
             return False
         self._handle_doc[handle] = None
-        self._total_len -= self._doc_len[handle]
+        self._live.buf[handle] = False
+        self._total_len -= float(self._doc_len.buf[handle])
         self._live_docs -= 1
         self._tombstones += 1
         if self._live_docs > 0 and self._tombstones > 0.25 * (self._live_docs + self._tombstones):
@@ -433,21 +556,21 @@ class SparseIndex:
         return True
 
     def _compact_locked(self) -> None:
-        """Rewrite postings dropping tombstoned handles."""
-        remap: Dict[int, int] = {}
-        new_handle_doc: List[Optional[str]] = []
-        new_doc_len: List[float] = []
-        for old, doc in enumerate(self._handle_doc):
-            if doc is not None:
-                remap[old] = len(new_handle_doc)
-                new_handle_doc.append(doc)
-                new_doc_len.append(self._doc_len[old])
+        """Rewrite postings dropping tombstoned handles (vectorized: an
+        old->new remap array replaces the per-pair dict walk)."""
+        alive = self._live.view()
+        n_new = int(alive.sum())
+        remap_arr = np.full(alive.shape[0], -1, dtype=np.int64)
+        remap_arr[alive] = np.arange(n_new, dtype=np.int64)
         for p in self._postings.values():
-            pairs = [(remap[h], t) for h, t in zip(p.handles, p.tfs) if h in remap]
-            p.handles = [h for h, _ in pairs]
-            p.tfs = [t for _, t in pairs]
+            h, t = p.view()
+            nh = remap_arr[h]
+            keep = nh >= 0
+            p.replace(nh[keep], t[keep])
+        new_handle_doc = [d for d in self._handle_doc if d is not None]
+        self._doc_len = _GrowBuf.from_array(self._doc_len.view()[alive])
+        self._live = _GrowBuf.from_array(np.ones(n_new, np.bool_))
         self._handle_doc = new_handle_doc
-        self._doc_len = new_doc_len
         self._doc_handle = {d: h for h, d in enumerate(new_handle_doc)}
         self._tombstones = 0
 
@@ -459,7 +582,8 @@ class SparseIndex:
             self._postings = {}
             self._doc_handle = {}
             self._handle_doc = []
-            self._doc_len = []
+            self._doc_len = _GrowBuf(np.float64)
+            self._live = _GrowBuf(np.bool_)
             self._total_len = 0.0
             self._live_docs = 0
             self._tombstones = 0
@@ -484,13 +608,9 @@ class SparseIndex:
 
     def _df(self, tid: int) -> int:
         p = self._postings.get(tid)
-        if p is None:
+        if p is None or p.n == 0:
             return 0
-        live = 0
-        for h in p.handles:
-            if self._handle_doc[h] is not None:
-                live += 1
-        return live
+        return int(np.count_nonzero(self._live.view()[p.view()[0]]))
 
     def search_bm25(self, query: str, limit: int) -> List[Tuple[str, float]]:
         """Vectorized BM25 accumulation (sparse.rs:152-199)."""
@@ -502,7 +622,7 @@ class SparseIndex:
                 return []
             n_handles = len(self._handle_doc)
             scores = np.zeros(n_handles, dtype=np.float64)
-            doc_len = np.asarray(self._doc_len, dtype=np.float64)
+            doc_len = self._doc_len.view()
             avgdl = max(self.avg_doc_len, 1e-9)
             k1, b = self.bm25.k1, self.bm25.b
             seen_any = False
@@ -511,18 +631,19 @@ class SparseIndex:
                 if tid is None:
                     continue
                 p = self._postings[tid]
-                if not p.handles:
+                if p.n == 0:
                     continue
-                handles = np.asarray(p.handles, dtype=np.int64)
-                tfs = np.asarray(p.tfs, dtype=np.float64)
+                handles, tfs = p.view()
                 idf = self.idf(term)
                 dl = doc_len[handles]
                 contrib = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
-                np.add.at(scores, handles, contrib)
+                # handles are unique within one posting (class invariant), so
+                # fancy += is exact and much faster than np.add.at
+                scores[handles] += contrib
                 seen_any = True
             if not seen_any:
                 return []
-            live_mask = np.asarray([d is not None for d in self._handle_doc])
+            live_mask = self._live.view()
             scores = np.where(live_mask, scores, -np.inf)
             k = min(limit, n_handles)
             top = np.argpartition(-scores, k - 1)[:k]

@@ -610,6 +610,8 @@ class SparseIndex:
         p = self._postings.get(tid)
         if p is None or p.n == 0:
             return 0
+        if self._tombstones == 0:  # no dead handles anywhere -> df = |posting|
+            return p.n
         return int(np.count_nonzero(self._live.view()[p.view()[0]]))
 
     def search_bm25(self, query: str, limit: int) -> List[Tuple[str, float]]:

@@ -217,8 +217,12 @@ class BinaryDeviceIndex(FlatDeviceIndex):
                 # capacity config: Hamming similarity IS the ranking
                 dists, idxs = hamming_topk(qcodes, self.codes, valid, k=k,
                                            chunk=chunk, impl=self.hamming_impl)
-                d_np, i_np = np.asarray(dists), np.asarray(idxs)
-                sims = 1.0 - d_np.astype(np.float32) / float(self._dim)
+                from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
+
+                # one packed readback; distances are exact in f32 (<= dim,
+                # and the 2^30 invalid sentinel is a power of two)
+                d_np, i_np = fetch_scores_slots(dists, idxs)
+                sims = 1.0 - d_np / float(self._dim)
                 sims = np.where(d_np >= _INVALID_DIST, -np.inf, sims)
                 return sims, i_np
             dists, cand = hamming_topk(qcodes, self.codes, valid, k=r,
@@ -226,7 +230,9 @@ class BinaryDeviceIndex(FlatDeviceIndex):
             vals, idxs = _rescore_topk(
                 q, self.vectors, self.norms, cand, dists, k=k, metric=self.metric
             )
-            return np.asarray(vals), np.asarray(idxs)
+            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
+
+            return fetch_scores_slots(vals, idxs)
 
     def hamming_only_topk(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
         """Stage-1-only search (similarity = 1 - d/dim, quantization.rs:144-148).
@@ -244,7 +250,10 @@ class BinaryDeviceIndex(FlatDeviceIndex):
             chunk = self._scan_chunk()
             dists, idxs = hamming_topk(qcodes, self.codes, self.valid, k=k,
                                        chunk=chunk, impl=self.hamming_impl)
-            dists, idxs = np.asarray(dists)[:b], np.asarray(idxs)[:b]
+            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
+
+            dists, idxs = fetch_scores_slots(dists, idxs)
+            dists, idxs = dists[:b], idxs[:b]
         sims = 1.0 - dists.astype(np.float64) / float(self._dim)
         sims = np.where(dists >= _INVALID_DIST, -np.inf, sims)
         return self.hits_from_slots(sims, idxs)

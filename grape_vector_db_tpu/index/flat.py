@@ -234,7 +234,9 @@ class FlatDeviceIndex(VectorIndex):
                 mode=self.search_mode, recall_target=self.recall_target,
                 mask=None if mask is None else jnp.asarray(mask),
             )
-            return np.asarray(vals), np.asarray(idxs)
+            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
+
+            return fetch_scores_slots(vals, idxs)
 
     def search_batch(self, queries: np.ndarray, k: int,
                      mask: Optional[np.ndarray] = None) -> List[List[SearchHit]]:

@@ -42,6 +42,7 @@ from grape_vector_db_tpu.ops.gather_pallas import pallas_gather_supported
 from grape_vector_db_tpu.ops.graph import beam_search, build_knn_graph
 from grape_vector_db_tpu.ops.kmeans import kmeans
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["GraphDeviceIndex"]
 
@@ -280,7 +281,8 @@ class GraphDeviceIndex(VectorIndex):
                 iters=self.search_iters, metric=self.metric,
                 impl=self.gather_impl,
             )
-            graph_hits = gs.hits_from_slots(np.asarray(vals)[:b], np.asarray(idxs)[:b])
+            h_vals, h_idxs = fetch_scores_slots(vals, idxs)
+            graph_hits = gs.hits_from_slots(h_vals[:b], h_idxs[:b])
             # Points inserted after the last build live in graph slots beyond
             # the graph's slot range — scan them exactly through the store.
             extra_hits = self._post_build_hits(qp, b, k)

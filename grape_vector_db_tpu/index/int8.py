@@ -102,7 +102,9 @@ class Int8DeviceIndex(FlatDeviceIndex):
                                    ).astype(jnp.int32)
             vals, idxs = _rescore_topk(q, self.vectors, self.norms, cand,
                                        dist_proxy, k=k, metric=self.metric)
-            return np.asarray(vals), np.asarray(idxs)
+            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
+
+            return fetch_scores_slots(vals, idxs)
 
     def get_stats(self):
         stats = super().get_stats()

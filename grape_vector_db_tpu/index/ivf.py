@@ -35,6 +35,7 @@ from grape_vector_db_tpu.ops.distance import prepare_queries
 from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
 from grape_vector_db_tpu.ops.topk import merge_topk
 from grape_vector_db_tpu.utils.buckets import PAD_SLOT, next_bucket, pad_rows
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["IvfDeviceIndex"]
 
@@ -442,7 +443,8 @@ class IvfDeviceIndex(VectorIndex):
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
             vals, slots = self._main_topk(qp, k, mask)
-            vals, slots = np.asarray(vals)[:b], np.asarray(slots)[:b]
+            vals, slots = fetch_scores_slots(vals, slots)
+            vals, slots = vals[:b], slots[:b]
             if len(self._overflow):
                 o_vals, o_idx = self._overflow.raw_topk(
                     qp, k, mask=None if mask is None else mask[1])

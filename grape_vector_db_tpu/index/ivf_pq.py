@@ -39,6 +39,7 @@ from grape_vector_db_tpu.ops.distance import prepare_queries
 from grape_vector_db_tpu.ops.int8 import quantize_int8
 from grape_vector_db_tpu.ops.pq import encode_pq, train_pq
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["IvfPqDeviceIndex"]
 
@@ -360,7 +361,8 @@ class IvfPqDeviceIndex(IvfDeviceIndex):
                 nprobe=self.nprobe, rescore_k=rk, k=k, metric=self.metric,
                 residual=self.residual,
             )
-            vals, slots = np.asarray(vals)[:b], np.asarray(slots)[:b]
+            vals, slots = fetch_scores_slots(vals, slots)
+            vals, slots = vals[:b], slots[:b]
             if len(self._overflow):
                 o_vals, o_idx = self._overflow.raw_topk(
                     qp, k, mask=None if mask is None else mask[1])

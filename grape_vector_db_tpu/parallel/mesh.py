@@ -35,6 +35,7 @@ from grape_vector_db_tpu.index.ivf_int8 import (Int8IvfDeviceIndex,
 from grape_vector_db_tpu.ops.distance import score_block, prepare_queries
 from grape_vector_db_tpu.ops.topk import take_topk
 from grape_vector_db_tpu.utils.buckets import PAD_SLOT, next_bucket, pad_rows
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["make_mesh", "sharded_scored_topk", "sharded_ivf_topk",
            "sharded_ivf_int8_topk", "ShardedInt8IvfIndex",
@@ -444,7 +445,8 @@ class ShardedFlatIndex(VectorIndex):
                     shard_axis=self.shard_axis, mode=self.search_mode,
                     recall_target=self.recall_target,
                 )
-            vals, idxs = np.asarray(vals)[:b], np.asarray(idxs)[:b]
+            vals, idxs = fetch_scores_slots(vals, idxs)
+            vals, idxs = vals[:b], idxs[:b]
             out: List[List[SearchHit]] = []
             for rv, ri in zip(vals, idxs):
                 hits = []

@@ -418,3 +418,24 @@ def test_twolevel_topk_degenerate_sparse_plane(rng):
     for row in range(b):
         finite = gi[row][np.isfinite(gv[row])]
         assert len(set(finite.tolist())) == len(finite)
+
+
+def test_fetch_scores_slots_roundtrip(rng):
+    """The packed single-transfer fetch must round-trip every int32 bit
+    pattern (slot ids that alias NaN/Inf f32 lanes included) and preserve
+    scores exactly."""
+    import jax.numpy as jnp
+
+    from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
+
+    vals = rng.standard_normal((5, 7)).astype(np.float32)
+    vals[0, 0] = -np.inf
+    vals[1, 2] = np.inf
+    idxs = rng.integers(-(2**31), 2**31 - 1, size=(5, 7), dtype=np.int32)
+    idxs[2, 3] = 0x7FC00000 - 2**32 // 2  # NaN-pattern-adjacent
+    idxs[3, 1] = -1
+    idxs[4, 0] = 2**31 - 1
+    out_v, out_i = fetch_scores_slots(jnp.asarray(vals), jnp.asarray(idxs))
+    np.testing.assert_array_equal(out_v, vals)
+    np.testing.assert_array_equal(out_i, idxs)
+    assert out_i.dtype == np.int32

@@ -153,7 +153,9 @@ class PqDeviceIndex(FlatDeviceIndex):
                 q, self.vectors, self.norms, cand, dist_proxy, k=k,
                 metric=self.metric,
             )
-            return np.asarray(fvals), np.asarray(fidx)
+            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
+
+            return fetch_scores_slots(fvals, fidx)
 
     def get_stats(self):
         stats = super().get_stats()

@@ -114,9 +114,23 @@ int32_t gvdb_tokenize_batch(const char* texts, const int32_t* offsets,
                             int32_t* pair_count, int32_t pair_cap,
                             int32_t* doc_total, int64_t* need_terms,
                             int64_t* need_pairs) {
-    const auto& stop = stopwords();
+    // char-class + lowercase table: one load per input byte replaces three
+    // range compares and a branchy lowercase
+    static const unsigned char* kCls = [] {
+        static unsigned char t[256] = {0};
+        for (int c = 'a'; c <= 'z'; ++c) t[c] = static_cast<unsigned char>(c);
+        for (int c = 'A'; c <= 'Z'; ++c)
+            t[c] = static_cast<unsigned char>(c - 'A' + 'a');
+        for (int c = '0'; c <= '9'; ++c) t[c] = static_cast<unsigned char>(c);
+        t[static_cast<unsigned char>('_')] = '_';
+        return t;
+    }();
+    // ONE hash per token: the term map is pre-seeded with stopwords at
+    // tid = -1 (the old form hashed every token twice — stopword set, then
+    // term map)
     std::unordered_map<std::string, int32_t> term_ids;
-    term_ids.reserve(1024);
+    term_ids.reserve(4096);
+    for (const auto& s : stopwords()) term_ids.emplace(s, -1);
     std::vector<std::string> terms;
     terms.reserve(1024);
     std::vector<int32_t> p_doc, p_term, p_count;
@@ -124,46 +138,51 @@ int32_t gvdb_tokenize_batch(const char* texts, const int32_t* offsets,
     p_term.reserve(static_cast<size_t>(n_docs) * 8);
     p_count.reserve(static_cast<size_t>(n_docs) * 8);
 
-    std::unordered_map<int32_t, uint32_t> counts;
+    // per-doc counts as a flat tid-indexed array + touched list: the old
+    // per-doc unordered_map paid node allocs and a bucket walk per clear()
+    std::vector<uint32_t> cnt;
+    std::vector<int32_t> touched;
+    touched.reserve(64);
     std::string tok;
     tok.reserve(24);
     for (int32_t d = 0; d < n_docs; ++d) {
-        counts.clear();
         int32_t tot = 0;
         const int32_t beg = offsets[d], end = offsets[d + 1];
         for (int32_t i = beg; i <= end; ++i) {
-            char c = (i < end) ? texts[i] : ' ';
-            if (c >= 'A' && c <= 'Z') c = static_cast<char>(c - 'A' + 'a');
-            const bool in_token =
-                (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_';
-            if (in_token) {
-                tok.push_back(c);
+            const unsigned char m =
+                (i < end) ? kCls[static_cast<unsigned char>(texts[i])] : 0;
+            if (m != 0) {
+                tok.push_back(static_cast<char>(m));
                 continue;
             }
             if (!tok.empty()) {
-                if (stop.find(tok) == stop.end()) {
-                    if (tok.size() > 0xFFFF) return INT32_MIN;
-                    auto it = term_ids.find(tok);
-                    int32_t tid;
-                    if (it == term_ids.end()) {
-                        tid = static_cast<int32_t>(terms.size());
-                        term_ids.emplace(tok, tid);
-                        terms.push_back(tok);
-                    } else {
-                        tid = it->second;
-                    }
-                    ++counts[tid];
+                if (tok.size() > 0xFFFF) return INT32_MIN;
+                auto ins = term_ids.try_emplace(tok, 0);
+                int32_t tid;
+                if (ins.second) {
+                    tid = static_cast<int32_t>(terms.size());
+                    ins.first->second = tid;
+                    terms.push_back(tok);
+                    cnt.push_back(0);
+                } else {
+                    tid = ins.first->second;
+                }
+                if (tid >= 0) {
+                    if (cnt[static_cast<size_t>(tid)]++ == 0)
+                        touched.push_back(tid);
                     ++tot;
                 }
                 tok.clear();
             }
         }
         doc_total[d] = tot;
-        for (const auto& kv : counts) {
+        for (const int32_t tid : touched) {
             p_doc.push_back(d);
-            p_term.push_back(kv.first);
-            p_count.push_back(static_cast<int32_t>(kv.second));
+            p_term.push_back(tid);
+            p_count.push_back(static_cast<int32_t>(cnt[static_cast<size_t>(tid)]));
+            cnt[static_cast<size_t>(tid)] = 0;
         }
+        touched.clear();
     }
 
     int64_t tneed = 0;

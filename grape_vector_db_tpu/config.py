@@ -149,7 +149,6 @@ class SparseVectorConfig:
 
     max_vocabulary_size: int = 100_000
     vocabulary_update_interval: int = 1000
-    max_postings_per_term: int = 1_000_000
 
 
 @dataclass

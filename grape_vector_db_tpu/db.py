@@ -231,13 +231,16 @@ def _stack_vectors(docs: Sequence[Document], dim: int) -> np.ndarray:
     if isinstance(docs[0].vector, np.ndarray):
         # prealloc + row-assign: np.stack pays per-array expand/concat
         # machinery (~1.5x slower at 4096 rows); assignment converts dtype
-        # in C and rejects wrong-length rows
+        # in C and rejects wrong-length rows. Rows may still be Python lists
+        # (e.g. embedder-filled docs mixed into an ndarray batch) — those
+        # take the asarray fallback per row.
         out = np.empty((len(docs), dim), np.float32)
         for i, d in enumerate(docs):
             v = d.vector
-            if v.shape != (dim,):
-                v = np.asarray(v, dtype=np.float32).reshape(dim)
-            out[i] = v
+            if isinstance(v, np.ndarray) and v.shape == (dim,):
+                out[i] = v
+            else:
+                out[i] = np.asarray(v, dtype=np.float32).reshape(dim)
         return out
     return np.asarray([d.vector for d in docs], dtype=np.float32)
 

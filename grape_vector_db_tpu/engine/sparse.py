@@ -208,12 +208,14 @@ def _native_batch_counts(lib, texts: Sequence[str]):
         term_cap = max(term_cap, int(need_t.value))
         pair_cap = max(pair_cap, int(need_p.value), 1)
     terms: List[str] = []
-    mv = tbuf.raw
+    # memoryview, not .raw: .raw copies the ENTIRE buffer (>= 1 MB after the
+    # thread-local reuse floor) to parse a prefix; mv slices are zero-copy
+    mv = memoryview(tbuf)
     p = 0
     for _ in range(int(nt.value)):
         (l,) = struct.unpack_from("<H", mv, p)
         p += 2
-        terms.append(mv[p:p + l].decode("ascii"))
+        terms.append(bytes(mv[p:p + l]).decode("ascii"))
         p += l
     return terms, pd[:rc], pt[:rc], pc[:rc], dt
 
@@ -349,14 +351,19 @@ class _Posting:
             hs = self.chunks_h + ([self.tail_h.view()] if tail else [])
             ts = self.chunks_t + ([self.tail_t.view()] if tail else [])
             if len(hs) == 1:
-                # single-source: materialize copies so the cache stays valid
-                # when a tail append follows
+                # Single source: NO copy is made (ascontiguousarray returns
+                # its input when dtype/contiguity already match). Aliasing is
+                # safe because cached sources are never mutated afterward:
+                # the tail GrowBuf is nulled below (appends allocate a fresh
+                # one) and batch pair arrays are write-once. The chunk's
+                # parent stays pinned, but sibling postings' chunks cover the
+                # rest of it, so nothing is wasted while the index lives.
                 self._h = np.ascontiguousarray(hs[0], dtype=np.int64)
                 self._t = np.ascontiguousarray(ts[0], dtype=np.float64)
             else:
                 self._h = np.concatenate(hs).astype(np.int64, copy=False)
                 self._t = np.concatenate(ts).astype(np.float64, copy=False)
-            # collapse: future views are O(1), parents are released
+            # collapse: future views are O(1)
             self.chunks_h = [self._h]
             self.chunks_t = [self._t]
             self.tail_h = self.tail_t = None

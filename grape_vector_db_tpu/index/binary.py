@@ -35,6 +35,7 @@ from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.ops.distance import prepare_queries
 from grape_vector_db_tpu.ops.hamming import hamming_topk, pack_bits, words_per_vector
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["BinaryDeviceIndex"]
 
@@ -217,8 +218,6 @@ class BinaryDeviceIndex(FlatDeviceIndex):
                 # capacity config: Hamming similarity IS the ranking
                 dists, idxs = hamming_topk(qcodes, self.codes, valid, k=k,
                                            chunk=chunk, impl=self.hamming_impl)
-                from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
-
                 # one packed readback; distances are exact in f32 (<= dim,
                 # and the 2^30 invalid sentinel is a power of two)
                 d_np, i_np = fetch_scores_slots(dists, idxs)
@@ -230,8 +229,6 @@ class BinaryDeviceIndex(FlatDeviceIndex):
             vals, idxs = _rescore_topk(
                 q, self.vectors, self.norms, cand, dists, k=k, metric=self.metric
             )
-            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
-
             return fetch_scores_slots(vals, idxs)
 
     def hamming_only_topk(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
@@ -250,8 +247,6 @@ class BinaryDeviceIndex(FlatDeviceIndex):
             chunk = self._scan_chunk()
             dists, idxs = hamming_topk(qcodes, self.codes, self.valid, k=k,
                                        chunk=chunk, impl=self.hamming_impl)
-            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
-
             dists, idxs = fetch_scores_slots(dists, idxs)
             dists, idxs = dists[:b], idxs[:b]
         sims = 1.0 - dists.astype(np.float64) / float(self._dim)

@@ -25,6 +25,7 @@ from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
 from grape_vector_db_tpu.ops.distance import scored_topk
 from grape_vector_db_tpu.utils.buckets import PAD_SLOT, next_bucket, pad_rows
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["FlatDeviceIndex"]
 
@@ -234,8 +235,6 @@ class FlatDeviceIndex(VectorIndex):
                 mode=self.search_mode, recall_target=self.recall_target,
                 mask=None if mask is None else jnp.asarray(mask),
             )
-            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
-
             return fetch_scores_slots(vals, idxs)
 
     def search_batch(self, queries: np.ndarray, k: int,

@@ -24,6 +24,7 @@ from grape_vector_db_tpu.index.binary import _rescore_topk
 from grape_vector_db_tpu.index.flat import FlatDeviceIndex, _scatter_set
 from grape_vector_db_tpu.ops.int8 import int8_topk, quantize_int8
 from grape_vector_db_tpu.utils.buckets import next_bucket
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 import functools
 
@@ -102,8 +103,6 @@ class Int8DeviceIndex(FlatDeviceIndex):
                                    ).astype(jnp.int32)
             vals, idxs = _rescore_topk(q, self.vectors, self.norms, cand,
                                        dist_proxy, k=k, metric=self.metric)
-            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
-
             return fetch_scores_slots(vals, idxs)
 
     def get_stats(self):

@@ -24,6 +24,7 @@ import numpy as np
 from grape_vector_db_tpu.index.flat import FlatDeviceIndex, _scatter_set
 from grape_vector_db_tpu.ops.pq import adc_topk, encode_pq, train_pq
 from grape_vector_db_tpu.utils.buckets import next_bucket
+from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["PqDeviceIndex"]
 
@@ -153,8 +154,6 @@ class PqDeviceIndex(FlatDeviceIndex):
                 q, self.vectors, self.norms, cand, dist_proxy, k=k,
                 metric=self.metric,
             )
-            from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
-
             return fetch_scores_slots(fvals, fidx)
 
     def get_stats(self):

@@ -147,9 +147,14 @@ class Document:
     updated_at: int = field(default_factory=now_ms)
 
     def to_dict(self) -> Dict[str, Any]:
-        # hand-built (not dataclasses.asdict) — same rationale and shape
-        # rules as DocumentRecord.to_dict; this runs per document on the
-        # cluster resync/migration wire paths
+        # hand-built (not dataclasses.asdict) — same rationale and
+        # detachment contract as DocumentRecord.to_dict; this runs per
+        # document on the cluster resync/migration wire paths
+        vec = self.vector
+        if isinstance(vec, list):
+            vec = list(vec)
+        elif hasattr(vec, "copy"):  # ndarray (this module stays numpy-free)
+            vec = vec.copy()
         return {
             "id": self.id,
             "content": self.content,
@@ -158,8 +163,7 @@ class Document:
             "version": self.version,
             "doc_type": self.doc_type,
             "package_name": self.package_name,
-            "vector": (list(self.vector) if isinstance(self.vector, list)
-                       else self.vector),
+            "vector": vec,
             "sparse_vector": (None if self.sparse_vector is None
                               else self.sparse_vector.to_dict()),
             "metadata": dict(self.metadata),
@@ -234,8 +238,14 @@ class DocumentRecord:
     def to_dict(self) -> Dict[str, Any]:
         # hand-built rather than dataclasses.asdict: asdict deep-copies
         # recursively (5.5 us/record vs 0.5 — it was the top term of the
-        # store serialization profile); mutable fields are shallow-copied to
-        # keep the returned dict detached from the record
+        # store serialization profile). Contract: the returned dict and the
+        # embedding are detached at the top level; NESTED metadata values
+        # are shared by reference (callers serialize immediately).
+        emb = self.embedding
+        if isinstance(emb, list):
+            emb = list(emb)
+        elif hasattr(emb, "copy"):  # ndarray (this module stays numpy-free)
+            emb = emb.copy()
         return {
             "id": self.id,
             "content": self.content,
@@ -244,9 +254,7 @@ class DocumentRecord:
             "version": self.version,
             "doc_type": self.doc_type,
             "package_name": self.package_name,
-            "embedding": (list(self.embedding)
-                          if isinstance(self.embedding, list)
-                          else self.embedding),
+            "embedding": emb,
             "sparse_representation": (
                 None if self.sparse_representation is None
                 else self.sparse_representation.to_dict()),

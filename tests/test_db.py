@@ -391,6 +391,23 @@ def test_cosine_scores_never_exceed_one():
     assert all(h.score <= 1.0 for h in hits)
 
 
+def test_batch_mixing_ndarray_and_list_vectors(rng):
+    """A batch whose first doc carries an ndarray vector and a later doc a
+    Python list (e.g. embedder-filled) must not crash the fast stacking path
+    (review-confirmed regression)."""
+    cfg = small_config(dim=16)
+    db = VectorDatabase(config=cfg)
+    v = rng.standard_normal((3, 16)).astype(np.float32)
+    docs = [
+        Document(id="a", content="a", vector=v[0]),
+        Document(id="b", content="b", vector=v[1].tolist()),
+        Document(id="c", content="c", vector=v[2]),
+    ]
+    db.batch_add_documents(docs)
+    hits = db.vector_search(SearchRequest(vector=v[1].tolist(), limit=1))
+    assert hits[0].id == "b"
+
+
 @pytest.mark.parametrize("kind", ["flat", "int8", "binary", "ivf", "ivf_pq",
                                   "ivf_int8", "graph", "pq", "ivf_int8_proj",
                                   "sharded_flat", "sharded_ivf",

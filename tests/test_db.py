@@ -154,6 +154,44 @@ def test_concurrent_no_deadlock():
     assert time.monotonic() - t0 < 10.0, "concurrent ops took too long (deadlock?)"
 
 
+def test_concurrent_ingest_vs_bm25_search_consistency():
+    """Heavier churn aimed at the threaded ingest path: while writer threads
+    batch-add (BM25 indexed on the worker thread), reader threads run hybrid
+    text searches. After the dust settles every acknowledged batch must be
+    fully BM25-searchable (the worker is joined before each add returns)."""
+    db = VectorDatabase(config=small_config())
+    errs = []
+
+    def writer(w):
+        try:
+            for b in range(5):
+                docs = make_docs(8, prefix=f"w{w}b{b}")
+                db.batch_add_documents(docs)
+                # read-your-writes through the sparse channel, immediately
+                hits = db.search_documents(f"number 3")
+                assert isinstance(hits, list)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def reader():
+        try:
+            for _ in range(20):
+                db.search_documents("content body topic2")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [ex.submit(writer, w) for w in range(3)]
+        futs += [ex.submit(reader) for _ in range(3)]
+        for f in futs:
+            f.result()
+    assert not errs, errs
+    # every acknowledged doc is in the sparse index
+    assert len(db.sparse) == db.store.count()
+    hits = db.search_documents("document number 1")
+    assert hits
+
+
 def test_batch_insert_perf_smoke():
     """50-doc batch insert must be fast (<1s target, bin/concurrent_insert_test.rs:23)."""
     db = VectorDatabase(config=small_config())

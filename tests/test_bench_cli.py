@@ -93,12 +93,17 @@ def test_chaos_engine(consistency):
             network=NetworkChaos(partition_probability=0.1),
             workload=WorkloadConfig(read_qps=30, write_qps=10, dimension=16),
         )
-        report = ChaosEngine(svc, exp).run()
-        assert report.reads_total > 0 and report.writes_total > 0
-        # under single-node failures with replica_count=2 and quorum writes the
-        # cluster must stay mostly available (thread timing makes the exact
-        # rate nondeterministic) and consistent after heal
-        assert report.read_availability > 0.5, report
-        assert report.consistent_after_heal, report
+        for attempt in (0, 1):
+            report = ChaosEngine(svc, exp).run()
+            assert report.reads_total > 0 and report.writes_total > 0
+            # data loss never gets a retry — an acked write missing from
+            # every store post-heal is the bug class this suite exists for
+            assert report.consistent_after_heal, report
+            # availability is timing-sensitive (host CPU starvation makes
+            # reads miss their window); one retry de-flakes a loaded box
+            # without masking a persistent availability regression
+            if report.read_availability > 0.5:
+                break
+            assert attempt == 0, report
     finally:
         svc.stop()

@@ -115,6 +115,28 @@ def main() -> None:
     read_s = time.perf_counter() - t0
     read_qps = R * BATCH / read_s
 
+    # -- sparse channel host path (relay-independent) -------------------------
+    # hot-term BM25 over a 100k-doc inverted index: the r3 chunked-posting
+    # rewrite moved this 78.8 -> ~6 ms (the old form converted every posting
+    # list to an array per query term)
+    from grape_vector_db_tpu.engine.sparse import SparseIndex
+
+    sp = SparseIndex()
+    sp_texts = [f"document number {i} body content topic{i % 7} "
+                f"subject{i % 13}" for i in range(N)]
+    gc.disable()
+    t0 = time.perf_counter()
+    for i in range(0, N, wb):
+        sp.add_documents([f"s{j}" for j in range(i, min(i + wb, N))],
+                         sp_texts[i:i + wb])
+    sparse_ingest_qps = N / (time.perf_counter() - t0)
+    gc.enable()
+    sp.search_bm25("body content topic3 subject7", 10)  # warm
+    t0 = time.perf_counter()
+    for _ in range(30):
+        sp.search_bm25("body content topic3 subject7", 10)
+    bm25_hot_ms = (time.perf_counter() - t0) / 30 * 1e3
+
     # single-query latency through the public search API (incl. payload)
     lat = []
     for i in range(30):
@@ -134,6 +156,8 @@ def main() -> None:
         "store_only_vs_baseline_13240": round(store_qps / 13_240, 2),
         "read_qps_batch128_index": round(read_qps, 0),
         "read_vs_baseline_42018": round(read_qps / 42_018, 2),
+        "sparse_ingest_docs_per_s": round(sparse_ingest_qps, 0),
+        "bm25_hot_query_ms_100k": round(bm25_hot_ms, 2),
         "single_query_p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
         # nearest-rank p95: ceil(0.95 * n) - 1
         "single_query_p95_ms": round(

@@ -476,8 +476,12 @@ class SparseIndex:
             doc_ids = [doc_ids[i] for i in keep]
             texts = [texts[i] for i in keep]
         with self._lock:
+            # upsert removals defer compaction to the end of the batch: the
+            # re-adds below immediately lower the tombstone ratio, so
+            # compacting mid-loop would do a full postings rewrite that the
+            # very next statement invalidates the need for
             for d in self._doc_handle.keys() & set(doc_ids):
-                self._remove_locked(d)
+                self._remove_locked(d, compact=False)
             ascii_ix = [i for i, t in enumerate(texts) if t.isascii()]
             out = (_native_batch_counts(lib, [texts[i] for i in ascii_ix])
                    if ascii_ix else ([], np.zeros(0, np.int32),
@@ -529,6 +533,7 @@ class SparseIndex:
                             post.append(handle, float(count))
             self._live_docs += len(doc_ids)
             if len(pair_term) == 0:
+                self._maybe_compact_locked()
                 return
             # batch-local term id -> global vocab id (-1: vocabulary full).
             # Inlined _term_id with locals: this loop runs once per unique
@@ -562,12 +567,13 @@ class SparseIndex:
                 if tid < 0:
                     continue
                 postings[tid].extend(handles[s:e], tfs[s:e])
+            self._maybe_compact_locked()
 
     def remove_document(self, doc_id: str) -> bool:
         with self._lock:
             return self._remove_locked(doc_id)
 
-    def _remove_locked(self, doc_id: str) -> bool:
+    def _remove_locked(self, doc_id: str, compact: bool = True) -> bool:
         handle = self._doc_handle.pop(doc_id, None)
         if handle is None:
             return False
@@ -576,9 +582,16 @@ class SparseIndex:
         self._total_len -= float(self._doc_len.buf[handle])
         self._live_docs -= 1
         self._tombstones += 1
-        if self._live_docs > 0 and self._tombstones > 0.25 * (self._live_docs + self._tombstones):
-            self._compact_locked()
+        if compact:
+            self._maybe_compact_locked()
         return True
+
+    def _maybe_compact_locked(self) -> bool:
+        if (self._live_docs > 0 and self._tombstones
+                > 0.25 * (self._live_docs + self._tombstones)):
+            self._compact_locked()
+            return True
+        return False
 
     def _compact_locked(self) -> None:
         """Rewrite postings dropping tombstoned handles (vectorized: an

@@ -261,3 +261,36 @@ def test_binary_capacity_config_codes_only(rng):
     st = idx.get_stats()
     assert st.extra["keep_vectors"] == 0.0
     assert st.memory_usage_mb < 0.012 * idx.capacity / 100  # ~9 B/row at 64-d
+
+
+def test_binary_capacity_config_snapshot_roundtrip(rng, tmp_path):
+    """save_index/load_index on the codes-only config: the snapshot stores
+    the RECONSTRUCTED sign vectors (the full-precision originals are gone by
+    design), so a reload must preserve Hamming ranking exactly — signs of
+    sign-vectors are the signs themselves."""
+    from grape_vector_db_tpu import Document, VectorDatabase, VectorDbConfig
+
+    d = 64
+    cfg = VectorDbConfig(vector_dimension=d)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.kind = "binary"
+    cfg.index.initial_capacity = 512
+    cfg.quantization.keep_vectors = False
+    cfg.cache.enabled = False
+    db = VectorDatabase(config=cfg)
+    centers = rng.standard_normal((6, d)).astype(np.float32) * 3
+    pts = np.concatenate(
+        [c + 0.3 * rng.standard_normal((40, d)).astype(np.float32)
+         for c in centers])
+    db.batch_add_documents([
+        Document(id=f"b{i}", content=f"c{i}", vector=pts[i].tolist())
+        for i in range(len(pts))])
+    before = db.index.search_batch(pts[5:6], 10)[0]
+
+    p = str(tmp_path / "bq.gvdb")
+    db.save_index(p)
+    db2 = VectorDatabase(config=cfg)
+    db2.load_index(p)
+    after = db2.index.search_batch(pts[5:6], 10)[0]
+    assert [h[0] for h in after] == [h[0] for h in before], (before, after)
+    assert all(abs(a[1] - b[1]) < 1e-6 for a, b in zip(after, before))

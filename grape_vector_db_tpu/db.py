@@ -322,6 +322,10 @@ class VectorDatabase:
         return self.batch_add_documents([doc])[0]
 
     def batch_add_documents(self, docs: Sequence[Document]) -> List[str]:
+        if getattr(self, "_closed", False):
+            from grape_vector_db_tpu.errors import StateError
+
+            raise StateError("database is closed")
         if not docs:
             return []
         for d in docs:
@@ -472,6 +476,7 @@ class VectorDatabase:
         self.store.flush()
 
     def close(self) -> None:
+        self._closed = True
         self._sparse_pool.shutdown(wait=True)
         self.store.close()
 

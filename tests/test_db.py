@@ -475,3 +475,13 @@ def test_index_snapshot_roundtrip_every_engine(tmp_path, rng, kind):
     db2.load_index(p)
     hits = db2.index.search_batch(vecs[7:8], 3)[0]
     assert hits and hits[0][0] == "d7", (kind, hits[:2])
+
+
+def test_write_after_close_raises_state_error():
+    from grape_vector_db_tpu.errors import StateError
+
+    db = VectorDatabase(config=small_config())
+    db.batch_add_documents(make_docs(3))
+    db.close()
+    with pytest.raises(StateError):
+        db.batch_add_documents(make_docs(1, prefix="late"))

@@ -31,6 +31,7 @@ from grape_vector_db_tpu.types import (
     HybridSearchRequest,
     Point,
     ScoredPoint,
+    SearchParams,
     SearchRequest,
     SearchResult,
     SparseVector,
@@ -48,6 +49,7 @@ __all__ = [
     "Document",
     "Point",
     "SparseVector",
+    "SearchParams",
     "SearchRequest",
     "SearchResult",
     "ScoredPoint",

@@ -63,6 +63,7 @@ class QueryOptimizer:
             filter=req.filter,
             with_vectors=req.with_vectors,
             with_payload=req.with_payload,
+            params=req.params,
         )
 
 
@@ -101,8 +102,9 @@ class QueryEngine:
         if req.vector is not None:
             vec_key = np.asarray(req.vector, dtype=np.float32).tobytes()
         filt_key = repr(req.filter.to_dict()) if req.filter else None
+        ef = req.params.ef if req.params is not None else None
         return (kind, req.query, vec_key, req.limit, req.offset, req.score_threshold,
-                filt_key, req.with_vectors, req.with_payload)
+                filt_key, req.with_vectors, req.with_payload, ef)
 
     def invalidate_cache(self) -> None:
         if self._cache is not None:
@@ -128,6 +130,17 @@ class QueryEngine:
         req = self.optimizer.optimize(req)
         if req.vector is None:
             raise ValueError("vector_search requires a vector")
+        # SearchParams (types.rs:156-171): per-request precision dial + result
+        # shaping. ef maps onto the IVF families' nprobe; params' with_*
+        # flags take precedence over the request-level ones when provided.
+        search_kw = {}
+        if req.params is not None:
+            import dataclasses as _dc
+
+            req = _dc.replace(req, with_vectors=req.params.with_vector,
+                              with_payload=req.params.with_payload)
+            if req.params.ef and hasattr(self.index, "nprobe"):
+                search_kw["nprobe"] = max(1, int(req.params.ef))
         key = self._cache_key("vec", req)
         if key is not None:
             cached = self._cache.get(key)
@@ -147,17 +160,20 @@ class QueryEngine:
                 # optimize() repack between compile and search.
                 with self.index.locked():
                     mask = self.index.compile_mask(allowed)
-                    hits = self.index.search(
-                        np.asarray(req.vector, dtype=np.float32), fetch,
-                        mask=mask,
-                    )
+                    hits = self.index.search_batch(
+                        np.asarray(req.vector, dtype=np.float32)[None, :],
+                        fetch, mask=mask, **search_kw,
+                    )[0]
             else:
                 # Fallback (indexes without masked search): over-fetch so the
                 # host post-filter still fills the page — scaled by the
                 # requested offset so deep filtered pagination works.
                 if allowed is not None:
                     fetch = min(max(fetch * 4, 64), 8192)
-                hits = self.index.search(np.asarray(req.vector, dtype=np.float32), fetch)
+                hits = self.index.search_batch(
+                    np.asarray(req.vector, dtype=np.float32)[None, :],
+                    fetch, **search_kw,
+                )[0]
                 hits = self._apply_filter(hits, allowed)
             if req.score_threshold is not None:
                 hits = [(i, s) for i, s in hits if s >= req.score_threshold]

@@ -401,8 +401,10 @@ class IvfDeviceIndex(VectorIndex):
             self._nblocks_cache = nblocks_from_counts(self._next_pos)
         return self._nblocks_cache
 
-    def _main_topk(self, qp: np.ndarray, k: int, mask):
-        """Top-k over the bucketed main region (subclass seam; lock held)."""
+    def _main_topk(self, qp: np.ndarray, k: int, mask, nprobe=None):
+        """Top-k over the bucketed main region (subclass seam; lock held).
+        ``nprobe`` is the per-request override (SearchParams.ef)."""
+        nprobe = min(nprobe or self.nprobe, self.nlist)
         if self._use_pallas:
             # DMA-pipelined probe: streams each probed list as one
             # contiguous block at near-roofline bandwidth (54x the XLA
@@ -413,7 +415,7 @@ class IvfDeviceIndex(VectorIndex):
 
             return pallas_ivf_topk(
                 jnp.asarray(qp), self.centroids, self.vecs, self.recip,
-                k=k, nprobe=self.nprobe, metric=self.metric,
+                k=k, nprobe=nprobe, metric=self.metric,
                 interpret=self._pallas_interpret,
                 cell_mask=None if mask is None else jnp.asarray(mask[0]),
                 nblocks=self._pallas_nblocks(),
@@ -425,11 +427,11 @@ class IvfDeviceIndex(VectorIndex):
             self.valid, jnp.asarray(mask[0]))
         return _ivf_topk(
             jnp.asarray(qp), self.centroids, self.vecs, self.norms,
-            valid, k=k, nprobe=self.nprobe, metric=self.metric,
+            valid, k=k, nprobe=nprobe, metric=self.metric,
         )
 
     def search_batch(self, queries: np.ndarray, k: int,
-                     mask=None) -> List[List[SearchHit]]:
+                     mask=None, nprobe=None) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
         if queries.shape[1] != self._dim:
             raise DimensionMismatchError(self._dim, queries.shape[1])
@@ -442,7 +444,7 @@ class IvfDeviceIndex(VectorIndex):
                     queries, k, mask=None if mask is None else mask[1])
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
-            vals, slots = self._main_topk(qp, k, mask)
+            vals, slots = self._main_topk(qp, k, mask, nprobe=nprobe)
             vals, slots = fetch_scores_slots(vals, slots)
             vals, slots = vals[:b], slots[:b]
             if len(self._overflow):

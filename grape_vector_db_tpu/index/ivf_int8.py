@@ -181,7 +181,8 @@ class Int8IvfDeviceIndex(IvfDeviceIndex):
             return 0
         return next_bucket(max(self.rescore, k), base=64)
 
-    def _main_topk(self, qp: np.ndarray, k: int, mask):
+    def _main_topk(self, qp: np.ndarray, k: int, mask, nprobe=None):
+        nprobe = min(nprobe or self.nprobe, self.nlist)
         cm = None if mask is None else jnp.asarray(mask[0])
         r = self._rescore_count(k)
         if self._use_pallas:
@@ -189,7 +190,7 @@ class Int8IvfDeviceIndex(IvfDeviceIndex):
 
             return pallas_ivf_topk_int8(
                 jnp.asarray(qp), self.centroids, self.codes, self.factor,
-                k=k, nprobe=self.nprobe, metric=self.metric, rescore=r,
+                k=k, nprobe=nprobe, metric=self.metric, rescore=r,
                 vecs=self.vecs if r else None,
                 recip=self.recip if r else None,
                 interpret=self._pallas_interpret, cell_mask=cm,
@@ -198,7 +199,7 @@ class Int8IvfDeviceIndex(IvfDeviceIndex):
         return _ivf_int8_topk(
             jnp.asarray(qp), self.centroids, self.codes, self.factor,
             self.vecs if r else None, self.norms if r else None, cm,
-            k=k, nprobe=self.nprobe, metric=self.metric, rescore=r,
+            k=k, nprobe=nprobe, metric=self.metric, rescore=r,
         )
 
     # -- introspection -----------------------------------------------------------

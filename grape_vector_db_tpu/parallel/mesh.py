@@ -897,7 +897,7 @@ class ShardedIvfIndex(IvfDeviceIndex):
             jnp.asarray(qp),
             NamedSharding(self.mesh, P(self.replica_axis, None)))
 
-    def _main_topk(self, qp: np.ndarray, k: int, mask):
+    def _main_topk(self, qp: np.ndarray, k: int, mask, nprobe=None):
         valid = self.valid
         if mask is not None:
             valid = jnp.logical_and(
@@ -907,7 +907,8 @@ class ShardedIvfIndex(IvfDeviceIndex):
         q_dev = self._place_queries(qp)
         return sharded_ivf_topk(
             q_dev, self.centroids, self.vecs, self.norms, valid,
-            k=k, nprobe=self.nprobe, metric=self.metric,
+            k=k, nprobe=min(nprobe or self.nprobe, self.nlist),
+            metric=self.metric,
             mesh=self.mesh, shard_axis=self.shard_axis,
             recip=self.recip, use_pallas=self._use_pallas,
             interpret=self._pallas_interpret,
@@ -986,7 +987,7 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
         if self.factor is not None:
             self.factor = _factor_invalidate(self.factor, lists_p, pos_p)
 
-    def _main_topk(self, qp: np.ndarray, k: int, mask):
+    def _main_topk(self, qp: np.ndarray, k: int, mask, nprobe=None):
         valid = self.valid
         if mask is not None:
             valid = jnp.logical_and(
@@ -998,7 +999,8 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
         return sharded_ivf_int8_topk(
             q_dev, self.centroids, self.codes, self.scales, self.norms,
             valid, self.vecs if r else None,
-            k=k, nprobe=self.nprobe, metric=self.metric, rescore=r,
+            k=k, nprobe=min(nprobe or self.nprobe, self.nlist),
+            metric=self.metric, rescore=r,
             mesh=self.mesh, shard_axis=self.shard_axis,
             factor=self.factor, use_pallas=self._use_pallas,
             interpret=self._pallas_interpret,

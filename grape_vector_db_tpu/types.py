@@ -26,6 +26,7 @@ __all__ = [
     "SparseVector",
     "Document",
     "DocumentRecord",
+    "SearchParams",
     "SearchRequest",
     "SearchResult",
     "ScoredPoint",
@@ -348,6 +349,21 @@ class Filter:
 
 
 @dataclass
+class SearchParams:
+    """Per-request search tuning (reference types.rs:156-171 SearchParams).
+
+    ``ef`` is the reference's HNSW beam-width knob; here it maps onto the
+    engine's equivalent precision dial — the IVF families take it as a
+    per-request ``nprobe`` override (clamped to [1, nlist]); engines with no
+    per-request dial ignore it. ``with_vector``/``with_payload`` override the
+    request-level flags when params are provided."""
+
+    ef: Optional[int] = None
+    with_vector: bool = False
+    with_payload: bool = True
+
+
+@dataclass
 class SearchRequest:
     """Dense / text search request (reference types.rs SearchRequest)."""
 
@@ -359,6 +375,7 @@ class SearchRequest:
     filter: Optional[Filter] = None
     with_vectors: bool = False
     with_payload: bool = True
+    params: Optional[SearchParams] = None
 
 
 class FusionStrategy(str, enum.Enum):

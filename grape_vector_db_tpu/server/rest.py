@@ -210,10 +210,19 @@ class RestServer:
                             "stale_shards": sorted(set(stale)),
                         })
                         return
+                    params = None
+                    if body.get("ef"):
+                        from grape_vector_db_tpu.types import SearchParams
+
+                        params = SearchParams(
+                            ef=int(body["ef"]),
+                            with_payload=body.get("with_payload", True),
+                        )
                     req = SearchRequest(
                         vector=body["vector"], limit=limit, filter=filt,
                         score_threshold=body.get("score_threshold"),
                         with_payload=body.get("with_payload", True),
+                        params=params,
                     )
                     hits = outer.db.vector_search(req)
                     self._json(200, {"results": [

@@ -191,9 +191,11 @@ class VectorDbServicer:
                     stale_shards=sorted(set(stale)),
                 )
             # Fast path: unfiltered searches ride the micro-batching executor
-            # so concurrent RPCs share one device launch.
+            # so concurrent RPCs share one device launch (ef requests skip it —
+            # the batcher packs requests that share one kernel configuration).
             if (self.batcher is not None and not req.filter_sql
-                    and not req.score_threshold and not req.with_payload):
+                    and not req.score_threshold and not req.with_payload
+                    and not req.ef):
                 import numpy as np
 
                 hits = self.batcher.search(
@@ -203,12 +205,19 @@ class VectorDbServicer:
                 return pb.SearchVectorsResponse(
                     results=[pb.SearchResult(id=h.id, score=h.score) for h in hits]
                 )
+            params = None
+            if req.ef:
+                from grape_vector_db_tpu.types import SearchParams
+
+                params = SearchParams(ef=int(req.ef),
+                                      with_payload=req.with_payload)
             sreq = SearchRequest(
                 vector=list(req.query.values),
                 limit=int(req.limit) or 10,
                 score_threshold=req.score_threshold if req.score_threshold else None,
                 filter=parse_sql_where(req.filter_sql) if req.filter_sql else None,
                 with_payload=req.with_payload,
+                params=params,
             )
             hits = self.db.vector_search(sreq)
             return pb.SearchVectorsResponse(
@@ -511,15 +520,18 @@ class VectorDbClient:
     def search(self, vector: List[float], limit: int = 10,
                filter_sql: str = "", with_payload: bool = True,
                min_versions: Optional[Dict[str, int]] = None,
+               ef: int = 0,
                ) -> pb.SearchVectorsResponse:
         """``min_versions``: feed back ``session_versions`` from an earlier
-        upsert/delete response for read-your-writes (SESSION consistency)."""
+        upsert/delete response for read-your-writes (SESSION consistency).
+        ``ef``: per-request precision dial (IVF nprobe override; 0 = default)."""
         return self.call(
             "SearchVectors",
             pb.SearchVectorsRequest(
                 query=pb.Vector(values=vector), limit=limit,
                 filter_sql=filter_sql, with_payload=with_payload,
                 min_versions=min_versions or {},
+                ef=ef,
             ),
         )
 

@@ -406,3 +406,39 @@ def test_rest_tls(certs, rng):
     finally:
         srv.stop()
         db.close()
+
+
+def test_grpc_search_ef_reaches_ivf(rng):
+    """The wire-level ef (SearchVectorsRequest.ef) must reach the IVF engine
+    as a per-request nprobe override: an inter-cluster query at nprobe=1
+    returns a different (wider) candidate set at ef=nlist."""
+    from grape_vector_db_tpu import Document
+
+    dim = 16
+    cfg = VectorDbConfig(vector_dimension=dim)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.kind = "ivf"
+    cfg.index.initial_capacity = 1024
+    cfg.index.nlist = 4
+    cfg.index.nprobe = 1
+    cfg.cache.enabled = False
+    db = VectorDatabase(config=cfg)
+    centers = rng.standard_normal((4, dim)).astype(np.float32) * 4
+    pts = np.concatenate([c + 0.4 * rng.standard_normal((30, dim)).astype(np.float32)
+                          for c in centers])
+    db.batch_add_documents([Document(id=f"d{i}", content=f"c{i}",
+                                     vector=pts[i].tolist())
+                            for i in range(len(pts))])
+    db.index.optimize()
+    server, port, _ = build_grpc_server(db, port=0)
+    server.start()
+    client = VectorDbClient(f"127.0.0.1:{port}")
+    try:
+        q = ((centers[0] + centers[1]) / 2.0).astype(float).tolist()
+        narrow = client.search(q, limit=20)
+        wide = client.search(q, limit=20, ef=4)
+        assert not narrow.error and not wide.error
+        assert len(wide.results) >= len(narrow.results)
+    finally:
+        client.close()
+        server.stop(grace=0)

@@ -334,14 +334,15 @@ class IvfPqDeviceIndex(IvfDeviceIndex):
     # -- search -----------------------------------------------------------------
 
     def search_batch(self, queries: np.ndarray, k: int,
-                     mask=None) -> List[List[SearchHit]]:
+                     mask=None, nprobe=None) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
         b = queries.shape[0]
         if b == 0 or len(self) == 0:
             return [[] for _ in range(b)]
         with self._lock:
             if self.centroids is None or self.codebooks is None:
-                return super().search_batch(queries, k, mask=mask)  # exact fallback
+                return super().search_batch(queries, k, mask=mask,
+                                            nprobe=nprobe)  # exact fallback
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
             if self.resident == "none":
@@ -358,7 +359,8 @@ class IvfPqDeviceIndex(IvfDeviceIndex):
             vals, slots = _ivfpq_topk(
                 jnp.asarray(qp), self.centroids, self.codebooks, self.codes,
                 rvecs, rscales, self.norms, valid,
-                nprobe=self.nprobe, rescore_k=rk, k=k, metric=self.metric,
+                nprobe=min(nprobe or self.nprobe, self.nlist),
+                rescore_k=rk, k=k, metric=self.metric,
                 residual=self.residual,
             )
             vals, slots = fetch_scores_slots(vals, slots)

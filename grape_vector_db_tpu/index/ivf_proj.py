@@ -145,15 +145,17 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
     # -- search -------------------------------------------------------------------
 
     def search_batch(self, queries: np.ndarray, k: int,
-                     mask=None) -> List[List]:
+                     mask=None, nprobe=None) -> List[List]:
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2 or queries.shape[1] != self.full_dim:
             raise DimensionMismatchError(self.full_dim,
                                          queries.shape[1] if queries.ndim == 2
                                          else -1)
         if self.proj is None:
-            return super().search_batch(queries[:, :self._dim], k, mask=mask)
-        return super().search_batch(self._project(queries), k, mask=mask)
+            return super().search_batch(queries[:, :self._dim], k, mask=mask,
+                                        nprobe=nprobe)
+        return super().search_batch(self._project(queries), k, mask=mask,
+                                    nprobe=nprobe)
 
     # -- introspection (back-project to the caller's space) -----------------------
 

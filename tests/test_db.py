@@ -487,17 +487,19 @@ def test_write_after_close_raises_state_error():
         db.batch_add_documents(make_docs(1, prefix="late"))
 
 
-def test_search_params_ef_overrides_ivf_nprobe(rng):
+@pytest.mark.parametrize("kind", ["ivf", "ivf_int8", "ivf_pq"])
+def test_search_params_ef_overrides_ivf_nprobe(rng, kind):
     """SearchParams.ef (types.rs:156-171) maps to a per-request nprobe
-    override on the IVF families: a clustered corpus searched at nprobe=1
-    misses cross-list neighbors that ef=nlist recovers, and params'
+    override on EVERY IVF family engine (each defines its own search_batch —
+    the kwarg must exist on all of them): a clustered corpus searched at
+    nprobe=1 misses cross-list neighbors that ef=nlist recovers, and params'
     with_vector flag overrides the request-level default."""
     from grape_vector_db_tpu import SearchParams
 
     dim = 32
     cfg = VectorDbConfig(vector_dimension=dim)
     cfg.device.storage_dtype = "float32"
-    cfg.index.kind = "ivf"
+    cfg.index.kind = kind
     cfg.index.initial_capacity = 2048
     cfg.index.nlist = 8
     cfg.index.nprobe = 1

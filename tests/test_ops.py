@@ -435,6 +435,13 @@ def test_fetch_scores_slots_roundtrip(rng):
     idxs[2, 3] = 0x7FC00000 - 2**32 // 2  # NaN-pattern-adjacent
     idxs[3, 1] = -1
     idxs[4, 0] = 2**31 - 1
+    # real slot ids are SMALL ints: as f32 bit patterns those are denormals,
+    # which the TPU flushes to zero — the pack must therefore carry them in
+    # integer lanes (measured on v5e: f32-lane packing returned slot 0 for
+    # every result). CPU can't reproduce the flush; keep the values anyway so
+    # the intent is pinned.
+    idxs[0, :5] = np.arange(5, dtype=np.int32)
+    vals[2, 4] = 1e-40  # denormal score must survive the int32 bitcast too
     out_v, out_i = fetch_scores_slots(jnp.asarray(vals), jnp.asarray(idxs))
     np.testing.assert_array_equal(out_v, vals)
     np.testing.assert_array_equal(out_i, idxs)

@@ -182,6 +182,10 @@ def main() -> None:
         if mode == "exact":
             row["recall"] = round(recall_vs(oracle, hits), 3)
         matrix[f"flat_{mode}_100k"] = row
+    # fail fast: the end-of-run assert once caught result corruption (TPU
+    # denormal flush in the packed fetch) only after the full 8-minute run
+    assert matrix["flat_exact_100k"]["recall"] >= 0.9, \
+        f"flat exact recall corrupted: {matrix['flat_exact_100k']}"
     exact_qps = matrix["flat_exact_100k"]["qps"]
 
     # --------------------------------------------------------------- int8

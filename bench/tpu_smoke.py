@@ -1,0 +1,103 @@
+"""On-chip smoke test: every index kind's PUBLIC search path, recall-asserted.
+
+The CPU test suite cannot catch TPU-only result corruption — the hardware
+flushes f32 denormals to zero (which silently zeroed every slot id when the
+packed result fetch carried ints in f32 lanes), approx_max_k and Pallas
+kernels only lower on the real backend, and the relay can misbehave under
+load. This script is the cheap canary: it builds every single-device index
+kind through the product factory (db.build_index), ingests a small corpus
+through add_batch, searches through search_batch (the full device -> packed
+fetch -> id-mapping path a user hits), and asserts:
+
+  - self-match: querying with an exact corpus vector returns that doc at
+    rank 1 (catches slot/id corruption for every engine, exact or not);
+  - top-10 recall vs a numpy oracle for the exact-ish engines.
+
+Run it alone (never concurrently with another TPU process) after any change
+to kernels, fetch, or index plumbing:  timeout 570 python bench/tpu_smoke.py
+Exits 0 printing one OK line per kind; raises on the first failure.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+DIM, N, NQ, K = 256, 4096, 16, 10
+
+# kind -> (min self-match@1 of NQ, min top-10 oracle recall or None).
+# Recall floors are vs an f32 numpy oracle while storage is bf16, so even
+# "exact" engines sit near 0.99, not 1.0 (bf16 rounding swaps near-ties).
+KINDS = {
+    "flat": (NQ, 0.95),
+    "int8": (NQ, 0.9),
+    "binary": (NQ - 1, None),
+    "ivf": (NQ, 0.95),          # nprobe == nlist: exhaustive probe
+    "ivf_int8": (NQ, 0.85),
+    "ivf_int8_proj": (NQ - 2, None),
+    "ivf_pq": (NQ - 2, None),
+    "pq": (NQ - 2, None),
+    # graph's NN-descent bulk build takes minutes at N=4096 — too slow for a
+    # canary; opt in with SMOKE_GRAPH=1
+    **({"graph": (NQ - 2, None)} if __import__("os").environ.get("SMOKE_GRAPH")
+       else {}),
+}
+
+
+def main() -> None:
+    from grape_vector_db_tpu.config import VectorDbConfig
+    from grape_vector_db_tpu.db import build_index
+
+    rng = np.random.default_rng(3)
+    ncent = 64
+    centers = rng.standard_normal((ncent, DIM)).astype(np.float32)
+    vecs = (centers[rng.integers(0, ncent, N)]
+            + 0.3 * rng.standard_normal((N, DIM))).astype(np.float32)
+    ids = [f"doc-{i}" for i in range(N)]
+    qsel = rng.choice(N, NQ, replace=False)
+    queries = vecs[qsel]
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    oracle = np.argsort(-(vn[qsel] @ vn.T), axis=1)[:, :K]
+
+    failures = []
+    for kind, (min_self, min_recall) in KINDS.items():
+        cfg = VectorDbConfig(vector_dimension=DIM)
+        cfg.index.kind = kind
+        cfg.index.initial_capacity = N
+        cfg.index.nlist = 16
+        cfg.index.nprobe = 16
+        cfg.index.proj_dim = 128
+        cfg.device.auto_shard = False
+        t0 = time.perf_counter()
+        idx = build_index(cfg)
+        for i in range(0, N, 1024):
+            idx.add_batch(ids[i:i + 1024], vecs[i:i + 1024])
+        hits = idx.search_batch(queries, K)
+        selfmatch = sum(1 for qi, row in zip(qsel, hits)
+                        if row and row[0][0] == f"doc-{qi}")
+        rec = None
+        if min_recall is not None:
+            got = 0
+            for want, row in zip(oracle, hits):
+                have = {h[0] for h in row}
+                got += sum(1 for w in want if f"doc-{w}" in have)
+            rec = got / oracle.size
+        dt = time.perf_counter() - t0
+        line = (f"{kind:14s} self-match {selfmatch}/{NQ}"
+                + (f"  recall@10 {rec:.3f}" if rec is not None else "")
+                + f"  ({dt:.1f}s)")
+        ok = selfmatch >= min_self and (rec is None or rec >= min_recall)
+        print(("OK  " if ok else "FAIL ") + line, flush=True)
+        if not ok:
+            failures.append(kind)
+        del idx
+
+    if failures:
+        raise SystemExit(f"tpu_smoke FAILED for: {failures}")
+    print("tpu_smoke: all kinds OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -162,7 +162,11 @@ def main() -> None:
         matrix["write_path_100k"] = {
             "docs_per_s": round((n - wb) / write_s, 0),
             "vs_write_baseline_13240": round((n - wb) / write_s / 13_240, 2),
-            "note": "full batch_add_documents (store+index+BM25+filters)",
+            "note": "full batch_add_documents (store+index+BM25+filters); "
+                    "through the dev relay this row is capped by the tunnel's "
+                    "upload bandwidth (observed 1.9k-39k for identical code as "
+                    "tunnel load varied; embeddings ship as bf16 to halve the "
+                    "bytes) — quiet-relay/co-located draws in bench/SERVING.jsonl",
         }
         wdb.close()
         del wdb, wdocs

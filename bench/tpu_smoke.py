@@ -20,9 +20,13 @@ Exits 0 printing one OK line per kind; raises on the first failure.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIM, N, NQ, K = 256, 4096, 16, 10
 

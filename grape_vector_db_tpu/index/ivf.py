@@ -308,9 +308,13 @@ class IvfDeviceIndex(VectorIndex):
             m = next_bucket(int(keep.sum()), base=64)
             lists_p = jnp.asarray(pad_rows(list_ids[keep], m, fill=PAD_SLOT))
             pos_p = jnp.asarray(pad_rows(positions[keep], m, fill=PAD_SLOT))
-            vecs_p = jnp.asarray(pad_rows(kv, m))
-            # norms on device (host numpy norm dominated the write profile)
-            from grape_vector_db_tpu.index.flat import _row_norms
+            # ship in the storage dtype: half the upload bytes (see
+            # flat.ship_batch); int8-resident subclasses quantize from the
+            # same bf16 values the bf16 plane would store
+            from grape_vector_db_tpu.index.flat import _row_norms, ship_batch
+
+            vecs_p = jnp.asarray(ship_batch(pad_rows(kv, m),
+                                            self.storage_dtype))
 
             norms_p = _row_norms(vecs_p)
             self._scatter_rows(lists_p, pos_p, vecs_p, norms_p)

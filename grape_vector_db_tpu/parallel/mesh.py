@@ -351,11 +351,13 @@ class ShardedFlatIndex(VectorIndex):
                     self._id_to_slot[id_] = slot
                     self._slot_to_id[slot] = id_
                 slots[i] = slot
-            from grape_vector_db_tpu.index.flat import _row_norms
+            from grape_vector_db_tpu.index.flat import _row_norms, ship_batch
 
             m = next_bucket(len(ids), base=64)
-            vecs_d = jax.device_put(jnp.asarray(pad_rows(vectors, m)),
-                                    self._repl)
+            vecs_d = jax.device_put(
+                jnp.asarray(ship_batch(pad_rows(vectors, m),
+                                       self.storage_dtype)),
+                self._repl)
             self.vectors, self.norms, self.valid = _sharded_scatter_set(
                 self.vectors, self.norms, self.valid,
                 jax.device_put(jnp.asarray(pad_rows(slots, m, fill=PAD_SLOT)), self._repl),

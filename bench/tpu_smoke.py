@@ -11,7 +11,12 @@ fetch -> id-mapping path a user hits), and asserts:
 
   - self-match: querying with an exact corpus vector returns that doc at
     rank 1 (catches slot/id corruption for every engine, exact or not);
-  - top-10 recall vs a numpy oracle for the exact-ish engines.
+  - top-10 recall vs a numpy oracle for the exact-ish engines;
+  - masked filtered search (the planner's compile_mask -> in-kernel mask
+    path) returns only allowed docs, self-match intact;
+  - the per-request ef override (SearchParams.ef -> nprobe) on IVF kinds;
+  - the sharded product kinds over a 1-device mesh (the shard_map + Pallas
+    + all_gather program on the real backend).
 
 Run it alone (never concurrently with another TPU process) after any change
 to kernels, fetch, or index plumbing:  timeout 570 python bench/tpu_smoke.py
@@ -46,6 +51,10 @@ KINDS = {
     # canary; opt in with SMOKE_GRAPH=1
     **({"graph": (NQ - 2, None)} if __import__("os").environ.get("SMOKE_GRAPH")
        else {}),
+    # the sharded product kinds run the shard_map program on a 1-device mesh
+    "sharded_flat": (NQ, 0.95),
+    "sharded_ivf": (NQ, 0.95),
+    "sharded_ivf_int8": (NQ, 0.85),
 }
 
 
@@ -88,11 +97,34 @@ def main() -> None:
                 have = {h[0] for h in row}
                 got += sum(1 for w in want if f"doc-{w}" in have)
             rec = got / oracle.size
+        extra = ""
+        ok_extra = True
+        if getattr(idx, "supports_mask", False):
+            # masked filtered search: allow only the first N//8 docs; the
+            # planner compiles exactly this mask for SQL-filtered queries
+            allowed = {f"doc-{i}" for i in range(N // 8)}
+            mask = idx.compile_mask(allowed)
+            mh = idx.search_batch(vecs[:8], K, mask=mask)
+            m_ok = sum(1 for j, row in enumerate(mh)
+                       if row and all(h[0] in allowed for h in row)
+                       and row[0][0] == f"doc-{j}")
+            ok_extra &= m_ok >= 7
+            extra += f"  masked {m_ok}/8"
+        if "ivf" in kind:
+            # per-request ef override (SearchParams.ef -> nprobe): a member
+            # query's own list is its nearest centroid, so nprobe=1 must
+            # still self-match
+            eh = idx.search_batch(queries[:8], K, nprobe=1)
+            e_ok = sum(1 for qi, row in zip(qsel[:8], eh)
+                       if row and row[0][0] == f"doc-{qi}")
+            ok_extra &= e_ok >= 6
+            extra += f"  ef1 {e_ok}/8"
         dt = time.perf_counter() - t0
-        line = (f"{kind:14s} self-match {selfmatch}/{NQ}"
+        line = (f"{kind:16s} self-match {selfmatch}/{NQ}"
                 + (f"  recall@10 {rec:.3f}" if rec is not None else "")
-                + f"  ({dt:.1f}s)")
-        ok = selfmatch >= min_self and (rec is None or rec >= min_recall)
+                + extra + f"  ({dt:.1f}s)")
+        ok = (selfmatch >= min_self and (rec is None or rec >= min_recall)
+              and ok_extra)
         print(("OK  " if ok else "FAIL ") + line, flush=True)
         if not ok:
             failures.append(kind)

@@ -264,9 +264,27 @@ def main() -> None:
 
     from grape_vector_db_tpu.index.ivf import IvfDeviceIndex, _ivf_topk
 
-    def step_ivf(q, cents, iv, inr, ival):
-        return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=16,
-                         metric="cosine")
+    # Measure the path the product actually runs: IvfDeviceIndex defaults to
+    # the Pallas ragged-DMA probe (ivf.py:153 use_pallas=True); the XLA
+    # gather probe is its fallback, not its behavior. Each row steps the same
+    # kernel + operands the index's _main_topk uses.
+    def make_step_ivf(index):
+        if index._use_pallas:
+            from grape_vector_db_tpu.ops.ivf_pallas import pallas_ivf_topk
+
+            nblk = index._pallas_nblocks()
+            interp_ = index._pallas_interpret
+
+            def step(q, cents, iv, recip, nblk=nblk):
+                return pallas_ivf_topk(q, cents, iv, recip, k=K, nprobe=16,
+                                       metric="cosine", nblocks=nblk,
+                                       interpret=interp_)
+            return step, (index.centroids, index.vecs, index.recip)
+
+        def step(q, cents, iv, inr, ival):
+            return _ivf_topk(q, cents, iv, inr, ival, k=K, nprobe=16,
+                             metric="cosine")
+        return step, (index.centroids, index.vecs, index.norms, index.valid)
 
     # Representative row: clustered corpus + corpus-drawn queries — the
     # regime IVF exists for (VERDICT r2 item 6). The random-data point stays
@@ -288,15 +306,17 @@ def main() -> None:
     cvn = cvecs / np.linalg.norm(cvecs, axis=1, keepdims=True)
     oracle_c = np.argsort(-(cqn @ cvn.T), axis=1)[:, :K]
     del cvn
-    ms = timed_fori(step_ivf, jnp.asarray(cq100), ivf_c.centroids, ivf_c.vecs,
-                    ivf_c.norms, ivf_c.valid)
+    step_c, ops_c = make_step_ivf(ivf_c)
+    ms = timed_fori(step_c, jnp.asarray(cq100), *ops_c)
     matrix["ivf_100k_nprobe16"] = {
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "recall": round(recall_vs(oracle_c,
                                   ivf_c.search_batch(cq100[:8], K)), 3),
-        "note": "clustered corpus, corpus-drawn queries (representative)",
+        "note": "clustered corpus, corpus-drawn queries (representative); "
+                + ("Pallas DMA probe (the product default)"
+                   if ivf_c._use_pallas else "XLA gather probe"),
     }
-    del ivf_c, cvecs
+    del ivf_c, cvecs, step_c, ops_c
 
     ivf = IvfDeviceIndex(dimension=DIM, metric="cosine",
                          storage_dtype="bfloat16", initial_capacity=cap,
@@ -304,14 +324,14 @@ def main() -> None:
                          train_size=50_000 // SCALE)
     for i in range(0, n, 8192):
         ivf.add_batch(ids[i:i + 8192], vecs[i:i + 8192])
-    ms = timed_fori(step_ivf, q_dev, ivf.centroids, ivf.vecs, ivf.norms,
-                    ivf.valid)
+    step_r, ops_r = make_step_ivf(ivf)
+    ms = timed_fori(step_r, q_dev, *ops_r)
     matrix["ivf_100k_random_adversarial"] = {
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "recall": round(recall_vs(oracle, ivf.search_batch(queries[:8], K)), 3),
         "note": "random data is IVF's worst case (kept as the honest adversarial point)",
     }
-    del ivf
+    del ivf, step_r, ops_r
 
     # ------------------------------------------------- 1M points (on-device)
 

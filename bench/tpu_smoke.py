@@ -16,7 +16,11 @@ fetch -> id-mapping path a user hits), and asserts:
     path) returns only allowed docs, self-match intact;
   - the per-request ef override (SearchParams.ef -> nprobe) on IVF kinds;
   - the sharded product kinds over a 1-device mesh (the shard_map + Pallas
-    + all_gather program on the real backend).
+    + all_gather program on the real backend);
+  - delete + upsert: removed docs vanish from results, re-added docs with
+    new vectors self-match again (the scatter-invalidate / slot-reuse path —
+    the PAD_SLOT phantom-write bug class lives here);
+  - the codes-only binary capacity config (keep_vectors=False, 32x memory).
 
 Run it alone (never concurrently with another TPU process) after any change
 to kernels, fetch, or index plumbing:  timeout 570 python bench/tpu_smoke.py
@@ -55,6 +59,8 @@ KINDS = {
     "sharded_flat": (NQ, 0.95),
     "sharded_ivf": (NQ, 0.95),
     "sharded_ivf_int8": (NQ, 0.85),
+    # 32x capacity config: Hamming-only ranking, no bf16 plane resident
+    "binary_codes_only": (NQ, None),
 }
 
 
@@ -78,6 +84,9 @@ def main() -> None:
     for kind, (min_self, min_recall) in KINDS.items():
         cfg = VectorDbConfig(vector_dimension=DIM)
         cfg.index.kind = kind
+        if kind == "binary_codes_only":
+            cfg.index.kind = "binary"
+            cfg.quantization.keep_vectors = False
         cfg.index.initial_capacity = N
         cfg.index.nlist = 16
         cfg.index.nprobe = 16
@@ -119,6 +128,18 @@ def main() -> None:
                        if row and row[0][0] == f"doc-{qi}")
             ok_extra &= e_ok >= 6
             extra += f"  ef1 {e_ok}/8"
+        # delete + upsert: scatter-invalidate then slot-reuse re-add
+        victims = [f"doc-{int(qi)}" for qi in qsel[:4]]
+        idx.remove_batch(victims)
+        dh = idx.search_batch(queries[:4], K)
+        d_ok = sum(1 for v, row in zip(victims, dh)
+                   if all(h[0] != v for h in row))
+        idx.add_batch(victims, vecs[qsel[:4]])
+        rh = idx.search_batch(queries[:4], K)
+        r_ok = sum(1 for v, row in zip(victims, rh)
+                   if row and row[0][0] == v)
+        ok_extra &= d_ok == 4 and r_ok >= 3
+        extra += f"  del {d_ok}/4 re-add {r_ok}/4"
         dt = time.perf_counter() - t0
         line = (f"{kind:16s} self-match {selfmatch}/{NQ}"
                 + (f"  recall@10 {rec:.3f}" if rec is not None else "")

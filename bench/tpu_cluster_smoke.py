@@ -11,7 +11,12 @@ relay). It drives:
   - scatter-gather search with read-your-writes (self-match asserted),
   - a search from every node (routing, not just the write node),
   - delete visibility across the cluster,
-  - cluster_health aggregation.
+  - cluster_health aggregation,
+
+then the single-node gRPC serving path on the chip: a real socket server
+whose micro-batching executor packs 32 concurrent client searches into
+shared device launches (self-match asserted per thread), plus the wire-level
+ef override and SQL-filtered search.
 
 Run alone:  timeout 570 python bench/tpu_cluster_smoke.py
 """
@@ -122,9 +127,76 @@ def main() -> None:
 
         if failures:
             raise SystemExit(f"tpu_cluster_smoke FAILED: {failures}")
-        print("tpu_cluster_smoke: OK")
     finally:
         svc.stop()
+
+    _grpc_stage()
+    print("tpu_cluster_smoke: OK")
+
+
+def _grpc_stage() -> None:
+    import concurrent.futures
+
+    from grape_vector_db_tpu import Document, VectorDatabase
+    from grape_vector_db_tpu.config import VectorDbConfig
+    from grape_vector_db_tpu.server.grpc_server import (
+        VectorDbClient,
+        build_grpc_server,
+    )
+
+    rng = np.random.default_rng(12)
+    cfg = VectorDbConfig(vector_dimension=DIM)
+    cfg.index.kind = "ivf"
+    cfg.index.initial_capacity = N
+    cfg.index.nlist = 16
+    cfg.index.nprobe = 16
+    cfg.cache.enabled = False
+    cfg.device.auto_shard = False
+    db = VectorDatabase(config=cfg)
+    vecs = rng.standard_normal((N, DIM), dtype=np.float32)
+    db.batch_add_documents([
+        Document(id=f"doc-{i}", content=f"body {i}", vector=vecs[i],
+                 metadata={"grp": int(i % 4)})
+        for i in range(N)
+    ])
+
+    server, port, _ = build_grpc_server(db, port=0)
+    server.start()
+    client = VectorDbClient(f"127.0.0.1:{port}")
+    failures = []
+    try:
+        # 32 concurrent searches: the micro-batcher must pack them into
+        # shared device launches and return each caller ITS result
+        qsel = rng.choice(N, 32, replace=False)
+
+        def one(qi):
+            r = client.search(vecs[qi].tolist(), limit=5)
+            return bool(r.results) and r.results[0].id == f"doc-{qi}"
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=32) as pool:
+            oks = list(pool.map(one, qsel))
+        print(f"grpc concurrent search: self-match {sum(oks)}/32 "
+              f"(micro-batched)", flush=True)
+        if sum(oks) < 32:
+            failures.append("grpc-batched-search")
+
+        # wire-level ef override (skips the batcher) + SQL filtered search
+        r = client.search(vecs[qsel[0]].tolist(), limit=5, ef=1)
+        if not (r.results and r.results[0].id == f"doc-{qsel[0]}"):
+            failures.append("grpc-ef")
+        want_grp = int(qsel[1] % 4)
+        r = client.search(vecs[qsel[1]].tolist(), limit=5,
+                          filter_sql=f"grp = {want_grp}", with_payload=True)
+        if not (r.results and r.results[0].id == f"doc-{qsel[1]}"):
+            failures.append("grpc-filter")
+        else:
+            print(f"grpc ef + SQL-filtered search OK", flush=True)
+    finally:
+        client.close()
+        server.stop(grace=0)
+        db.close()
+    if failures:
+        raise SystemExit(f"tpu_cluster_smoke grpc stage FAILED: {failures}")
 
 
 if __name__ == "__main__":

@@ -269,10 +269,15 @@ def scored_topk(
     # — streams the corpus once instead of running k selection passes over a
     # materialized [B, N] score matrix. Measured crossover vs the iterative
     # engine sits near the same 262k-row mark as the verified engine's.
+    # Mid-size corpora route to the FUSED kernel only above the B=128
+    # serving batch (bench/SEGMAX_AB.jsonl tag=seg131k: at 131k x 768 the
+    # iterative engine keeps B<=128 — 0.89 vs 1.10 ms — but the kernel wins
+    # the throughput batch, B=256: 2.23 vs 2.63 ms; result sets identical).
+    big_n = n > 262_144
     if (
         mode == "exact"
         and kk <= 64
-        and n > 262_144
+        and (big_n or (n >= 131_072 and b > 128))
         and n % SEGMENT == 0
         and (n <= chunk or n % chunk == 0)
     ):
@@ -299,9 +304,13 @@ def scored_topk(
             vals, idxs = pallas_segmax2_topk(queries, vectors, norms, valid,
                                              k=kk, metric=metric)
             return _pad_k(vals, idxs, k)
-        vals, idxs = _segmax_exact_topk(q, vectors, norms, valid, kk, metric,
-                                        chunk)
-        return _pad_k(vals, idxs, k)
+        if big_n:
+            vals, idxs = _segmax_exact_topk(q, vectors, norms, valid, kk,
+                                            metric, chunk)
+            return _pad_k(vals, idxs, k)
+        # mid-size + big batch but the fused kernel can't take the shape:
+        # the XLA segmax form LOSES to the engines below at this size
+        # (measured 2.3 ms vs 1.0 at 131k) — fall through
 
     if b * n <= MAX_SCORE_ELEMS:
         # Fast path: one matmul, full [B, N] scores, fused top-k selection.

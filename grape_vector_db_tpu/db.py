@@ -201,6 +201,16 @@ def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
             rescore=config.index.int8_rescore,
             keep_bf16=config.index.ivf_int8_keep_bf16,
         )
+    if kind == "ivf_int4":
+        from grape_vector_db_tpu.index.ivf_int4 import Int4IvfDeviceIndex
+
+        return Int4IvfDeviceIndex(
+            **common,
+            nlist=config.index.nlist,
+            nprobe=config.index.nprobe,
+            rescore=config.index.int8_rescore,
+            keep_bf16=config.index.ivf_int8_keep_bf16,
+        )
     if kind == "ivf_int8_proj":
         from grape_vector_db_tpu.index.ivf_proj import ProjectedInt8IvfIndex
 

@@ -144,9 +144,12 @@ class Int8IvfDeviceIndex(IvfDeviceIndex):
             self.norms = jnp.zeros((l, cap), dtype=jnp.float32)
             self.valid = jnp.zeros((l, cap), dtype=jnp.bool_)
             self.recip = None
-        self.codes = jnp.zeros((l, cap, d), dtype=jnp.int8)
+        self._alloc_codes(cap)
         self.scales = jnp.zeros((l, cap), dtype=jnp.float32)
         self.factor = jnp.zeros((l, 8, cap), dtype=jnp.float32)
+
+    def _alloc_codes(self, cap: int) -> None:
+        self.codes = jnp.zeros((self.nlist, cap, self._dim), dtype=jnp.int8)
 
     def _scatter_rows(self, lists_p, pos_p, vecs_p, norms_p) -> None:
         if self.keep_bf16:
@@ -154,6 +157,9 @@ class Int8IvfDeviceIndex(IvfDeviceIndex):
         else:
             self.norms, self.valid = _nv_scatter(
                 self.norms, self.valid, lists_p, pos_p, norms_p)
+        self._scatter_codes(lists_p, pos_p, vecs_p, norms_p)
+
+    def _scatter_codes(self, lists_p, pos_p, vecs_p, norms_p) -> None:
         self.codes, self.scales, self.factor = _int8_cell_scatter(
             self.codes, self.scales, self.factor, lists_p, pos_p, vecs_p,
             norms_p, metric=self.metric)

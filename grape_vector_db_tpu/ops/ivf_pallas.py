@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ivf_probe_scores", "ivf_pallas_supported", "pallas_ivf_topk",
            "nblocks_from_counts",
            "ivf_probe_scores_int8", "pallas_ivf_topk_int8", "make_factor",
+           "ivf_probe_scores_int4", "pallas_ivf_topk_int4",
            "finalize_probe_topk"]
 
 
@@ -425,6 +426,160 @@ def pallas_ivf_topk_int8(
     _, probe = lax.top_k(cq, min(nprobe, l))                    # [B, P]
 
     scores = ivf_probe_scores_int8(qp, probe.astype(jnp.int32), codes, factor,
+                                   nblocks=nblocks,
+                                   interpret=interpret)         # [B, P, C]
+    return finalize_probe_topk(
+        qp, probe, scores, k, metric, cell_mask=cell_mask,
+        rescore=rescore, vecs=vecs,
+        weight_fn=None if vecs is None else (lambda rl, rp: recip[rl, 0, rp]),
+    )
+
+
+def _probe_kernel_int4(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
+                       out_vmem, scratch_c, scratch_f, sem_c, sem_f, rb=RB):
+    """Int4 variant of ``_probe_kernel_int8``: DMAs PACKED nibble blocks
+    ([C, D/2] uint8 — a quarter of the bf16 bytes/list, half of int8's),
+    unpacks the split-plane layout (ops/int4.py: low nibbles = dims
+    [0, D/2), high = [D/2, D)) with two elementwise ops, and scores with
+    two MXU dots against the matching query halves. The unpack is VPU work
+    hidden behind the next list's DMA; no lane interleave ever happens
+    (Mosaic cannot lower one)."""
+    ncells = out_vmem.shape[0]          # B * P
+    start_cell, wait_cell = _ragged_cell_dma(
+        probe_smem, nblk_smem, codes_hbm, factor_hbm,
+        scratch_c, scratch_f, sem_c, sem_f, rb=rb)
+
+    start_cell(0, 0)
+    n_q = q_vmem.shape[0]
+    d2 = scratch_c.shape[2]             # packed bytes per row = D/2
+
+    def body(cell, _):
+        slot = lax.rem(cell, 2)
+        nxt = lax.rem(cell + 1, 2)
+
+        @pl.when(cell + 1 < ncells)
+        def _():
+            start_cell(nxt, cell + 1)
+
+        wait_cell(slot, cell)
+
+        b = cell // (ncells // n_q)     # query index (cells ordered b-major)
+        qrow = q_vmem[pl.ds(b, 1), :]                        # [1, D] f32
+        packed = scratch_c[slot]                             # [C, D/2] uint8
+        lo = (jnp.bitwise_and(packed, jnp.uint8(0xF))
+              .astype(jnp.bfloat16) - jnp.bfloat16(8.0))     # dims [0, D/2)
+        hi = (jnp.right_shift(packed, jnp.uint8(4))
+              .astype(jnp.bfloat16) - jnp.bfloat16(8.0))     # dims [D/2, D)
+        qlo = qrow[:, :d2].astype(jnp.bfloat16)
+        qhi = qrow[:, d2:].astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        dots = (
+            jax.lax.dot_general(qlo, lo, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(qhi, hi, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        )                                                    # [1, C]
+        factor = scratch_f[slot][0:1, :]                     # [1, C] f32
+        # select-style mask: see _probe_kernel (nan-safe vs uninit VMEM)
+        scores = jnp.where(factor == 0.0, -1e9, dots * factor)
+        out_vmem[pl.ds(cell, 1), :] = scores
+        return _
+
+    lax.fori_loop(0, ncells, body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ivf_probe_scores_int4(
+    q: jax.Array,       # [B, D] f32, L2-normalized (cosine) or raw (dot)
+    probe: jax.Array,   # [B, P] int32 list ids
+    codes: jax.Array,   # [L, C, D/2] uint8 packed nibbles (C % 128 == 0)
+    factor: jax.Array,  # [L, 8, C] f32: masked scale/norm (0 = invalid)
+    nblocks: jax.Array | None = None,  # [L] int32 occupied RB-row blocks
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9)."""
+    b, d = q.shape
+    p = probe.shape[1]
+    l, c, d2 = codes.shape
+    if d != 2 * d2:
+        raise ValueError(f"query dim {d} != 2 x packed width {d2}")
+    if c % 128 and not interpret:
+        raise ValueError(f"list capacity {c} must be a multiple of 128 "
+                         "for the Pallas probe (Mosaic lane alignment)")
+    if d2 % 128 and not interpret:
+        raise ValueError(f"packed width {d2} (= dim/2) must be a multiple "
+                         "of 128 for the Pallas probe (Mosaic DMA lane "
+                         "alignment); use the XLA probe for unaligned dims")
+    ncells = b * p
+    rb = RB if (c >= RB and c % RB == 0) else c
+    if nblocks is None:
+        nblocks = jnp.full((l,), c // rb, dtype=jnp.int32)
+    else:
+        if nblocks.shape != (l,):
+            raise ValueError(
+                f"nblocks shape {nblocks.shape} != ({l},) — stale layout? "
+                "(list count changed since the counts were taken)")
+        nblocks = jnp.clip(nblocks, 0, c // rb)
+
+    out = pl.pallas_call(
+        functools.partial(_probe_kernel_int4, rb=rb),
+        out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # q
+                pl.BlockSpec(memory_space=pl.ANY),     # packed codes (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),     # factor (HBM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, c, d2), codes.dtype),
+                pltpu.VMEM((2, 8, c), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, c // rb)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+    )(probe.reshape(ncells), nblocks.astype(jnp.int32), q, codes, factor)
+    return out.reshape(b, p, c)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric",
+                                             "rescore", "interpret"))
+def pallas_ivf_topk_int4(
+    queries: jax.Array,    # [B, D] f32 raw
+    centroids: jax.Array,  # [L, D] f32 (unit-norm for cosine/dot)
+    codes: jax.Array,      # [L, C, D/2] uint8 packed nibbles
+    factor: jax.Array,     # [L, 8, C] f32 masked scale/norm
+    k: int,
+    nprobe: int,
+    metric: str = "cosine",
+    rescore: int = 0,
+    vecs: jax.Array | None = None,   # [L, C, D] rescore shadow (bf16)
+    recip: jax.Array | None = None,  # [L, 8, C] f32 (rescore > 0)
+    interpret: bool = False,
+    cell_mask: jax.Array | None = None,  # [L, C] bool filter
+    nblocks: jax.Array | None = None,    # [L] int32 occupied RB-row blocks
+) -> Tuple[jax.Array, jax.Array]:
+    """(vals, slots) over an int4-resident IVF layout via the DMA probe.
+
+    A quarter of the bf16 probe's DMA bytes per list (384 B/row at D=768):
+    ~4x rows/chip and the fastest probe on the bandwidth ladder. With
+    ``rescore > 0`` and a shadow plane, the top ``rescore`` int4 candidates
+    are exactly rescored (the reference's two-stage shape,
+    quantization.rs:151-193) to recover the nibble quantization's rank
+    noise."""
+    from grape_vector_db_tpu.ops.distance import prepare_queries
+
+    b, d = queries.shape
+    l, c, _ = codes.shape
+    qp = prepare_queries(queries, metric)
+    cq = lax.dot_general(qp, centroids, (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(cq, min(nprobe, l))                    # [B, P]
+
+    scores = ivf_probe_scores_int4(qp, probe.astype(jnp.int32), codes, factor,
                                    nblocks=nblocks,
                                    interpret=interpret)         # [B, P, C]
     return finalize_probe_topk(

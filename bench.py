@@ -575,6 +575,71 @@ def main() -> None:
         "note": "int8-resident lists: half the DMA bytes (capacity config); best + median of 5 reps",
     }
     del codes1m, factor1m
+
+    # int4 variant: packed nibbles, a QUARTER of the bf16 DMA bytes per list.
+    # Raw row = capacity config (4-bit rank noise uncorrected); rescore row =
+    # the product default for kind="ivf_int4" (bf16 shadow, top-64 exact).
+    from grape_vector_db_tpu.ops.int4 import quantize_int4
+    from grape_vector_db_tpu.ops.ivf_pallas import pallas_ivf_topk_int4
+
+    @jax.jit
+    def quant_block4(block):
+        l, c, d = block.shape
+        vi, s = quantize_int4(block.reshape(l * c, d).astype(jnp.float32))
+        return vi.reshape(l, c, d // 2), s.reshape(l, c)
+
+    pc, ps = [], []
+    for i in range(nlist // lb):
+        vi, s = quant_block4(lax.dynamic_slice_in_dim(iv, i * lb, lb))
+        pc.append(vi)
+        ps.append(s)
+    codes4_1m = jnp.concatenate(pc)
+    factor4_1m = make_factor(jnp.concatenate(ps), inr, ival)
+    del pc, ps
+
+    def step_np4(q, cents, codes, factor, nblk):
+        return pallas_ivf_topk_int4(q, cents, codes, factor, k=K, nprobe=1,
+                                    metric="cosine", nblocks=nblk,
+                                    interpret=interp)
+
+    def step_np4r(q, cents, codes, factor, iv, recip, nblk):
+        return pallas_ivf_topk_int4(q, cents, codes, factor, k=K, nprobe=1,
+                                    metric="cosine", rescore=64, vecs=iv,
+                                    recip=recip, nblocks=nblk,
+                                    interpret=interp)
+
+    ms4, ms4_med = timed_fori_reps(step_np4, qc, cents, codes4_1m, factor4_1m,
+                                   nblk, its=its_np, reps=5)
+    _, s4 = jax.jit(step_np4)(qc, cents, codes4_1m, factor4_1m, nblk)
+    rec_4 = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / K
+        for a, b in zip(np.asarray(s4), oi)
+    ])
+    matrix["ivf_int4_pallas_1M_clustered_nprobe1"] = {
+        "batch_ms": round(ms4, 3), "qps": round(BATCH / ms4 * 1e3, 0),
+        "batch_ms_median": round(ms4_med, 3),
+        "qps_median": round(BATCH / ms4_med * 1e3, 0),
+        "recall": round(float(rec_4), 4),
+        "note": "int4-resident lists: quarter the DMA bytes (raw capacity config); best + median of 5 reps",
+    }
+
+    ms4r, ms4r_med = timed_fori_reps(step_np4r, qc, cents, codes4_1m,
+                                     factor4_1m, iv, recip, nblk,
+                                     its=its_np, reps=5)
+    _, s4r = jax.jit(step_np4r)(qc, cents, codes4_1m, factor4_1m, iv, recip,
+                                nblk)
+    rec_4r = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / K
+        for a, b in zip(np.asarray(s4r), oi)
+    ])
+    matrix["ivf_int4_rescore_pallas_1M_clustered_nprobe1"] = {
+        "batch_ms": round(ms4r, 3), "qps": round(BATCH / ms4r * 1e3, 0),
+        "batch_ms_median": round(ms4r_med, 3),
+        "qps_median": round(BATCH / ms4r_med * 1e3, 0),
+        "recall": round(float(rec_4r), 4),
+        "note": "int4 probe + top-64 bf16 rescore (kind=ivf_int4 product default); best + median of 5 reps",
+    }
+    del codes4_1m, factor4_1m
     del iv, inr, ival, recip
 
     # ------------------------------------------------------------ correctness

@@ -1,0 +1,341 @@
+"""Int4 probe sweep: the packed-nibble rung of the HBM-bandwidth ladder.
+
+Stages (env SWEEP_STAGES, comma list; each is safe to run alone):
+
+  ab1m   : 1M clustered — int8 Pallas probe vs int4 Pallas probe on the SAME
+           layout (nprobe 1/4), both raw and with bf16 rescore=64, ragged
+           block-DMA fetch on, recall vs the exact bf16 oracle. The probe is
+           DMA-bound, so int4's 384 B/row (half of int8) should approach 2x
+           the int8 probe's QPS; the question is what the 4-bit rank noise
+           costs and whether rescore recovers it.
+  cap16m : 16.78M clustered int4-only — the ~4x-rows/chip capacity config
+           (codes+factor ~9 GB HBM at D=768, 2x the int8 8.39M tier at FULL
+           dimension, unlike the proj-384 tier), Pallas int4 probe QPS +
+           recall vs the full-scan int4 oracle.
+
+Timing: ITERS inside ONE jitted lax.fori_loop with loop-carried data
+dependence (CLAUDE.md honest-timing). Appends JSON lines to
+bench/SWEEP_INT4.jsonl.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.environ.get("SWEEP_OUT", "bench/SWEEP_INT4.jsonl")
+DIM, K, B = 768, 10, 128
+SCALE = int(os.environ.get("SWEEP_SCALE", "1"))
+STAGES = set(os.environ.get("SWEEP_STAGES", "ab1m,cap16m").split(","))
+
+
+def log(stage: str, **kv) -> None:
+    rec = {"stage": stage, **kv}
+    print(json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax, random
+
+    from grape_vector_db_tpu.ops.distance import prepare_queries, scored_topk
+    from grape_vector_db_tpu.ops.int4 import quantize_int4, unpack_int4
+    from grape_vector_db_tpu.ops.ivf_pallas import (
+        ivf_pallas_supported, make_factor, make_recip, nblocks_from_counts,
+        pallas_ivf_topk_int4, pallas_ivf_topk_int8)
+    from grape_vector_db_tpu.ops.kmeans import assign_clusters, kmeans
+
+    interpret = not ivf_pallas_supported()
+    print("backend:", jax.default_backend(), "interpret:", interpret,
+          flush=True)
+
+    def timed_fori(step_fn, q0, *operands, iters: int = 32) -> float:
+        @jax.jit
+        def loop(q, *ops):
+            def body(i, acc):
+                qq = q * (1.0 + acc * 1e-9)
+                vals, _ = step_fn(qq, *ops)
+                return acc * 0.5 + vals[0, 0] * 1e-6
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(np.asarray(loop(q0, *operands)))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(q0, *operands)))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - 0.025, 1e-9) * 1e3 / iters
+
+    def recall_at_k(got_idx: np.ndarray, want_idx: np.ndarray) -> float:
+        hits = 0
+        for g, w in zip(got_idx, want_idx):
+            hits += len(set(g.tolist()) & set(w.tolist()))
+        return hits / want_idx.size
+
+    @jax.jit
+    def quantize_rows_i8(v):
+        vf = v.astype(jnp.float32)
+        s = jnp.max(jnp.abs(vf), axis=-1) / 127.0
+        vi = jnp.clip(jnp.round(vf / jnp.maximum(s[..., None], 1e-12)),
+                      -127, 127).astype(jnp.int8)
+        return vi, s
+
+    def build_clustered_layout(n, nlist, n_centers, seed, planes):
+        """Streaming clustered corpus -> bucketed IVF layout on device.
+        ``planes``: subset of {"bf16", "int8", "int4"} — which storage
+        planes to build. Returns a dict of device arrays."""
+        noise = 0.25
+        chunk = min(131_072 // SCALE, n)
+        keyr = random.PRNGKey(seed)
+        kc, keyr = random.split(keyr)
+        centers = random.normal(kc, (n_centers, DIM), jnp.float32)
+
+        @jax.jit
+        def gen(k1, k2, cents_):
+            cid = random.randint(k2, (chunk,), 0, cents_.shape[0])
+            x = cents_[cid] + noise * random.normal(k1, (chunk, DIM),
+                                                    jnp.float32)
+            return x.astype(jnp.bfloat16), jnp.linalg.norm(x, axis=1)
+
+        chunks_meta = []
+        for _ in range(n // chunk):
+            k1, k2, keyr = random.split(keyr, 3)
+            chunks_meta.append((k1, k2))
+
+        v0, _ = gen(*chunks_meta[0], centers)
+        t0 = time.perf_counter()
+        cents, _ = kmeans(v0.astype(jnp.float32), k=nlist, iters=8, seed=0,
+                          mode="spherical")
+        cents.block_until_ready()
+        t_train = time.perf_counter() - t0
+        v0.delete()
+
+        t0 = time.perf_counter()
+        assigns = []
+        for (k1, k2) in chunks_meta:
+            v, _ = gen(k1, k2, centers)
+            assigns.append(np.asarray(assign_clusters(
+                v.astype(jnp.float32), cents, mode="spherical")))
+        assign_all = np.concatenate(assigns)
+        counts = np.bincount(assign_all, minlength=nlist)
+        cap = int(((counts.max() + 127) // 128) * 128)
+
+        out = {
+            "cents": cents,
+            "inr": jnp.zeros((nlist, cap), jnp.float32),
+            "ival": jnp.zeros((nlist, cap), jnp.bool_),
+        }
+        if "bf16" in planes:
+            out["iv"] = jnp.zeros((nlist, cap, DIM), jnp.bfloat16)
+        if "int8" in planes:
+            out["codes8"] = jnp.zeros((nlist, cap, DIM), jnp.int8)
+            out["scales8"] = jnp.zeros((nlist, cap), jnp.float32)
+        if "int4" in planes:
+            out["codes4"] = jnp.zeros((nlist, cap, DIM // 2), jnp.uint8)
+            out["scales4"] = jnp.zeros((nlist, cap), jnp.float32)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scat_nv(inr, ival, lists, pos, nn):
+            return (inr.at[lists, pos].set(nn),
+                    ival.at[lists, pos].set(True))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scat_v(iv, lists, pos, v):
+            return iv.at[lists, pos].set(v)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scat_i8(codes, scales, lists, pos, v):
+            vi, s = quantize_rows_i8(v)
+            return (codes.at[lists, pos].set(vi),
+                    scales.at[lists, pos].set(s))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scat_i4(codes, scales, lists, pos, v):
+            vi, s = quantize_int4(v.astype(jnp.float32))
+            return (codes.at[lists, pos].set(vi),
+                    scales.at[lists, pos].set(s))
+
+        next_pos = np.zeros(nlist, dtype=np.int64)
+        off = 0
+        for (k1, k2) in chunks_meta:
+            v, nn_ = gen(k1, k2, centers)
+            a = assign_all[off:off + chunk]
+            order = np.argsort(a, kind="stable")
+            sorted_a = a[order]
+            grp_start = np.searchsorted(sorted_a, np.arange(nlist))
+            within = np.arange(chunk) - grp_start[sorted_a]
+            pos = np.empty(chunk, dtype=np.int32)
+            pos[order] = (next_pos[sorted_a] + within).astype(np.int32)
+            next_pos += np.bincount(a, minlength=nlist)
+            lists_d, pos_d = jnp.asarray(a), jnp.asarray(pos)
+            out["inr"], out["ival"] = scat_nv(out["inr"], out["ival"],
+                                              lists_d, pos_d, nn_)
+            if "iv" in out:
+                out["iv"] = scat_v(out["iv"], lists_d, pos_d, v)
+            if "codes8" in out:
+                out["codes8"], out["scales8"] = scat_i8(
+                    out["codes8"], out["scales8"], lists_d, pos_d, v)
+            if "codes4" in out:
+                out["codes4"], out["scales4"] = scat_i4(
+                    out["codes4"], out["scales4"], lists_d, pos_d, v)
+            off += chunk
+        out["ival"].block_until_ready()
+        centers.delete()
+        log("build", n=n, nlist=nlist, list_cap=cap, planes=sorted(planes),
+            train_s=round(t_train, 1),
+            layout_s=round(time.perf_counter() - t0, 1))
+        return out
+
+    def corpus_queries_from(take_from_rows):
+        kq = random.PRNGKey(7)
+        q = (take_from_rows[:B].astype(jnp.float32)
+             + 0.05 * random.normal(kq, (B, DIM), jnp.float32))
+        return q
+
+    # ------------------------------------------------------------------ ab1m
+    if "ab1m" in STAGES:
+        n, nlist = 1_048_576 // SCALE, 4096 // SCALE
+        lay = build_clustered_layout(n, nlist, n_centers=16_384 // SCALE,
+                                     seed=2, planes={"bf16", "int8", "int4"})
+        cents, iv, inr, ival = lay["cents"], lay["iv"], lay["inr"], lay["ival"]
+        codes8, scales8 = lay["codes8"], lay["scales8"]
+        codes4, scales4 = lay["codes4"], lay["scales4"]
+        cap = codes8.shape[1]
+        recip = make_recip(inr, ival)
+        factor8 = make_factor(scales8, inr, ival)
+        factor4 = make_factor(scales4, inr, ival)
+        nblk = nblocks_from_counts(jnp.sum(ival, axis=1))
+        take = (B + nlist - 1) // nlist
+        q0 = corpus_queries_from(iv[:, :take, :].reshape(-1, DIM))
+
+        nn = nlist * cap
+        chunk = nn // 8 if nn % 8 == 0 and (nn // 8) % 32 == 0 else nn
+
+        @jax.jit
+        def f_oracle(q, iv, inr, ival):
+            return scored_topk(q, iv.reshape(nn, DIM), inr.reshape(nn),
+                               ival.reshape(nn), k=K, metric="cosine",
+                               chunk=chunk, mode="exact")
+
+        _, oi = f_oracle(q0, iv, inr, ival)
+        oracle_i = np.asarray(oi)
+
+        for nprobe in (1, 4):
+            def step_8(q, cents, codes8, factor8, nblk, nprobe=nprobe):
+                return pallas_ivf_topk_int8(q, cents, codes8, factor8, k=K,
+                                            nprobe=nprobe, metric="cosine",
+                                            nblocks=nblk, interpret=interpret)
+
+            def step_4(q, cents, codes4, factor4, nblk, nprobe=nprobe):
+                return pallas_ivf_topk_int4(q, cents, codes4, factor4, k=K,
+                                            nprobe=nprobe, metric="cosine",
+                                            nblocks=nblk, interpret=interpret)
+
+            def step_4r(q, cents, codes4, factor4, iv, recip, nblk,
+                        nprobe=nprobe):
+                return pallas_ivf_topk_int4(q, cents, codes4, factor4, k=K,
+                                            nprobe=nprobe, metric="cosine",
+                                            rescore=64, vecs=iv, recip=recip,
+                                            nblocks=nblk, interpret=interpret)
+
+            ms_8 = timed_fori(step_8, q0, cents, codes8, factor8, nblk)
+            ms_4 = timed_fori(step_4, q0, cents, codes4, factor4, nblk)
+            ms_4r = timed_fori(step_4r, q0, cents, codes4, factor4, iv,
+                               recip, nblk)
+            _, s8 = jax.jit(step_8)(q0, cents, codes8, factor8, nblk)
+            _, s4 = jax.jit(step_4)(q0, cents, codes4, factor4, nblk)
+            _, s4r = jax.jit(step_4r)(q0, cents, codes4, factor4, iv, recip,
+                                      nblk)
+            log("int4_probe_ab_1M", n=n, nlist=nlist, list_cap=cap,
+                nprobe=nprobe,
+                int8_ms=round(ms_8, 3), int8_qps=round(B / ms_8 * 1e3, 0),
+                int8_recall=round(recall_at_k(np.asarray(s8), oracle_i), 4),
+                int4_ms=round(ms_4, 3), int4_qps=round(B / ms_4 * 1e3, 0),
+                int4_recall=round(recall_at_k(np.asarray(s4), oracle_i), 4),
+                int4_rescore_ms=round(ms_4r, 3),
+                int4_rescore_qps=round(B / ms_4r * 1e3, 0),
+                int4_rescore_recall=round(
+                    recall_at_k(np.asarray(s4r), oracle_i), 4))
+        for a in (iv, inr, ival, codes8, scales8, codes4, scales4, recip,
+                  factor8, factor4):
+            a.delete()
+
+    # ---------------------------------------------------------------- cap16m
+    if "cap16m" in STAGES:
+        n, nlist = 16_777_216 // SCALE, 16_384 // SCALE
+        lay = build_clustered_layout(n, nlist, n_centers=262_144 // SCALE,
+                                     seed=4, planes={"int4"})
+        cents, inr, ival = lay["cents"], lay["inr"], lay["ival"]
+        codes4, scales4 = lay["codes4"], lay["scales4"]
+        cap = codes4.shape[1]
+        factor4 = make_factor(scales4, inr, ival)
+        nblk = nblocks_from_counts(jnp.sum(ival, axis=1))
+        # corpus-drawn queries from dequantized nibbles (no bf16 plane)
+        kq = random.PRNGKey(7)
+        take = (B + nlist - 1) // nlist
+        qsrc = (unpack_int4(codes4[:, :take, :]).astype(jnp.float32)
+                * scales4[:, :take, None]).reshape(-1, DIM)[:B]
+        q0 = qsrc + 0.05 * random.normal(kq, (B, DIM), jnp.float32)
+
+        # int4 full-scan oracle: exact top-k over dequantized scores,
+        # chunked over lists.
+        lists_per = 256 // SCALE if nlist % (256 // SCALE) == 0 else nlist
+
+        @jax.jit
+        def f_oracle16(q, codes4, factor4):
+            qp = prepare_queries(q, "cosine")
+            nchunks = nlist // lists_per
+            c3 = codes4.reshape(nchunks, lists_per, cap, DIM // 2)
+            f3 = factor4.reshape(nchunks, lists_per, 8, cap)
+
+            def body(carry, xs):
+                cc, ff = xs
+                cand = unpack_int4(cc).astype(jnp.bfloat16)
+                dots = jnp.einsum("bd,lcd->blc", qp.astype(jnp.bfloat16),
+                                  cand, preferred_element_type=jnp.float32)
+                sc = dots * ff[:, 0, :][None] + jnp.where(
+                    ff[:, 0, :][None] == 0.0, -1e9, 0.0)
+                v, i = lax.top_k(sc.reshape(B, lists_per * cap), K)
+                return carry, (v, i)
+
+            _, (vs, is_) = lax.scan(body, None, (c3, f3))
+            offs = (jnp.arange(nchunks, dtype=jnp.int32)
+                    * (lists_per * cap))[:, None, None]
+            is_ = is_ + offs
+            vs = jnp.moveaxis(vs, 0, 1).reshape(B, -1)
+            is_ = jnp.moveaxis(is_, 0, 1).reshape(B, -1)
+            fv, fp = lax.top_k(vs, K)
+            return fv, jnp.take_along_axis(is_, fp, axis=1)
+
+        _, oi = f_oracle16(q0, codes4, factor4)
+        oracle_i = np.asarray(oi)
+
+        for nprobe in (1, 4, 8):
+            def step_4(q, cents, codes4, factor4, nblk, nprobe=nprobe):
+                return pallas_ivf_topk_int4(q, cents, codes4, factor4, k=K,
+                                            nprobe=nprobe, metric="cosine",
+                                            nblocks=nblk, interpret=interpret)
+            ms = timed_fori(step_4, q0, cents, codes4, factor4, nblk)
+            _, sp = jax.jit(step_4)(q0, cents, codes4, factor4, nblk)
+            log("int4_16M_capacity_ragged", n=n, nlist=nlist, list_cap=cap,
+                nprobe=nprobe, ms=round(ms, 3), qps=round(B / ms * 1e3, 0),
+                recall_vs_int4_oracle=round(
+                    recall_at_k(np.asarray(sp), oracle_i), 4),
+                hbm_gb=round((codes4.size + factor4.size * 4
+                              + inr.size * 4 + scales4.size * 4) / 2**30, 2))
+
+    print("sweep int4 done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,7 @@ KINDS = {
     "binary": (NQ - 1, None),
     "ivf": (NQ, 0.95),          # nprobe == nlist: exhaustive probe
     "ivf_int8": (NQ, 0.85),
+    "ivf_int4": (NQ, 0.85),    # packed nibbles + bf16 rescore (bandwidth cfg)
     "ivf_int8_proj": (NQ - 2, None),
     "ivf_pq": (NQ - 2, None),
     "pq": (NQ - 2, None),
@@ -80,8 +81,11 @@ def main() -> None:
     vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     oracle = np.argsort(-(vn[qsel] @ vn.T), axis=1)[:, :K]
 
+    only = os.environ.get("SMOKE_KINDS")
+    kinds = {k: v for k, v in KINDS.items()
+             if only is None or k in only.split(",")}
     failures = []
-    for kind, (min_self, min_recall) in KINDS.items():
+    for kind, (min_self, min_recall) in kinds.items():
         cfg = VectorDbConfig(vector_dimension=DIM)
         cfg.index.kind = kind
         if kind == "binary_codes_only":

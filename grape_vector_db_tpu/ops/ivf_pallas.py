@@ -465,10 +465,15 @@ def _probe_kernel_int4(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
 
         b = cell // (ncells // n_q)     # query index (cells ordered b-major)
         qrow = q_vmem[pl.ds(b, 1), :]                        # [1, D] f32
-        packed = scratch_c[slot]                             # [C, D/2] uint8
-        lo = (jnp.bitwise_and(packed, jnp.uint8(0xF))
+        # Mosaic has no uint8->bf16 (or int8 shift) lowering: widen the
+        # int8-bitcast bytes to int32, recover the unsigned value, do the
+        # nibble math there, and reach bf16 via f32 (the only cast chain
+        # that compiles — bench/probe_int4_cast.py).
+        p32 = scratch_c[slot].astype(jnp.int32)              # [C, D/2]
+        p32 = jnp.where(p32 < 0, p32 + 256, p32)             # unsigned byte
+        lo = (jnp.bitwise_and(p32, 0xF).astype(jnp.float32)
               .astype(jnp.bfloat16) - jnp.bfloat16(8.0))     # dims [0, D/2)
-        hi = (jnp.right_shift(packed, jnp.uint8(4))
+        hi = (jnp.right_shift(p32, 4).astype(jnp.float32)
               .astype(jnp.bfloat16) - jnp.bfloat16(8.0))     # dims [D/2, D)
         qlo = qrow[:, :d2].astype(jnp.bfloat16)
         qhi = qrow[:, d2:].astype(jnp.bfloat16)
@@ -521,6 +526,10 @@ def ivf_probe_scores_int4(
                 "(list count changed since the counts were taken)")
         nblocks = jnp.clip(nblocks, 0, c // rb)
 
+    # Mosaic cannot cast uint8 inside the kernel; same-width bitcast to int8
+    # here is free in XLA and the kernel widens from int8 (see
+    # _probe_kernel_int4).
+    codes = lax.bitcast_convert_type(codes, jnp.int8)
     out = pl.pallas_call(
         functools.partial(_probe_kernel_int4, rb=rb),
         out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),

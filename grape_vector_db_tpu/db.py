@@ -117,6 +117,12 @@ def _build_sharded_index(kind: str, config: VectorDbConfig, mesh) -> VectorIndex
             rescore=config.index.int8_rescore,
             keep_bf16=config.index.ivf_int8_keep_bf16,
         )
+    if kind == "sharded_ivf_int4":
+        return pmesh.ShardedInt4IvfIndex(
+            config.vector_dimension, **common,
+            rescore=config.index.int8_rescore,
+            keep_bf16=config.index.ivf_int8_keep_bf16,
+        )
     if kind == "sharded_ivf_int8_proj":
         from grape_vector_db_tpu.index.ivf_proj import get_sharded_projected_cls
 
@@ -131,7 +137,8 @@ def _build_sharded_index(kind: str, config: VectorDbConfig, mesh) -> VectorIndex
 
 def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
     kind = config.index.kind
-    if config.device.auto_shard and kind in ("flat", "ivf", "ivf_int8"):
+    if config.device.auto_shard and kind in ("flat", "ivf", "ivf_int8",
+                                             "ivf_int4"):
         import jax
 
         # local_devices: auto-shard is a per-HOST upgrade (ICI within the

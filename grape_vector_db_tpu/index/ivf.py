@@ -136,6 +136,9 @@ def _ivf_topk(
 class IvfDeviceIndex(VectorIndex):
     kind = "ivf"
     supports_mask = True
+    # Mosaic DMA lane alignment the kernel needs from the DIMENSION; int4
+    # tightens to 256 (its packed width d/2 must be 128-aligned).
+    _pallas_dim_align = 128
 
     def __init__(
         self,
@@ -172,7 +175,7 @@ class IvfDeviceIndex(VectorIndex):
         # (Mosaic DMA lane alignment) — unaligned dims take the XLA probe.
         self._pallas_interpret = not ivf_pallas_supported()
         metric_ok = metric in ("cosine", "dot")
-        aligned = dimension % 128 == 0
+        aligned = dimension % self._pallas_dim_align == 0
         if use_pallas == "force":
             self._use_pallas = metric_ok and (aligned or self._pallas_interpret)
         else:

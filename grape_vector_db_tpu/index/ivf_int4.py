@@ -111,6 +111,8 @@ def _ivf_int4_topk(
 
 class Int4IvfDeviceIndex(Int8IvfDeviceIndex):
     kind = "ivf_int4"
+    # the kernel DMAs [C, D/2] packed blocks: D/2 must stay 128-lane-aligned
+    _pallas_dim_align = 256
 
     # -- storage seams --------------------------------------------------------
 

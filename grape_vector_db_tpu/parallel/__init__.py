@@ -8,6 +8,7 @@ the ``shard`` mesh axis, every device computes its local top-k, and one
 
 from grape_vector_db_tpu.parallel.mesh import (
     ShardedFlatIndex,
+    ShardedInt4IvfIndex,
     ShardedInt8IvfIndex,
     ShardedIvfIndex,
     make_mesh,
@@ -17,5 +18,6 @@ from grape_vector_db_tpu.parallel.mesh import (
     sharded_scored_topk,
 )
 
-__all__ = ["ShardedFlatIndex", "ShardedIvfIndex", "ShardedInt8IvfIndex", "make_mesh", "make_mesh_2d",
+__all__ = ["ShardedFlatIndex", "ShardedIvfIndex", "ShardedInt8IvfIndex",
+           "ShardedInt4IvfIndex", "make_mesh", "make_mesh_2d",
            "replicated_sharded_topk", "sharded_ivf_topk", "sharded_scored_topk"]

@@ -30,6 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.index.base import IndexStats, SearchHit, VectorIndex
 from grape_vector_db_tpu.index.ivf import IvfDeviceIndex
+from grape_vector_db_tpu.index.ivf_int4 import (Int4IvfDeviceIndex,
+    _int4_cell_scatter)
 from grape_vector_db_tpu.index.ivf_int8 import (Int8IvfDeviceIndex,
     _factor_invalidate, _int8_cell_scatter, _nv_scatter)
 from grape_vector_db_tpu.ops.distance import score_block, prepare_queries
@@ -39,7 +41,7 @@ from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["make_mesh", "sharded_scored_topk", "sharded_ivf_topk",
            "sharded_ivf_int8_topk", "ShardedInt8IvfIndex",
-           "ShardedFlatIndex", "ShardedIvfIndex"]
+           "ShardedInt4IvfIndex", "ShardedFlatIndex", "ShardedIvfIndex"]
 
 
 def make_mesh(
@@ -654,12 +656,13 @@ def sharded_ivf_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "metric", "rescore", "mesh", "shard_axis",
-                     "use_pallas", "interpret", "replica_axis"),
+                     "use_pallas", "interpret", "replica_axis", "codes_kind"),
 )
 def sharded_ivf_int8_topk(
     queries: jax.Array,    # [B, D] f32, replicated
     centroids: jax.Array,  # [L, D] f32, replicated
-    codes: jax.Array,      # [L, C, D] int8, sharded over axis 1
+    codes: jax.Array,      # [L, C, D] int8 — or [L, C, D/2] uint8 packed
+                           # nibbles when codes_kind="int4"; sharded axis 1
     scales: jax.Array,     # [L, C] f32 dequant scales, sharded over axis 1
     norms: jax.Array,      # [L, C] f32, sharded over axis 1
     valid: jax.Array,      # [L, C] bool, sharded over axis 1
@@ -675,14 +678,17 @@ def sharded_ivf_int8_topk(
     interpret: bool = False,
     nblocks: jax.Array | None = None,  # [L] int32 per-DEVICE occupied blocks
     replica_axis: str | None = None,   # 2D mesh: see sharded_ivf_topk
+    codes_kind: str = "int8",          # "int8" | "int4" (packed nibbles)
 ) -> Tuple[jax.Array, jax.Array]:
-    """SPMD int8 IVF probe: the sharded twin of index/ivf_int8.py.
+    """SPMD quantized IVF probe: the sharded twin of index/ivf_int8.py
+    (and, with ``codes_kind="int4"``, of index/ivf_int4.py).
 
-    Each device scores its 1/S slice of every probed list from the int8
-    codes (half the HBM bytes of the bf16 probe); with ``rescore > 0`` each
-    device exactly rescores its local top-``rescore`` candidates against its
-    bf16 shard BEFORE the all_gather, so the collective carries exact scores
-    and the merge stays a single gather + top-k."""
+    Each device scores its 1/S slice of every probed list from the
+    quantized codes (int8 = half the HBM bytes of the bf16 probe, packed
+    int4 = a quarter); with ``rescore > 0`` each device exactly rescores its
+    local top-``rescore`` candidates against its bf16 shard BEFORE the
+    all_gather, so the collective carries exact scores and the merge stays a
+    single gather + top-k."""
     n_shards = mesh.shape[shard_axis]
     c_global = codes.shape[1]
     c_local = c_global // n_shards
@@ -705,14 +711,27 @@ def sharded_ivf_int8_topk(
 
         if use_pallas:
             from grape_vector_db_tpu.ops.ivf_pallas import (
-                ivf_probe_scores_int8)
+                ivf_probe_scores_int4, ivf_probe_scores_int8)
 
-            scores = ivf_probe_scores_int8(qp, probe.astype(jnp.int32), cd,
-                                           fct, nblocks=nblk,
-                                           interpret=interpret)
+            probe_fn = (ivf_probe_scores_int4 if codes_kind == "int4"
+                        else ivf_probe_scores_int8)
+            scores = probe_fn(qp, probe.astype(jnp.int32), cd,
+                              fct, nblocks=nblk, interpret=interpret)
             if metric == "cosine":
                 scores = jnp.minimum(scores, 1.0)
             scores = jnp.where(msk[probe], scores, -jnp.inf)
+        elif codes_kind == "int4":
+            from grape_vector_db_tpu.ops.int4 import unpack_int4
+
+            cand = unpack_int4(cd[probe]).astype(jnp.bfloat16)
+            if metric == "cosine":
+                f = sc[probe] / jnp.maximum(nrm[probe], 1e-12)
+            else:
+                f = sc[probe]
+            f = jnp.where(msk[probe], f, 0.0)
+            dots = jnp.einsum("bd,bpcd->bpc", qp.astype(jnp.bfloat16), cand,
+                              preferred_element_type=jnp.float32)
+            scores = dots * f + jnp.where(f == 0.0, -1e9, 0.0)
         else:
             cand = cd[probe].astype(jnp.bfloat16)     # [B, P, C/S, D]
             if metric == "cosine":
@@ -945,6 +964,7 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
 
     kind = "sharded_ivf_int8"
     supports_mask = True
+    codes_kind = "int8"
 
     def _alloc(self, cap: int) -> None:
         cap = self._shard_cap(cap)
@@ -1008,4 +1028,54 @@ class ShardedInt8IvfIndex(ShardedIvfIndex, Int8IvfDeviceIndex):
             interpret=self._pallas_interpret,
             nblocks=self._sharded_nblocks() if self._use_pallas else None,
             replica_axis=self.replica_axis,
+            codes_kind=self.codes_kind,
         )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _int4_cs_scatter(codes, scales, lists, pos, new_vecs):
+    """Int4 twin of ``_int8_cs_scatter``: quantize rows to split-plane packed
+    nibbles (ops/int4.py) and scatter code + scale planes at (list, pos)."""
+    from grape_vector_db_tpu.ops.int4 import quantize_int4
+
+    vi, sc = quantize_int4(new_vecs)
+    codes = codes.at[lists, pos].set(vi, mode="drop")
+    scales = scales.at[lists, pos].set(sc, mode="drop")
+    return codes, scales
+
+
+class ShardedInt4IvfIndex(ShardedInt8IvfIndex, Int4IvfDeviceIndex):
+    """Mesh-sharded packed-int4 IVF: the top capacity rung across chips.
+
+    ShardedInt8IvfIndex's within-list capacity sharding and pre-collective
+    exact rescore, over Int4IvfDeviceIndex's packed-nibble lists — a QUARTER
+    of the bf16 HBM bytes per probed list (N x ~32M rows at D=768 across the
+    mesh in the codes-only config). The SPMD probe streams [C/S, D/2] uint8
+    blocks per device and unpacks split-plane (ops/int4.py)."""
+
+    kind = "sharded_ivf_int4"
+    codes_kind = "int4"
+
+    def _alloc(self, cap: int) -> None:
+        if self._dim % 2:
+            raise DimensionMismatchError(
+                f"ivf_int4 needs an even dim, got {self._dim}")
+        super()._alloc(cap)
+        l = self.nlist
+        self.codes = jax.device_put(
+            jnp.zeros((l, self.list_cap, self._dim // 2), dtype=jnp.uint8),
+            self._cell_sharding)
+
+    def _scatter_rows(self, lists_p, pos_p, vecs_p, norms_p) -> None:
+        if self.keep_bf16:
+            IvfDeviceIndex._scatter_rows(self, lists_p, pos_p, vecs_p, norms_p)
+        else:
+            self.norms, self.valid = _nv_scatter(
+                self.norms, self.valid, lists_p, pos_p, norms_p)
+        if self.factor is not None:
+            self.codes, self.scales, self.factor = _int4_cell_scatter(
+                self.codes, self.scales, self.factor, lists_p, pos_p, vecs_p,
+                norms_p, metric=self.metric)
+        else:
+            self.codes, self.scales = _int4_cs_scatter(
+                self.codes, self.scales, lists_p, pos_p, vecs_p)

@@ -447,9 +447,10 @@ def test_batch_mixing_ndarray_and_list_vectors(rng):
 
 
 @pytest.mark.parametrize("kind", ["flat", "int8", "binary", "ivf", "ivf_pq",
-                                  "ivf_int8", "graph", "pq", "ivf_int8_proj",
-                                  "sharded_flat", "sharded_ivf",
-                                  "sharded_ivf_int8"])
+                                  "ivf_int8", "ivf_int4", "graph", "pq",
+                                  "ivf_int8_proj", "sharded_flat",
+                                  "sharded_ivf", "sharded_ivf_int8",
+                                  "sharded_ivf_int4"])
 def test_index_snapshot_roundtrip_every_engine(tmp_path, rng, kind):
     """save_index/load_index must round-trip EVERY engine kind (the
     reference's postcard+gzip snapshot covered one index type,

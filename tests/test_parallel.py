@@ -287,6 +287,84 @@ def test_sharded_int8_ivf_pallas_matches_xla(rng, mesh):
         assert all(h[0] != "d2" for h in a.search_batch(vecs[2:3], k)[0])
 
 
+def test_sharded_int4_ivf_matches_flat(rng, mesh):
+    """Sharded packed-int4 IVF (bandwidth config): nibble probe + per-device
+    exact rescore returns the exact index's ids."""
+    from grape_vector_db_tpu.parallel import ShardedInt4IvfIndex
+
+    dim, n, k = 24, 800, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    flat = FlatDeviceIndex(dim, storage_dtype="float32", initial_capacity=1024)
+    flat.add_batch(ids, vecs)
+    ivf = ShardedInt4IvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                              nlist=8, nprobe=8, initial_capacity=2048)
+    ivf.add_batch(ids, vecs)
+    assert len(ivf._overflow) == 0
+    assert ivf.codes.shape[2] == dim // 2  # packed nibbles
+    assert str(ivf.codes.dtype) == "uint8"
+
+    queries = vecs[:16] + 0.001 * rng.standard_normal((16, dim)).astype(np.float32)
+    want = flat.search_batch(queries, k)
+    got = ivf.search_batch(queries, k)
+    for w, g in zip(want, got):
+        assert [x[0] for x in w] == [x[0] for x in g]
+
+
+def test_sharded_int4_ivf_capacity_config(rng, mesh):
+    """keep_bf16=False across the mesh: no bf16 plane, asymmetric nibble
+    scoring, delete/mask still correct."""
+    from grape_vector_db_tpu.parallel import ShardedInt4IvfIndex
+
+    dim, n, k = 16, 600, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    ivf = ShardedInt4IvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                              nlist=4, nprobe=4, initial_capacity=2048,
+                              keep_bf16=False)
+    ivf.add_batch(ids, vecs)
+    assert ivf.vecs is None
+
+    for i, row in enumerate(ivf.search_batch(vecs[:8], 1)):
+        assert row[0][0] == f"d{i}"
+
+    got = ivf.get_vector("d7")
+    cos = got @ vecs[7] / (np.linalg.norm(got) * np.linalg.norm(vecs[7]))
+    assert cos > 0.98, cos  # 4-bit reconstruction
+
+    ivf.remove_batch(["d7"])
+    assert all(h[0] != "d7" for h in ivf.search_batch(vecs[7:8], k)[0])
+    ivf.add_batch(["d7"], vecs[7:8])
+    assert ivf.search_batch(vecs[7:8], 1)[0][0][0] == "d7"
+
+    allowed = {"d1", "d5", "d9"}
+    got = ivf.search_batch(vecs[:1], 3, mask=ivf.compile_mask(allowed))[0]
+    assert {h[0] for h in got} == allowed
+
+
+def test_sharded_int4_ivf_pallas_matches_xla(rng, mesh):
+    from grape_vector_db_tpu.parallel import ShardedInt4IvfIndex
+
+    dim, n, k = 16, 480, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    for keep in (True, False):
+        a = ShardedInt4IvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                                nlist=4, nprobe=4, initial_capacity=2048,
+                                keep_bf16=keep, use_pallas="force")
+        b = ShardedInt4IvfIndex(dim, mesh=mesh, storage_dtype="float32",
+                                nlist=4, nprobe=4, initial_capacity=2048,
+                                keep_bf16=keep, use_pallas=False)
+        a.add_batch(ids, vecs)
+        b.add_batch(ids, vecs)
+        assert a._use_pallas and a.factor is not None
+        q = vecs[:8]
+        for ra, rb in zip(a.search_batch(q, k), b.search_batch(q, k)):
+            assert [x[0] for x in ra] == [x[0] for x in rb], keep
+        a.remove_batch(["d2"])
+        assert all(h[0] != "d2" for h in a.search_batch(vecs[2:3], k)[0])
+
+
 def test_sharded_ivf_striped_placement_balances_devices(rng, mesh):
     """Striped positions spread each list's rows uniformly across device
     slices (sequential packing would saturate device 0's slice while the

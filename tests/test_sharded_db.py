@@ -52,7 +52,8 @@ def make_docs(rng, n: int):
     return docs, vecs
 
 
-@pytest.mark.parametrize("kind", ["sharded_flat", "sharded_ivf", "sharded_ivf_int8"])
+@pytest.mark.parametrize("kind", ["sharded_flat", "sharded_ivf",
+                                  "sharded_ivf_int8", "sharded_ivf_int4"])
 def test_db_sharded_kind_end_to_end(kind, rng):
     db = VectorDatabase(config=make_cfg(kind))
     docs, vecs = make_docs(rng, 200)

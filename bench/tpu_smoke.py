@@ -50,6 +50,7 @@ KINDS = {
     "ivf_int8": (NQ, 0.85),
     "ivf_int4": (NQ, 0.85),    # packed nibbles + bf16 rescore (bandwidth cfg)
     "ivf_int8_proj": (NQ - 2, None),
+    "ivf_int4_proj": (NQ - 2, None),
     "ivf_pq": (NQ - 2, None),
     "pq": (NQ - 2, None),
     # graph's NN-descent bulk build takes minutes at N=4096 — too slow for a
@@ -60,6 +61,7 @@ KINDS = {
     "sharded_flat": (NQ, 0.95),
     "sharded_ivf": (NQ, 0.95),
     "sharded_ivf_int8": (NQ, 0.85),
+    "sharded_ivf_int4": (NQ, 0.85),
     # 32x capacity config: Hamming-only ranking, no bf16 plane resident
     "binary_codes_only": (NQ, None),
 }

@@ -123,10 +123,11 @@ def _build_sharded_index(kind: str, config: VectorDbConfig, mesh) -> VectorIndex
             rescore=config.index.int8_rescore,
             keep_bf16=config.index.ivf_int8_keep_bf16,
         )
-    if kind == "sharded_ivf_int8_proj":
+    if kind in ("sharded_ivf_int8_proj", "sharded_ivf_int4_proj"):
         from grape_vector_db_tpu.index.ivf_proj import get_sharded_projected_cls
 
-        return get_sharded_projected_cls()(
+        return get_sharded_projected_cls(
+            "int4" if "int4" in kind else "int8")(
             config.vector_dimension, **common,
             proj_dim=config.index.proj_dim,
             rescore=config.index.int8_rescore,
@@ -218,10 +219,13 @@ def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
             rescore=config.index.int8_rescore,
             keep_bf16=config.index.ivf_int8_keep_bf16,
         )
-    if kind == "ivf_int8_proj":
-        from grape_vector_db_tpu.index.ivf_proj import ProjectedInt8IvfIndex
+    if kind in ("ivf_int8_proj", "ivf_int4_proj"):
+        from grape_vector_db_tpu.index.ivf_proj import (ProjectedInt4IvfIndex,
+                                                        ProjectedInt8IvfIndex)
 
-        return ProjectedInt8IvfIndex(
+        cls = ProjectedInt4IvfIndex if kind == "ivf_int4_proj" else \
+            ProjectedInt8IvfIndex
+        return cls(
             **common,
             proj_dim=config.index.proj_dim,
             nlist=config.index.nlist,

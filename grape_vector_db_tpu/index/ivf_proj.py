@@ -31,9 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from grape_vector_db_tpu.errors import DimensionMismatchError
+from grape_vector_db_tpu.index.ivf_int4 import Int4IvfDeviceIndex
 from grape_vector_db_tpu.index.ivf_int8 import Int8IvfDeviceIndex
 
-__all__ = ["ProjectedInt8IvfIndex", "ShardedProjectedInt8IvfIndex"]
+__all__ = ["ProjectedInt8IvfIndex", "ProjectedInt4IvfIndex",
+           "ShardedProjectedInt8IvfIndex", "ShardedProjectedInt4IvfIndex"]
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
@@ -186,10 +188,23 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
         return stats
 
 
+class ProjectedInt4IvfIndex(ProjectedInt8IvfIndex, Int4IvfDeviceIndex):
+    """PCA projection over packed-int4 lists: the deepest single-chip
+    capacity tier (R=384 -> 192 B codes + 40 B planes per row; ~4x the
+    768-d int8 row ceiling). MRO routes the projection wrapper's super()
+    calls into Int4IvfDeviceIndex, so everything downstream — split-plane
+    packing, the int4 ragged-DMA probe, masked search — runs unchanged at
+    R lanes. The Pallas probe needs R % 256 == 0 (packed width lane
+    alignment); other 128-aligned R values take the XLA probe."""
+
+    kind = "ivf_int4_proj"
+
+
 def _make_sharded_projected():
     """Deferred class build: importing parallel.mesh pulls jax.sharding —
     keep single-chip imports light."""
-    from grape_vector_db_tpu.parallel.mesh import ShardedInt8IvfIndex
+    from grape_vector_db_tpu.parallel.mesh import (ShardedInt4IvfIndex,
+                                                   ShardedInt8IvfIndex)
 
     class ShardedProjectedInt8IvfIndex(ProjectedInt8IvfIndex,
                                        ShardedInt8IvfIndex):
@@ -201,21 +216,30 @@ def _make_sharded_projected():
 
         kind = "sharded_ivf_int8_proj"
 
-    return ShardedProjectedInt8IvfIndex
+    class ShardedProjectedInt4IvfIndex(ProjectedInt8IvfIndex,
+                                       ShardedInt4IvfIndex):
+        """Mesh-sharded PCA-projected packed-int4 IVF: S x the int4-proj
+        single-chip row ceiling."""
+
+        kind = "sharded_ivf_int4_proj"
+
+    return ShardedProjectedInt8IvfIndex, ShardedProjectedInt4IvfIndex
 
 
 def __getattr__(name):
     # Lazy class resolution: `from ... import ShardedProjectedInt8IvfIndex`
     # builds the class on first access (PEP 562) instead of eagerly pulling
     # jax.sharding into every single-chip import.
-    if name == "ShardedProjectedInt8IvfIndex":
-        cls = _make_sharded_projected()
-        globals()[name] = cls
-        return cls
+    if name in ("ShardedProjectedInt8IvfIndex", "ShardedProjectedInt4IvfIndex"):
+        i8, i4 = _make_sharded_projected()
+        globals()["ShardedProjectedInt8IvfIndex"] = i8
+        globals()["ShardedProjectedInt4IvfIndex"] = i4
+        return globals()[name]
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-def get_sharded_projected_cls():
-    cls = globals().get("ShardedProjectedInt8IvfIndex")
-    return cls if cls is not None else __getattr__(
-        "ShardedProjectedInt8IvfIndex")
+def get_sharded_projected_cls(codes_kind: str = "int8"):
+    name = ("ShardedProjectedInt4IvfIndex" if codes_kind == "int4"
+            else "ShardedProjectedInt8IvfIndex")
+    cls = globals().get(name)
+    return cls if cls is not None else __getattr__(name)

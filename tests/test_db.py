@@ -448,7 +448,8 @@ def test_batch_mixing_ndarray_and_list_vectors(rng):
 
 @pytest.mark.parametrize("kind", ["flat", "int8", "binary", "ivf", "ivf_pq",
                                   "ivf_int8", "ivf_int4", "graph", "pq",
-                                  "ivf_int8_proj", "sharded_flat",
+                                  "ivf_int8_proj", "ivf_int4_proj",
+                                  "sharded_flat",
                                   "sharded_ivf", "sharded_ivf_int8",
                                   "sharded_ivf_int4"])
 def test_index_snapshot_roundtrip_every_engine(tmp_path, rng, kind):
@@ -457,7 +458,7 @@ def test_index_snapshot_roundtrip_every_engine(tmp_path, rng, kind):
     query.rs:282-409) — including the quantized, projected, and
     mesh-sharded kinds, whose snapshots reconstruct from full-precision
     vectors via get_all()."""
-    dim = 256 if kind == "ivf_int8_proj" else 32  # proj_dim is 128-aligned
+    dim = 256 if kind.endswith("_proj") else 32  # proj_dim is 128-aligned
     cfg = VectorDbConfig(vector_dimension=dim)
     cfg.device.storage_dtype = "float32"
     cfg.index.kind = kind

@@ -204,3 +204,43 @@ def test_int4_ivf_snapshot_roundtrip(rng, tmp_path):
     db.load_index(p)
     hits = db.vector_search(SearchRequest(vector=vecs[123].tolist(), limit=3))
     assert hits[0].id == "v123"
+
+
+def test_projected_int4_ivf_end_to_end(rng):
+    """PCA-projected int4 IVF (the deepest single-chip capacity tier):
+    recall on decaying-spectrum data, delete/upsert, optimize() refit, and
+    stats at proj_dim = dim/2. Mirrors the int8-proj test at the 4-bit rung
+    — the rescore plane absorbs most of the extra quantization error."""
+    from grape_vector_db_tpu.index.ivf_proj import ProjectedInt4IvfIndex
+
+    d, r, n, k = 256, 128, 1600, 10
+    spec = (1.0 + np.arange(d)) ** -0.5
+    base = clustered(rng, n, d) * spec[None, :].astype(np.float32)
+    ids = [f"d{i}" for i in range(n)]
+    idx = ProjectedInt4IvfIndex(d, proj_dim=r, nlist=8, nprobe=8,
+                                rescore=128, storage_dtype="float32")
+    idx.train(base)
+    idx.add_batch(ids, base)
+    assert idx.dimension == d and idx.proj.shape == (d, r)
+    assert idx.codes.dtype == np.uint8 and idx.codes.shape[-1] == r // 2
+    assert idx.get_stats().kind == "ivf_int4_proj"
+    assert idx.get_stats().extra["proj_dim"] == float(r)
+
+    q = base[:32] + 0.005 * rng.standard_normal((32, d)).astype(np.float32)
+    oracle = np.argsort(-(q @ base.T) / np.linalg.norm(base, axis=1), axis=1)
+    got = 0
+    for want, row in zip(oracle[:, :k], idx.search_batch(q, k)):
+        have = {h[0] for h in row}
+        got += sum(1 for w in want if f"d{w}" in have)
+    assert got / (32 * k) >= 0.8, got / (32 * k)
+
+    # mutation through the projection wrapper
+    idx.remove_batch(["d5"])
+    assert all(h[0] != "d5" for h in idx.search_batch(base[5:6], k)[0])
+    idx.add_batch(["d5"], base[5:6])
+    assert idx.search_batch(base[5:6], 1)[0][0][0] == "d5"
+
+    # optimize() refits projection + centroids from back-projected rows
+    idx.optimize()
+    assert len(idx) == n
+    assert idx.search_batch(base[9:10], 1)[0][0][0] == "d9"

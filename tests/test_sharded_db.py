@@ -227,10 +227,12 @@ def test_cluster_node_serves_local_mesh_index():
         svc.stop()
 
 
-def test_sharded_projected_capacity_kind(rng):
-    """sharded_ivf_int8_proj: the capacity tier times the mesh — PCA
-    projection + int8 lists sharded within each list across devices."""
-    cfg = make_cfg("sharded_ivf_int8_proj")
+@pytest.mark.parametrize("kind", ["sharded_ivf_int8_proj",
+                                  "sharded_ivf_int4_proj"])
+def test_sharded_projected_capacity_kind(rng, kind):
+    """sharded_ivf_int{8,4}_proj: the capacity tier times the mesh — PCA
+    projection + quantized lists sharded within each list across devices."""
+    cfg = make_cfg(kind)
     cfg.vector_dimension = 256
     cfg.index.proj_dim = 128
     cfg.index.nlist = 8
@@ -242,7 +244,7 @@ def test_sharded_projected_capacity_kind(rng):
             for i in range(240)]
     db.batch_add_documents(docs)
     st = db.stats()
-    assert st.index_kind == "sharded_ivf_int8_proj"
+    assert st.index_kind == kind
     assert db.index.n_shards == 8 and db.index.proj_dim == 128
     res = db.search(SearchRequest(vector=vecs[13].tolist(), limit=3))
     assert res and res[0].document.id == "p13"

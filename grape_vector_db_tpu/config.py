@@ -120,6 +120,15 @@ class QueryConfig:
     default_threshold: float = 0.0
     text_weight: float = 0.3
     timeout_ms: int = 30_000
+    # Host-tier exact rescore width (0 = off). When > 0, dense searches
+    # over-fetch this many candidates from the device index and re-rank them
+    # exactly against the full-precision embeddings in the document store.
+    # This is what lets the codes-only capacity configs (binary
+    # keep_vectors=False, ivf_int4/ivf_int8 keep_bf16=False, projected kinds)
+    # serve high-recall reads: HBM holds compressed codes, host RAM holds the
+    # recall. The TPU-native analog of the reference rescoring binary
+    # candidates from stored vectors (quantization.rs:286-354).
+    host_rescore: int = 0
 
 
 @dataclass

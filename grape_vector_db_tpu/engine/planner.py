@@ -124,6 +124,62 @@ class QueryEngine:
             return hits
         return [(i, s) for i, s in hits if i in allowed]
 
+    # -- host-tier exact rescore ------------------------------------------------------
+
+    def _host_rescore_width(self, req: Optional[SearchRequest] = None) -> int:
+        if (req is not None and req.params is not None
+                and req.params.host_rescore is not None):
+            return max(0, int(req.params.host_rescore))
+        return max(0, int(getattr(self.config, "host_rescore", 0)))
+
+    def _host_rescore_rows(
+        self,
+        queries: np.ndarray,
+        rows: List[List[Tuple[str, float]]],
+        k: int,
+    ) -> List[List[Tuple[str, float]]]:
+        """Exact re-rank of device candidates against the full-precision
+        embeddings in the document store. The codes-only capacity configs
+        (binary keep_vectors=False, ivf_int4/ivf_int8 keep_bf16=False, the
+        projected kinds) rank approximately over compressed codes on-device;
+        the store still holds the original vector, so recomputing the true
+        metric for the C survivors restores recall at host cost O(C·D) per
+        query. Reference parity: binary candidates rescored from stored
+        vectors (quantization.rs:286-354), done at the query-engine tier so
+        every index family gets it. Candidates without a stored embedding
+        keep their device score."""
+        metric = getattr(self.index, "metric", "cosine")
+        out = []
+        for q, row in zip(queries, rows):
+            if not row:
+                out.append(row)
+                continue
+            ids = [i for i, _ in row]
+            recs = self.store.batch_get(ids)
+            embs, keep = [], []
+            for j, rec in enumerate(recs):
+                if rec is not None and rec.embedding is not None:
+                    embs.append(np.asarray(rec.embedding, dtype=np.float32))
+                    keep.append(j)
+            if not embs:
+                out.append(row[:k])
+                continue
+            m = np.empty((len(embs), embs[0].shape[0]), np.float32)
+            for j, e in enumerate(embs):
+                m[j] = e
+            q32 = np.asarray(q, dtype=np.float32)
+            if metric == "dot":
+                scores = m @ q32
+            else:
+                qn = q32 / max(float(np.linalg.norm(q32)), 1e-12)
+                scores = (m @ qn) / np.maximum(
+                    np.linalg.norm(m, axis=1), 1e-12)
+            exact = {ids[j]: float(s) for j, s in zip(keep, scores)}
+            rescored = [(i, exact.get(i, s)) for i, s in row]
+            rescored.sort(key=lambda t: -t[1])
+            out.append(rescored[:k])
+        return out
+
     # -- vector search ------------------------------------------------------------------
 
     def vector_search(self, req: SearchRequest) -> List[ScoredPoint]:
@@ -150,6 +206,8 @@ class QueryEngine:
         with QueryTimer(self.metrics):
             allowed = self._allowed_ids(req)
             fetch = req.limit + req.offset
+            rescore_c = self._host_rescore_width(req)
+            dev_fetch = max(fetch, rescore_c)
             if allowed is not None and self.index.supports_mask:
                 # Masked top-k inside the search kernel (SURVEY §7.1 step 6;
                 # filtering.rs:374-488 semantics done device-side): the filter
@@ -162,19 +220,23 @@ class QueryEngine:
                     mask = self.index.compile_mask(allowed)
                     hits = self.index.search_batch(
                         np.asarray(req.vector, dtype=np.float32)[None, :],
-                        fetch, mask=mask, **search_kw,
+                        dev_fetch, mask=mask, **search_kw,
                     )[0]
             else:
                 # Fallback (indexes without masked search): over-fetch so the
                 # host post-filter still fills the page — scaled by the
                 # requested offset so deep filtered pagination works.
                 if allowed is not None:
-                    fetch = min(max(fetch * 4, 64), 8192)
+                    dev_fetch = min(max(dev_fetch * 4, 64), 8192)
                 hits = self.index.search_batch(
                     np.asarray(req.vector, dtype=np.float32)[None, :],
-                    fetch, **search_kw,
+                    dev_fetch, **search_kw,
                 )[0]
                 hits = self._apply_filter(hits, allowed)
+            if rescore_c:
+                hits = self._host_rescore_rows(
+                    np.asarray(req.vector, dtype=np.float32)[None, :],
+                    [hits], fetch)[0]
             if req.score_threshold is not None:
                 hits = [(i, s) for i, s in hits if s >= req.score_threshold]
             hits = hits[req.offset:req.offset + req.limit]
@@ -242,18 +304,24 @@ class QueryEngine:
             allowed = self._allowed_ids(req)
             merged: Dict[str, float] = {}
             if req.vector is not None:
+                rescore_c = self._host_rescore_width(req)
+                dev_fetch = max(req.limit * 2, rescore_c)
                 if allowed is not None and self.index.supports_mask:
                     with self.index.locked():
                         dense = self.index.search(
                             np.asarray(req.vector, dtype=np.float32),
-                            req.limit * 2,
+                            dev_fetch,
                             mask=self.index.compile_mask(allowed),
                         )
                 else:
                     dense = self.index.search(
-                        np.asarray(req.vector, dtype=np.float32), req.limit * 2
+                        np.asarray(req.vector, dtype=np.float32), dev_fetch
                     )
                     dense = self._apply_filter(dense, allowed)
+                if rescore_c:
+                    dense = self._host_rescore_rows(
+                        np.asarray(req.vector, dtype=np.float32)[None, :],
+                        [dense], req.limit * 2)[0]
                 for rank, (id_, score) in enumerate(dense):
                     # rank-decay weighting (query.rs:90-96)
                     merged[id_] = merged.get(id_, 0.0) + score * (1.0 / (1.0 + 0.1 * rank))
@@ -299,7 +367,11 @@ class QueryEngine:
     ) -> List[List[ScoredPoint]]:
         """One device call for B queries — the batching executor feeds this."""
         with QueryTimer(self.metrics):
-            rows = self.index.search_batch(np.asarray(vectors, dtype=np.float32), limit)
+            q = np.asarray(vectors, dtype=np.float32)
+            rescore_c = self._host_rescore_width()
+            rows = self.index.search_batch(q, max(limit, rescore_c))
+            if rescore_c:
+                rows = self._host_rescore_rows(q, rows, limit)
         return [[ScoredPoint(id=i, score=s) for i, s in row] for row in rows]
 
     def cache_stats(self) -> Dict[str, float]:

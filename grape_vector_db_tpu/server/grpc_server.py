@@ -195,7 +195,7 @@ class VectorDbServicer:
             # the batcher packs requests that share one kernel configuration).
             if (self.batcher is not None and not req.filter_sql
                     and not req.score_threshold and not req.with_payload
-                    and not req.ef):
+                    and not req.ef and not req.host_rescore):
                 import numpy as np
 
                 hits = self.batcher.search(
@@ -206,11 +206,13 @@ class VectorDbServicer:
                     results=[pb.SearchResult(id=h.id, score=h.score) for h in hits]
                 )
             params = None
-            if req.ef:
+            if req.ef or req.host_rescore:
                 from grape_vector_db_tpu.types import SearchParams
 
-                params = SearchParams(ef=int(req.ef),
-                                      with_payload=req.with_payload)
+                params = SearchParams(
+                    ef=int(req.ef) or None,
+                    host_rescore=int(req.host_rescore) or None,
+                    with_payload=req.with_payload)
             sreq = SearchRequest(
                 vector=list(req.query.values),
                 limit=int(req.limit) or 10,
@@ -520,18 +522,20 @@ class VectorDbClient:
     def search(self, vector: List[float], limit: int = 10,
                filter_sql: str = "", with_payload: bool = True,
                min_versions: Optional[Dict[str, int]] = None,
-               ef: int = 0,
+               ef: int = 0, host_rescore: int = 0,
                ) -> pb.SearchVectorsResponse:
         """``min_versions``: feed back ``session_versions`` from an earlier
         upsert/delete response for read-your-writes (SESSION consistency).
-        ``ef``: per-request precision dial (IVF nprobe override; 0 = default)."""
+        ``ef``: per-request precision dial (IVF nprobe override; 0 = default).
+        ``host_rescore``: host-tier exact rescore width over the store's
+        full-precision embeddings (0 = server config default)."""
         return self.call(
             "SearchVectors",
             pb.SearchVectorsRequest(
                 query=pb.Vector(values=vector), limit=limit,
                 filter_sql=filter_sql, with_payload=with_payload,
                 min_versions=min_versions or {},
-                ef=ef,
+                ef=ef, host_rescore=host_rescore,
             ),
         )
 

@@ -211,11 +211,15 @@ class RestServer:
                         })
                         return
                     params = None
-                    if body.get("ef"):
+                    # explicit host_rescore=0 disables the host tier for this
+                    # request (None / absent = server config default)
+                    if body.get("ef") or "host_rescore" in body:
                         from grape_vector_db_tpu.types import SearchParams
 
                         params = SearchParams(
-                            ef=int(body["ef"]),
+                            ef=int(body.get("ef") or 0) or None,
+                            host_rescore=(int(body["host_rescore"])
+                                          if "host_rescore" in body else None),
                             with_payload=body.get("with_payload", True),
                         )
                     req = SearchRequest(

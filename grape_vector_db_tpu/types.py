@@ -361,6 +361,11 @@ class SearchParams:
     ef: Optional[int] = None
     with_vector: bool = False
     with_payload: bool = True
+    # Per-request host-tier rescore width (overrides config.query.host_rescore
+    # when set): the device index over-fetches this many candidates and the
+    # query engine re-ranks them exactly against the full-precision embeddings
+    # in the document store. 0 disables for this request.
+    host_rescore: Optional[int] = None
 
 
 @dataclass

@@ -531,3 +531,81 @@ def test_search_params_ef_overrides_ivf_nprobe(rng, kind):
     hit = db.vector_search(SearchRequest(
         vector=q, limit=1, params=SearchParams(ef=8, with_vector=True)))[0]
     assert hit.vector is not None
+
+
+def test_host_rescore_restores_recall_on_codes_only_index(rng):
+    """config.query.host_rescore: the device index ranks over compressed
+    codes (ivf_int4 capacity config, no bf16 shadow); the query engine
+    re-ranks the C survivors exactly against the store's full-precision
+    embeddings. On data noisy at the 4-bit quantization radius the
+    device-only ranking misorders; the host tier must restore the exact
+    order. Covers vector_search, vector_search_batch and the combined
+    search path, plus the per-request SearchParams override."""
+    from grape_vector_db_tpu import SearchParams
+
+    dim, n = 64, 800
+    # clusters tight relative to the int4 step so code-only ranking swaps
+    centers = rng.standard_normal((8, dim)).astype(np.float32) * 2
+    vecs = (centers[rng.integers(0, 8, n)]
+            + 0.05 * rng.standard_normal((n, dim))).astype(np.float32)
+
+    def build(host_rescore):
+        cfg = small_config(dim=dim)
+        cfg.index.kind = "ivf_int4"
+        cfg.index.nlist = 8
+        cfg.index.nprobe = 8
+        cfg.index.int8_rescore = 0            # no device rescore
+        cfg.index.ivf_int8_keep_bf16 = False  # codes-only: no bf16 shadow
+        cfg.index.initial_capacity = 1024
+        cfg.query.host_rescore = host_rescore
+        cfg.cache.enabled = False
+        db = VectorDatabase(config=cfg)
+        db.batch_add_documents([
+            Document(id=f"d{i}", content=f"c{i}", vector=vecs[i])
+            for i in range(n)])
+        return db
+
+    qi = rng.choice(n, 16, replace=False)
+    q = vecs[qi]
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    oracle = np.argsort(-(vn[qi] @ vn.T), axis=1)[:, :5]
+
+    def recall(db, params=None):
+        got = 0
+        for want, row in zip(oracle, q):
+            hits = db.vector_search(SearchRequest(
+                vector=row.tolist(), limit=5, params=params))
+            have = {h.id for h in hits}
+            got += sum(1 for w in want if f"d{w}" in have)
+        return got / oracle.size
+
+    raw_db = build(0)
+    r_raw = recall(raw_db)
+    # rescore width must exceed the ~100-member tight-cluster plateau: int4
+    # scores within a cluster are near-ties, so the device candidate order
+    # is ~random among them — C=192 guarantees the true top-5 is in the set
+    resc_db = build(192)
+    r_resc = recall(resc_db)
+    assert r_resc >= 0.95, (r_raw, r_resc)
+    assert r_resc > r_raw + 0.05, (r_raw, r_resc)
+
+    # rescored scores are the exact cosine (bounded, self-match == ~1.0)
+    top = resc_db.vector_search(SearchRequest(vector=vecs[3].tolist(), limit=1))
+    assert top[0].id == "d3" and abs(top[0].score - 1.0) < 1e-3
+
+    # batched path applies the same host tier
+    rows = resc_db.vector_search_batch(q[:4], 5)
+    got = sum(1 for want, row in zip(oracle[:4], rows)
+              for w in want if f"d{w}" in {h.id for h in row})
+    assert got / 20 >= 0.95
+
+    # per-request override: params.host_rescore=64 on the raw (config=0) DB
+    r_param = recall(raw_db, params=SearchParams(host_rescore=192))
+    assert r_param >= 0.95, r_param
+    # ...and params can disable it on the rescoring DB
+    r_off = recall(resc_db, params=SearchParams(host_rescore=0))
+    assert abs(r_off - r_raw) < 0.15, (r_off, r_raw)
+
+    # combined dense+text search path rescorses too: exact self-match on top
+    res = resc_db.search(SearchRequest(vector=vecs[11].tolist(), limit=3))
+    assert res and res[0].document.id == "d11"

@@ -442,3 +442,68 @@ def test_grpc_search_ef_reaches_ivf(rng):
     finally:
         client.close()
         server.stop(grace=0)
+
+
+def test_grpc_search_host_rescore_reaches_engine(rng):
+    """SearchVectorsRequest.host_rescore must reach the query engine as a
+    per-request host-tier rescore: a codes-only int4 index misorders tight
+    clusters on-device; the wire knob restores the exact order from the
+    store's full-precision embeddings."""
+    dim = 64
+    cfg = VectorDbConfig(vector_dimension=dim)
+    cfg.device.storage_dtype = "float32"
+    cfg.index.kind = "ivf_int4"
+    cfg.index.initial_capacity = 1024
+    cfg.index.nlist = 4
+    cfg.index.nprobe = 4
+    cfg.index.int8_rescore = 0
+    cfg.index.ivf_int8_keep_bf16 = False
+    cfg.cache.enabled = False
+    db = VectorDatabase(config=cfg)
+    centers = rng.standard_normal((4, dim)).astype(np.float32) * 2
+    pts = np.concatenate([c + 0.05 * rng.standard_normal((50, dim)).astype(np.float32)
+                          for c in centers])
+    db.batch_add_documents([Document(id=f"d{i}", content=f"c{i}",
+                                     vector=pts[i].tolist())
+                            for i in range(len(pts))])
+    server, port, _ = build_grpc_server(db, port=0)
+    server.start()
+    client = VectorDbClient(f"127.0.0.1:{port}")
+    try:
+        vn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        qsel = [3, 57, 101, 155]
+        ok_raw = ok_resc = 0
+        for qi in qsel:
+            want = {f"d{j}" for j in np.argsort(-(vn[qi] @ vn.T))[:5]}
+            raw = client.search(pts[qi].astype(float).tolist(), limit=5)
+            resc = client.search(pts[qi].astype(float).tolist(), limit=5,
+                                 host_rescore=192)
+            assert not raw.error and not resc.error
+            ok_raw += len({r.id for r in raw.results} & want)
+            ok_resc += len({r.id for r in resc.results} & want)
+        assert ok_resc >= 19, (ok_raw, ok_resc)   # exact order restored
+        assert ok_resc > ok_raw, (ok_raw, ok_resc)
+    finally:
+        client.close()
+        server.stop(grace=0)
+
+
+def test_rest_search_host_rescore(rest, rng):
+    """REST /api/v1/search accepts host_rescore (explicit 0 disables; a
+    positive width re-ranks against stored embeddings and returns exact
+    cosine scores)."""
+    _, base = rest
+    vecs = rng.standard_normal((8, 16)).astype(float)
+    code, out = _req("POST", f"{base}/api/v1/vectors", {
+        "points": [{"id": f"h{i}", "vector": vecs[i].tolist()}
+                   for i in range(8)]})
+    assert code == 200 and out["upserted"] == 8
+    code, out = _req("POST", f"{base}/api/v1/search",
+                     {"mode": "vector", "vector": vecs[3].tolist(),
+                      "limit": 3, "host_rescore": 8})
+    assert code == 200 and out["results"][0]["id"] == "h3"
+    assert abs(out["results"][0]["score"] - 1.0) < 1e-3
+    code, out = _req("POST", f"{base}/api/v1/search",
+                     {"mode": "vector", "vector": vecs[3].tolist(),
+                      "limit": 3, "host_rescore": 0})
+    assert code == 200 and out["results"][0]["id"] == "h3"

@@ -26,8 +26,15 @@ Corpus: clustered with a j^-0.5 decaying spectrum (embedding-like energy
 concentration — the regime a projection tier is FOR; the isotropic
 adversarial case is covered in tests/test_ivf_int8.py).
 
-Env: CAP_BLOCKS (default 128 -> 16.78M rows), CAP_NPROBE (default 2).
-Appends one JSON line to bench/CAPACITY.jsonl.
+Env: CAP_BLOCKS (default 128 -> 16.78M rows), CAP_NPROBE (default 2),
+CAP_CODES=int8|int4 (packed-nibble lists: half the code bytes again —
+~169 B/row at R=256; needs R % 256 == 0 for the Pallas probe),
+CAP_R (projection width). Every run also reports the host-rescore
+containment recalls (`recall_at_10_after_host_rescore_C{64,256}`): the
+fraction of exact-oracle rows present in the probe's top-C candidate set —
+with `query.host_rescore=C` the product re-ranks those C exactly from the
+document store, so containment IS the served recall@10 of the capacity
+config. Appends one JSON line to bench/CAPACITY.jsonl.
 """
 
 from __future__ import annotations
@@ -43,7 +50,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DIM, R, K, BATCH = 768, 384, 10, 128
+DIM, K, BATCH = 768, 10, 128
+R = int(os.environ.get("CAP_R", "384"))
+CODES = os.environ.get("CAP_CODES", "int8")
 BLK = int(os.environ.get("CAP_BLK", "131072"))
 NBLOCKS = int(os.environ.get("CAP_BLOCKS", "128"))
 NPROBE = int(os.environ.get("CAP_NPROBE", "2"))
@@ -58,8 +67,11 @@ def main() -> None:
 
     from grape_vector_db_tpu.ops.ivf_pallas import (
         ivf_pallas_supported, make_factor, nblocks_from_counts,
-        pallas_ivf_topk_int8)
+        pallas_ivf_topk_int4, pallas_ivf_topk_int8)
     from grape_vector_db_tpu.ops.kmeans import kmeans
+
+    if CODES == "int4":
+        assert R % 256 == 0, f"int4 Pallas probe needs R%256==0, got {R}"
 
     n_total = NBLOCKS * BLK
     t_start = time.time()
@@ -178,11 +190,14 @@ def main() -> None:
         f"dropped={dropped} ({dropped / n_total:.2%})")
 
     # ---- allocate resident planes ----------------------------------------
-    codes = jnp.zeros((NLIST, cap, R), jnp.int8)
+    code_w = R // 2 if CODES == "int4" else R
+    codes = jnp.zeros((NLIST, cap, code_w),
+                      jnp.uint8 if CODES == "int4" else jnp.int8)
     scales = jnp.zeros((NLIST, cap), jnp.float32)
     norms = jnp.zeros((NLIST, cap), jnp.float32)
     valid = jnp.zeros((NLIST, cap), jnp.bool_)
-    resident_gb = (NLIST * cap * (R + 4 + 4 + 1) + NLIST * 8 * cap * 4) / 2**30
+    resident_gb = (NLIST * cap * (code_w + 4 + 4 + 1)
+                   + NLIST * 8 * cap * 4) / 2**30
     log(f"planes allocated: {resident_gb:.2f} GiB resident (incl. factor)")
 
     # ---- pass 2: scatter + streamed exact oracle --------------------------
@@ -208,9 +223,17 @@ def main() -> None:
         # project + quantize + scatter at host-placed (list, pos)
         xp = xf @ proj
         nrm = jnp.linalg.norm(xp, axis=1)
-        sc = jnp.max(jnp.abs(xp), axis=1) / 127.0
-        xi = jnp.clip(jnp.round(xp / jnp.maximum(sc[:, None], 1e-12)),
-                      -127, 127).astype(jnp.int8)
+        if CODES == "int4":
+            sc = jnp.max(jnp.abs(xp), axis=1) / 7.0
+            qv = jnp.clip(jnp.round(xp / jnp.maximum(sc[:, None], 1e-12)),
+                          -8, 7)
+            u = (qv + 8.0).astype(jnp.uint8)      # offset-binary nibbles
+            xi = jnp.bitwise_or(u[:, : R // 2],
+                                jnp.left_shift(u[:, R // 2:], 4))
+        else:
+            sc = jnp.max(jnp.abs(xp), axis=1) / 127.0
+            xi = jnp.clip(jnp.round(xp / jnp.maximum(sc[:, None], 1e-12)),
+                          -127, 127).astype(jnp.int8)
         codes = codes.at[lst, pos].set(xi, mode="drop")
         scales = scales.at[lst, pos].set(sc, mode="drop")
         norms = norms.at[lst, pos].set(nrm, mode="drop")
@@ -246,19 +269,43 @@ def main() -> None:
         # dropped rows stay unmapped — charged against recall
 
     qp = queries @ proj  # the engine searches in projected space
+    probe_fn = (pallas_ivf_topk_int4 if CODES == "int4"
+                else pallas_ivf_topk_int8)
     nprobes = [int(x) for x in
                os.environ.get("CAP_NPROBES", str(NPROBE)).split(",")]
     for nprobe in nprobes:
-        def step(q, cents, codes, factor, nblk, nprobe=nprobe):
-            return pallas_ivf_topk_int8(q, cents, codes, factor, k=K,
-                                        nprobe=nprobe, metric="cosine",
-                                        rescore=0, vecs=None, recip=None,
-                                        nblocks=nblk, interpret=interp)
+        def step(q, cents, codes, factor, nblk, nprobe=nprobe, k=K):
+            return probe_fn(q, cents, codes, factor, k=k,
+                            nprobe=nprobe, metric="cosine",
+                            rescore=0, vecs=None, recip=None,
+                            nblocks=nblk, interpret=interp)
 
-        _, si = jax.jit(step)(qp, cents, codes, factor, nblk)
+        _, si = jax.jit(functools.partial(step, k=K))(
+            qp, cents, codes, factor, nblk)
         si = np.asarray(si)  # engine slots: list * cap + pos
         got_cells = [{(int(s) // cap, int(s) % cap) for s in row}
                      for row in si]
+
+        # host-rescore containment: with query.host_rescore=C the product
+        # re-ranks the probe's top-C exactly from the document store, so
+        # served recall@10 == fraction of oracle rows inside the top-C set
+        rescore_recall = {}
+        for cwidth in (64, 256):
+            _, sc_ = jax.jit(functools.partial(step, k=cwidth))(
+                qp, cents, codes, factor, nblk)
+            sc_ = np.asarray(sc_)
+            hits_c = denom_c = 0
+            for orow, srow in zip(oracle_slots, sc_):
+                cells = {(int(s) // cap, int(s) % cap) for s in srow}
+                for g in orow:
+                    cell = want_cells.get(int(g))
+                    if cell is None:
+                        continue
+                    denom_c += 1
+                    hits_c += cell in cells
+            rescore_recall[cwidth] = (
+                hits_c / (len(oracle_slots) * K),      # raw (drops charged)
+                hits_c / max(denom_c, 1))              # reachable
         # raw recall charges dropped oracle rows; reachable recall is
         # conditional on the oracle row having been placed at all
         hits_raw = hits_reach = denom_reach = 0
@@ -295,15 +342,19 @@ def main() -> None:
         ms = max(best - 0.025, 1e-9) * 1e3 / iters
 
         out = {
-            "engine": "ivf_int8_proj", "n": n_total, "dim": DIM,
+            "engine": f"ivf_{CODES}_proj", "n": n_total, "dim": DIM,
             "proj_dim": R, "nlist": NLIST, "nprobe": nprobe, "list_cap": cap,
             "resident_gib": round(resident_gb, 2),
-            "bytes_per_row_resident": R + 4 + 4 + 1 + 32,
+            "bytes_per_row_resident": code_w + 4 + 4 + 1 + 32,
             "ingest_rows_per_s": round(n_total / ingest_s, 0),
             "spilled_rows": spilled, "dropped_rows": dropped,
             "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
             "recall_at_10_exact_fulldim_oracle": round(rec, 4),
             "recall_at_10_reachable": round(rec_reach, 4),
+            **{f"recall_at_10_after_host_rescore_C{c}": round(v[0], 4)
+               for c, v in rescore_recall.items()},
+            **{f"recall_at_10_after_host_rescore_C{c}_reachable":
+               round(v[1], 4) for c, v in rescore_recall.items()},
             "backend": jax.default_backend(),
         }
         print(json.dumps(out), flush=True)

@@ -22,6 +22,7 @@ EXAMPLES = [
     "openai_compatible",
     "runtime_scaling_demo",
     "sharded_mesh_demo",
+    "capacity_tier_demo",
 ]
 
 EX_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "examples")

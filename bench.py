@@ -316,6 +316,35 @@ def main() -> None:
                 + ("Pallas DMA probe (the product default)"
                    if ivf_c._use_pallas else "XLA gather probe"),
     }
+    # Binary on the same clustered corpus: the regime where the two-stage
+    # engine holds its 92%+ recall claim (docs/benchmarks.md "Binary
+    # quantization" — the random-data binary_100k row above is the
+    # adversarial floor where Hamming correlates weakly with cosine).
+    bq_c = BinaryDeviceIndex(dimension=DIM, metric="cosine",
+                             storage_dtype="bfloat16", initial_capacity=cap,
+                             max_rescore=1024)
+    for i in range(0, n, 8192):
+        bq_c.add_batch(ids[i:i + 8192], cvecs[i:i + 8192])
+    rb_c = bq_c._rescore_count(K)
+
+    def step_bin_c(q, codes, valid, vectors, norms):
+        qc = pack_bits(q.astype(jnp.float32), 0.0)
+        dists, cand = hamming_topk(qc, codes, valid, k=rb_c, chunk=cap,
+                                   impl=bq_c.hamming_impl)
+        return _rescore_topk(q, vectors, norms, cand, dists, k=K,
+                             metric="cosine")
+
+    ms = timed_fori(step_bin_c, jnp.asarray(cq100), bq_c.codes, bq_c.valid,
+                    bq_c.vectors, bq_c.norms)
+    matrix["binary_100k_clustered"] = {
+        "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
+        "recall": round(recall_vs(oracle_c,
+                                  bq_c.search_batch(cq100[:8], K)), 3),
+        "note": "representative regime (clustered, corpus-drawn queries); "
+                "same engine/rescore budget as the adversarial binary_100k row",
+    }
+    del bq_c
+
     del ivf_c, cvecs, step_c, ops_c
 
     ivf = IvfDeviceIndex(dimension=DIM, metric="cosine",

@@ -164,7 +164,7 @@ class SparseVectorConfig:
 class EmbeddingConfig:
     """Embedding provider selection (reference embeddings.rs / config.rs)."""
 
-    provider: str = "mock"  # mock | openai | azure | nvidia | huggingface | ollama
+    provider: str = "mock"  # mock | device | openai | azure | nvidia | huggingface | ollama
     endpoint: Optional[str] = None
     api_key: Optional[str] = None
     # Azure deployments version their REST API via ?api-version= (lib.rs:806)
@@ -175,6 +175,12 @@ class EmbeddingConfig:
     max_retries: int = 3
     timeout_s: float = 30.0
     extra_headers: Dict[str, str] = field(default_factory=dict)
+    # provider="device" (DeviceHashEmbedder — no reference analog): hashed
+    # feature space size and projection seed; larger buckets = fewer
+    # collisions at ~buckets*dimension*2 bytes of HBM for the projection
+    hash_buckets: int = 32_768
+    hash_seed: int = 0
+    hash_max_features: int = 256
 
 
 @dataclass

@@ -352,14 +352,23 @@ class VectorDatabase:
         for d in docs:
             if not d.id:
                 raise InvalidArgumentError("document id must be non-empty")
-        # Embed missing vectors in one provider batch.
+        # Embed missing vectors in one provider batch. Providers with a
+        # batch-array path (mock, device-hash) fill ndarray rows — no
+        # per-float boxing on the write path (bulk ingest texts are mostly
+        # unique, so skipping the CachingEmbedder wrapper here loses nothing;
+        # the query path still goes through the cache).
         missing = [d for d in docs if d.vector is None]
         if missing:
-            embs = self.embedder.generate_embeddings(
-                [f"{d.title or ''} {d.content}".strip() for d in missing]
-            )
-            for d, e in zip(missing, embs):
-                d.vector = list(e)
+            texts = [f"{d.title or ''} {d.content}".strip() for d in missing]
+            prov = self.embedder
+            arr_fn = getattr(prov, "embed_array", None) or getattr(
+                getattr(prov, "inner", None), "embed_array", None)
+            if arr_fn is not None:
+                for d, row in zip(missing, arr_fn(texts)):
+                    d.vector = row
+            else:
+                for d, e in zip(missing, self.embedder.generate_embeddings(texts)):
+                    d.vector = list(e)
         dim = self.config.vector_dimension
         for d in docs:
             if len(d.vector) != dim:

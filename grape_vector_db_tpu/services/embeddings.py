@@ -116,7 +116,16 @@ class OpenAICompatibleProvider(EmbeddingProvider):
 
 def create_provider(config: EmbeddingConfig) -> EmbeddingProvider:
     """Factory (embeddings.rs:269-286): openai/azure/nvidia/huggingface/ollama all
-    speak the OpenAI-compatible shape; 'mock' is the offline fixture."""
+    speak the OpenAI-compatible shape; 'mock' is the offline fixture; 'device'
+    is the TPU-native local embedder (signed feature hashing + MXU projection
+    — similar texts get similar vectors, no network)."""
     if config.provider == "mock":
         return MockEmbeddingProvider(config.dimension)
+    if config.provider == "device":
+        from grape_vector_db_tpu.services.device_embedder import DeviceHashEmbedder
+
+        return DeviceHashEmbedder(
+            dim=config.dimension, buckets=config.hash_buckets,
+            seed=config.hash_seed, max_features=config.hash_max_features,
+        )
     return OpenAICompatibleProvider(config)

@@ -35,7 +35,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-C, D2, CELLS, ITERS = 640, 384, 128, 10
+C, D2, CELLS, ITERS = 640, 384, 128, 200
 D = 2 * D2
 
 

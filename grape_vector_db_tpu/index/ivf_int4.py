@@ -65,7 +65,7 @@ def _int4_cell_scatter(codes, scales, factor, lists, pos, new_vecs, new_norms,
 def _ivf_int4_topk(
     queries,     # [B, D] f32 raw
     centroids,   # [L, D] f32
-    codes,       # [L, C, D/2] uint8 packed nibbles
+    codes,       # [L, C, D/2] int8 packed nibbles
     factor,      # [L, 8, C] f32 masked scale/norm (0 = invalid)
     vecs,        # [L, C, D] bf16 shadow or None (capacity config)
     norms,       # [L, C] f32 (rescore) or None
@@ -119,8 +119,11 @@ class Int4IvfDeviceIndex(Int8IvfDeviceIndex):
     def _alloc_codes(self, cap: int) -> None:
         if self._dim % 2:
             raise ValueError(f"ivf_int4 needs an even dim, got {self._dim}")
+        # int8-typed (bit pattern of the unsigned packed nibbles): a uint8
+        # corpus would force a materialized bitcast copy inside every probe
+        # dispatch (ops/int4.py module docstring).
         self.codes = jnp.zeros((self.nlist, cap, self._dim // 2),
-                               dtype=jnp.uint8)
+                               dtype=jnp.int8)
 
     def _scatter_codes(self, lists_p, pos_p, vecs_p, norms_p) -> None:
         self.codes, self.scales, self.factor = _int4_cell_scatter(

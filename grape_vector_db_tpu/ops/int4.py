@@ -21,9 +21,13 @@ list's DMA. ``D % 256 == 0`` keeps each half a multiple of the 128-lane
 tile (768 -> 384 = 3 x 128).
 
 Codes are offset-binary: ``u = clip(round(v / s), -8, 7) + 8`` with
-``s = max|v| / 7`` per row, stored in uint8 nibbles. A per-row ``factor``
-folds dequantization and the cosine norm division exactly as the int8
-scheme does (ops/int8.py).
+``s = max|v| / 7`` per row, stored as INT8-typed bytes (bit pattern of the
+unsigned packed value). int8 — not uint8 — because Mosaic kernels can only
+consume int8, and a uint8-typed corpus forces a corpus-wide
+``bitcast_convert_type`` inside every probe dispatch, which XLA
+materializes as a real copy (~0.05 ms/dispatch at 1M x 768 — measured in
+bench/int4_probe_ab.py). A per-row ``factor`` folds dequantization and the
+cosine norm division exactly as the int8 scheme does (ops/int8.py).
 
 No reference analog (quantization.rs only has 1-bit); this engine exists
 because the TPU memory system rewards it.
@@ -41,9 +45,11 @@ __all__ = ["quantize_int4", "unpack_int4", "unpack_int4_split"]
 
 @jax.jit
 def quantize_int4(vecs: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """[M, D] f32 -> (packed [M, D/2] uint8 split-plane, scale [M] f32).
+    """[M, D] f32 -> (packed [M, D/2] int8 split-plane, scale [M] f32).
 
     scale = max|v| / 7; levels -8..7 stored offset-binary (u = q + 8).
+    The packed bytes carry the unsigned value's bit pattern in an
+    int8-typed array (see module docstring for why int8).
     D must be even (capacity dims are 128-aligned everywhere above this).
     """
     vf = vecs.astype(jnp.float32)
@@ -54,24 +60,27 @@ def quantize_int4(vecs: jax.Array) -> Tuple[jax.Array, jax.Array]:
     u = (q + 8.0).astype(jnp.uint8)                       # [M, D] in 0..15
     lo, hi = u[:, : d // 2], u[:, d // 2:]
     packed = jnp.bitwise_or(lo, jnp.left_shift(hi, 4))    # [M, D/2]
-    return packed, s
+    return jax.lax.bitcast_convert_type(packed, jnp.int8), s
 
 
 @jax.jit
 def unpack_int4_split(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """[..., D/2] uint8 -> (lo [..., D/2], hi [..., D/2]) f32 in -8..7.
+    """[..., D/2] int8/uint8 -> (lo [..., D/2], hi [..., D/2]) f32 in -8..7.
 
     ``lo`` holds dims [0, D/2), ``hi`` holds dims [D/2, D) — the same two
     planes the Pallas kernel materializes; callers dot each against the
-    matching query half (or concatenate for a full row).
+    matching query half (or concatenate for a full row). Accepts either
+    byte dtype: the int32 widen + mask recovers the unsigned nibbles from
+    int8-typed storage and is a no-op rearrangement for uint8.
     """
-    lo = jnp.bitwise_and(packed, jnp.uint8(0xF)).astype(jnp.float32) - 8.0
-    hi = jnp.right_shift(packed, jnp.uint8(4)).astype(jnp.float32) - 8.0
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.bitwise_and(p32, 0xF).astype(jnp.float32) - 8.0
+    hi = jnp.bitwise_and(jnp.right_shift(p32, 4), 0xF).astype(jnp.float32) - 8.0
     return lo, hi
 
 
 @jax.jit
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """[..., D/2] uint8 -> [..., D] f32 dequantized levels (unscaled)."""
+    """[..., D/2] int8/uint8 -> [..., D] f32 dequantized levels (unscaled)."""
     lo, hi = unpack_int4_split(packed)
     return jnp.concatenate([lo, hi], axis=-1)

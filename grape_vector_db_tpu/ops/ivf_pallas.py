@@ -438,7 +438,9 @@ def pallas_ivf_topk_int8(
 def _probe_kernel_int4(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
                        out_vmem, scratch_c, scratch_f, sem_c, sem_f, rb=RB):
     """Int4 variant of ``_probe_kernel_int8``: DMAs PACKED nibble blocks
-    ([C, D/2] uint8 — a quarter of the bf16 bytes/list, half of int8's),
+    ([C, D/2] int8-typed packed bytes — a quarter of the bf16 bytes/list,
+    half of int8's) in 2*RB-row blocks (same bytes per DMA as the int8
+    probe's RB-row blocks),
     unpacks the split-plane layout (ops/int4.py: low nibbles = dims
     [0, D/2), high = [D/2, D)) with two elementwise ops, and scores with
     two MXU dots against the matching query halves. The unpack is VPU work
@@ -465,16 +467,19 @@ def _probe_kernel_int4(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
 
         b = cell // (ncells // n_q)     # query index (cells ordered b-major)
         qrow = q_vmem[pl.ds(b, 1), :]                        # [1, D] f32
-        # Mosaic has no uint8->bf16 (or int8 shift) lowering: widen the
-        # int8-bitcast bytes to int32, recover the unsigned value, do the
-        # nibble math there, and reach bf16 via f32 (the only cast chain
-        # that compiles — bench/probe_int4_cast.py).
+        # Mosaic has no uint8->bf16 (or int8 shift-to-bf16) lowering: widen
+        # the int8-typed bytes to int32 and do the nibble math there,
+        # reaching bf16 via f32 (the only cast chain that compiles —
+        # bench/probe_int4_cast.py). Masking the SIGN-EXTENDED int32 with
+        # 0xF recovers each nibble directly (no where/+256 widen — that
+        # recipe measured 0.088 vs 0.053 ms/128 cells,
+        # bench/int4_unpack_ab.py); the -8 level offset folds into the dot:
+        # dot(q, u - 8) = dot(q, u) - 8 * sum(q).
         p32 = scratch_c[slot].astype(jnp.int32)              # [C, D/2]
-        p32 = jnp.where(p32 < 0, p32 + 256, p32)             # unsigned byte
-        lo = (jnp.bitwise_and(p32, 0xF).astype(jnp.float32)
-              .astype(jnp.bfloat16) - jnp.bfloat16(8.0))     # dims [0, D/2)
-        hi = (jnp.right_shift(p32, 4).astype(jnp.float32)
-              .astype(jnp.bfloat16) - jnp.bfloat16(8.0))     # dims [D/2, D)
+        lo = (jnp.bitwise_and(p32, 0xF)
+              .astype(jnp.float32).astype(jnp.bfloat16))     # dims [0, D/2)
+        hi = (jnp.bitwise_and(jnp.right_shift(p32, 4), 0xF)
+              .astype(jnp.float32).astype(jnp.bfloat16))     # dims [D/2, D)
         qlo = qrow[:, :d2].astype(jnp.bfloat16)
         qhi = qrow[:, d2:].astype(jnp.bfloat16)
         dn = (((1,), (1,)), ((), ()))
@@ -484,6 +489,11 @@ def _probe_kernel_int4(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
             + jax.lax.dot_general(qhi, hi, dimension_numbers=dn,
                                   preferred_element_type=jnp.float32)
         )                                                    # [1, C]
+        # fold the -8 offset with the SAME bf16-rounded query values the
+        # dots saw, so the fold is exact (not the f32 qrow sum)
+        qsum = (jnp.sum(qlo.astype(jnp.float32))
+                + jnp.sum(qhi.astype(jnp.float32)))
+        dots = dots - 8.0 * qsum
         factor = scratch_f[slot][0:1, :]                     # [1, C] f32
         # select-style mask: see _probe_kernel (nan-safe vs uninit VMEM)
         scores = jnp.where(factor == 0.0, -1e9, dots * factor)
@@ -497,12 +507,20 @@ def _probe_kernel_int4(probe_smem, nblk_smem, q_vmem, codes_hbm, factor_hbm,
 def ivf_probe_scores_int4(
     q: jax.Array,       # [B, D] f32, L2-normalized (cosine) or raw (dot)
     probe: jax.Array,   # [B, P] int32 list ids
-    codes: jax.Array,   # [L, C, D/2] uint8 packed nibbles (C % 128 == 0)
+    codes: jax.Array,   # [L, C, D/2] int8 packed nibbles (C % 128 == 0)
     factor: jax.Array,  # [L, 8, C] f32: masked scale/norm (0 = invalid)
     nblocks: jax.Array | None = None,  # [L] int32 occupied RB-row blocks
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9)."""
+    """Returns [B, P, C] f32 cosine/dot scores (invalid slots <= -1e9).
+
+    ``nblocks`` stays in the universal RB(=64)-row granularity
+    (nblocks_from_counts); this probe DMAs 2*RB-row blocks — packed rows
+    are half-width, so doubling the rows keeps each DMA the same byte size
+    as the int8 probe's (half-size blocks measured latency-bound: 0.060 vs
+    0.039 ms at 1M nprobe=1, bench/int4_probe_ab.py) — and converts the
+    block counts internally (ceil(n/2), exact for nested ceilings).
+    """
     b, d = q.shape
     p = probe.shape[1]
     l, c, d2 = codes.shape
@@ -516,7 +534,8 @@ def ivf_probe_scores_int4(
                          "of 128 for the Pallas probe (Mosaic DMA lane "
                          "alignment); use the XLA probe for unaligned dims")
     ncells = b * p
-    rb = RB if (c >= RB and c % RB == 0) else c
+    rb = 2 * RB if (c >= 2 * RB and c % (2 * RB) == 0) else (
+        RB if (c >= RB and c % RB == 0) else c)
     if nblocks is None:
         nblocks = jnp.full((l,), c // rb, dtype=jnp.int32)
     else:
@@ -524,12 +543,16 @@ def ivf_probe_scores_int4(
             raise ValueError(
                 f"nblocks shape {nblocks.shape} != ({l},) — stale layout? "
                 "(list count changed since the counts were taken)")
+        if rb == 2 * RB:
+            nblocks = (nblocks + 1) // 2   # RB-blocks -> 2*RB-blocks
         nblocks = jnp.clip(nblocks, 0, c // rb)
 
-    # Mosaic cannot cast uint8 inside the kernel; same-width bitcast to int8
-    # here is free in XLA and the kernel widens from int8 (see
-    # _probe_kernel_int4).
-    codes = lax.bitcast_convert_type(codes, jnp.int8)
+    if codes.dtype != jnp.int8:
+        # back-compat for uint8-typed codes: same-width bitcast. NOT free —
+        # XLA materializes a corpus-wide copy per dispatch (~0.05 ms at
+        # 1M x 768, bench/int4_probe_ab.py); quantize_int4 emits int8 so
+        # the product path never takes this branch.
+        codes = lax.bitcast_convert_type(codes, jnp.int8)
     out = pl.pallas_call(
         functools.partial(_probe_kernel_int4, rb=rb),
         out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
@@ -559,7 +582,7 @@ def ivf_probe_scores_int4(
 def pallas_ivf_topk_int4(
     queries: jax.Array,    # [B, D] f32 raw
     centroids: jax.Array,  # [L, D] f32 (unit-norm for cosine/dot)
-    codes: jax.Array,      # [L, C, D/2] uint8 packed nibbles
+    codes: jax.Array,      # [L, C, D/2] int8 packed nibbles
     factor: jax.Array,     # [L, 8, C] f32 masked scale/norm
     k: int,
     nprobe: int,

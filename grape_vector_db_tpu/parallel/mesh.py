@@ -661,7 +661,7 @@ def sharded_ivf_topk(
 def sharded_ivf_int8_topk(
     queries: jax.Array,    # [B, D] f32, replicated
     centroids: jax.Array,  # [L, D] f32, replicated
-    codes: jax.Array,      # [L, C, D] int8 — or [L, C, D/2] uint8 packed
+    codes: jax.Array,      # [L, C, D] int8 — or [L, C, D/2] int8 packed
                            # nibbles when codes_kind="int4"; sharded axis 1
     scales: jax.Array,     # [L, C] f32 dequant scales, sharded over axis 1
     norms: jax.Array,      # [L, C] f32, sharded over axis 1
@@ -1050,7 +1050,7 @@ class ShardedInt4IvfIndex(ShardedInt8IvfIndex, Int4IvfDeviceIndex):
     ShardedInt8IvfIndex's within-list capacity sharding and pre-collective
     exact rescore, over Int4IvfDeviceIndex's packed-nibble lists — a QUARTER
     of the bf16 HBM bytes per probed list (N x ~32M rows at D=768 across the
-    mesh in the codes-only config). The SPMD probe streams [C/S, D/2] uint8
+    mesh in the codes-only config). The SPMD probe streams [C/S, D/2] packed-byte
     blocks per device and unpacks split-plane (ops/int4.py)."""
 
     kind = "sharded_ivf_int4"
@@ -1063,7 +1063,7 @@ class ShardedInt4IvfIndex(ShardedInt8IvfIndex, Int4IvfDeviceIndex):
         super()._alloc(cap)
         l = self.nlist
         self.codes = jax.device_put(
-            jnp.zeros((l, self.list_cap, self._dim // 2), dtype=jnp.uint8),
+            jnp.zeros((l, self.list_cap, self._dim // 2), dtype=jnp.int8),
             self._cell_sharding)
 
     def _scatter_rows(self, lists_p, pos_p, vecs_p, norms_p) -> None:

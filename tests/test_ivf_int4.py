@@ -39,7 +39,8 @@ def test_int4_pack_roundtrip(rng):
     x = rng.standard_normal((64, 96)).astype(np.float32)
     packed, s = quantize_int4(x)
     packed, s = np.asarray(packed), np.asarray(s)
-    assert packed.shape == (64, 48) and packed.dtype == np.uint8
+    # int8-typed storage (ops/int4.py: avoids a per-dispatch corpus bitcast)
+    assert packed.shape == (64, 48) and packed.dtype == np.int8
     lev = np.asarray(unpack_int4(packed))
     assert lev.shape == (64, 96)
     assert lev.min() >= -8 and lev.max() <= 7
@@ -63,7 +64,7 @@ def test_int4_ivf_matches_bf16_ivf(rng):
     a.add_batch(ids, vecs)
     b.add_batch(ids, vecs)
     assert not a._use_pallas  # CPU default: XLA fallback path
-    assert a.codes.dtype == np.uint8 and a.codes.shape[-1] == dim // 2
+    assert a.codes.dtype == np.int8 and a.codes.shape[-1] == dim // 2
 
     q = vecs[:8] + 0.01 * rng.standard_normal((8, dim)).astype(np.float32)
     ha, hb = a.search_batch(q, k), b.search_batch(q, k)
@@ -222,7 +223,7 @@ def test_projected_int4_ivf_end_to_end(rng):
     idx.train(base)
     idx.add_batch(ids, base)
     assert idx.dimension == d and idx.proj.shape == (d, r)
-    assert idx.codes.dtype == np.uint8 and idx.codes.shape[-1] == r // 2
+    assert idx.codes.dtype == np.int8 and idx.codes.shape[-1] == r // 2
     assert idx.get_stats().kind == "ivf_int4_proj"
     assert idx.get_stats().extra["proj_dim"] == float(r)
 

@@ -302,7 +302,7 @@ def test_sharded_int4_ivf_matches_flat(rng, mesh):
     ivf.add_batch(ids, vecs)
     assert len(ivf._overflow) == 0
     assert ivf.codes.shape[2] == dim // 2  # packed nibbles
-    assert str(ivf.codes.dtype) == "uint8"
+    assert str(ivf.codes.dtype) == "int8"
 
     queries = vecs[:16] + 0.001 * rng.standard_normal((16, dim)).astype(np.float32)
     want = flat.search_batch(queries, k)

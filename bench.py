@@ -224,7 +224,7 @@ def main() -> None:
     # --------------------------------------------------------------- binary
 
     from grape_vector_db_tpu.index.binary import BinaryDeviceIndex
-    from grape_vector_db_tpu.ops.hamming import hamming_topk, pack_bits
+    from grape_vector_db_tpu.ops.hamming import asym_topk
 
     # r3 note: the pre-scan is now the MXU sign-bit matmul (0.11 ms at 131k —
     # the popcount form was 22 ms); what remains is the selection + rescore
@@ -243,12 +243,15 @@ def main() -> None:
     rb = bq._rescore_count(K)
 
     def step_bin(q, codes, valid, vectors, norms):
-        qc = pack_bits(q.astype(jnp.float32), 0.0)
         # full-axis selection measured faster than chunked at this k
         # (7.3 ms vs 10.1 ms total — chunking pays 8 per-chunk selections
-        # plus a merge); the scan itself is 0.11 ms on the MXU
-        dists, cand = hamming_topk(qc, codes, valid, k=rb, chunk=cap,
-                                   impl=bq.hamming_impl)
+        # plus a merge); the scan itself is sub-ms on the MXU. Prescan is
+        # the product default: asymmetric dot(q_unit, sign(x)) — same
+        # matmul as Hamming, +0.33 recall@10 at this budget on isotropic
+        # data (bench/binary_asym_ab.py).
+        pv, cand = asym_topk(q.astype(jnp.float32), codes, valid, k=rb,
+                             chunk=cap)
+        dists = jnp.where(jnp.isfinite(pv), 0, 1 << 30).astype(jnp.int32)
         return _rescore_topk(q, vectors, norms, cand, dists, k=K,
                              metric="cosine")
 
@@ -256,7 +259,7 @@ def main() -> None:
     matrix["binary_100k"] = {
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "recall": round(recall_vs(oracle, bq.search_batch(queries[:8], K)), 3),
-        "note": "MXU prescan + rescore=1024; dominated by flat at this scale — BQ is the 32x capacity play (see docs)",
+        "note": "asym MXU prescan + rescore=1024; dominated by flat at this scale — BQ is the 32x capacity play (see docs)",
     }
     del bq
 
@@ -328,9 +331,9 @@ def main() -> None:
     rb_c = bq_c._rescore_count(K)
 
     def step_bin_c(q, codes, valid, vectors, norms):
-        qc = pack_bits(q.astype(jnp.float32), 0.0)
-        dists, cand = hamming_topk(qc, codes, valid, k=rb_c, chunk=cap,
-                                   impl=bq_c.hamming_impl)
+        pv, cand = asym_topk(q.astype(jnp.float32), codes, valid, k=rb_c,
+                             chunk=cap)
+        dists = jnp.where(jnp.isfinite(pv), 0, 1 << 30).astype(jnp.int32)
         return _rescore_topk(q, vectors, norms, cand, dists, k=K,
                              metric="cosine")
 

@@ -91,9 +91,13 @@ class BinaryQuantizationConfig:
     threshold: float = 0.0
     rescore_ratio: float = 0.1
     enable_cache: bool = True
-    # False = codes-only capacity config: 32x compression, Hamming ranking
+    # False = codes-only capacity config: 32x compression, prescan ranking
     # (the reference's BinaryVectorStore promise, quantization.rs:286-354).
     keep_vectors: bool = True
+    # "asym" = dot(q_unit, sign(x)) stage-1 ranking (same MXU matmul as
+    # Hamming, strictly better recall — index/binary.py); "hamming" = the
+    # reference's symmetric ranking (quantization.rs:151-193).
+    prescan: str = "asym"
 
 
 @dataclass

@@ -166,6 +166,7 @@ def build_index(config: VectorDbConfig, mesh=None) -> VectorIndex:
             threshold=config.quantization.threshold,
             rescore_ratio=config.index.rescore_ratio,
             keep_vectors=config.quantization.keep_vectors,
+            prescan=config.quantization.prescan,
         )
     if kind == "ivf":
         from grape_vector_db_tpu.index.ivf import IvfDeviceIndex

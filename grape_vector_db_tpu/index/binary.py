@@ -1,12 +1,18 @@
-"""BinaryDeviceIndex — two-stage search: Hamming pre-scan + exact rescore.
+"""BinaryDeviceIndex — two-stage search: packed-bit pre-scan + exact rescore.
 
 TPU-native rebuild of the reference's binary quantization pipeline
 (quantization.rs:86-193 `BinaryQuantizer::{quantize,hamming_distance,
 multi_stage_search}`): vectors are threshold-binarized into packed uint32
 bit-planes stored alongside the full-precision shard arrays. A query first runs
-an XOR+popcount Hamming scan over the packed planes (32x less HBM traffic than
-the float scan), takes the best ``rescore_k`` candidates, then rescores exactly
-with a batched gather + dot-product and returns the true top-k.
+a pre-scan over the packed planes (32x less HBM traffic than the float scan),
+takes the best ``rescore_k`` candidates, then rescores exactly with a batched
+gather + dot-product and returns the true top-k. The default pre-scan is
+ASYMMETRIC — dot(q_unit, sign(x)), the same MXU matmul as the Hamming form but
+with the real-valued query — because the rescore gather is per-ROW bound
+(bench/binary_profile3.py) so a better prescan is the only recall lever that
+doesn't cost QPS: +0.26-0.33 recall@10 at equal budget on isotropic corpora
+(bench/binary_asym_ab.py). ``prescan="hamming"`` restores the reference's
+symmetric XOR/popcount ranking.
 
 The reference measured Recall@5 = 17% for Hamming-only search
 (docs/week5-6-binary-quantization.md:62); with rescoring this index holds
@@ -33,7 +39,8 @@ from grape_vector_db_tpu.index.base import SearchHit
 from grape_vector_db_tpu.index.flat import FlatDeviceIndex, _scatter_set
 from grape_vector_db_tpu.errors import DimensionMismatchError
 from grape_vector_db_tpu.ops.distance import prepare_queries
-from grape_vector_db_tpu.ops.hamming import hamming_topk, pack_bits, words_per_vector
+from grape_vector_db_tpu.ops.hamming import (asym_topk, hamming_topk,
+                                             pack_bits, words_per_vector)
 from grape_vector_db_tpu.utils.buckets import next_bucket, pad_rows
 from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
@@ -114,6 +121,7 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         use_pallas: bool = True,
         keep_vectors: bool = True,
         hamming_impl: str = "mxu",
+        prescan: str = "asym",
         device: Optional[jax.Device] = None,
     ):
         # keep_vectors=False is the CAPACITY config the reference's
@@ -139,6 +147,17 @@ class BinaryDeviceIndex(FlatDeviceIndex):
                 use_pallas and jax.default_backend() == "tpu") else "xla"
         else:
             self.hamming_impl = hamming_impl
+        # prescan="asym" (default): rank stage-1 candidates by
+        # dot(q_unit, sign(x)) — the same MXU matmul as the Hamming scan
+        # but with the real-valued query (ops/hamming.py asym_topk). The
+        # rescore gather is per-ROW bound (bench/binary_profile3.py), so a
+        # better prescan is the only recall lever that doesn't cost QPS:
+        # measured +0.26..+0.33 recall@10 at equal budget on isotropic
+        # corpora (bench/binary_asym_ab.py). prescan="hamming" keeps the
+        # reference's symmetric ranking (quantization.rs:151-193).
+        if prescan not in ("asym", "hamming"):
+            raise ValueError(f"prescan must be 'asym' or 'hamming', got {prescan!r}")
+        self.prescan = prescan
         self._words = words_per_vector(dimension)
         super().__init__(
             dimension, metric=metric, storage_dtype=storage_dtype,
@@ -207,15 +226,22 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         with self._lock:  # updates donate buffers; see FlatDeviceIndex.raw_topk
             r = self._rescore_count(k)
             q = jnp.asarray(queries)
-            qcodes = pack_bits(q.astype(jnp.float32), self.threshold)
             chunk = self._scan_chunk()
-            # Filter mask folds into the Hamming PRE-scan validity, so both
-            # stages only ever consider allowed rows (two-stage filtered
-            # search; quantization.rs:151-193 had no filter support at all).
+            # Filter mask folds into the PRE-scan validity, so both stages
+            # only ever consider allowed rows (two-stage filtered search;
+            # quantization.rs:151-193 had no filter support at all).
             valid = self.valid if mask is None else jnp.logical_and(
                 self.valid, jnp.asarray(mask))
             if not self.keep_vectors:
-                # capacity config: Hamming similarity IS the ranking
+                # capacity config: the prescan ranking IS the result
+                if self.prescan == "asym":
+                    vals, idxs = asym_topk(q.astype(jnp.float32), self.codes,
+                                           valid, k=k, chunk=chunk)
+                    # similarity = cosine against the decoded sign vector
+                    v_np, i_np = fetch_scores_slots(
+                        vals / jnp.sqrt(jnp.float32(self._dim)), idxs)
+                    return np.where(np.isfinite(v_np), v_np, -np.inf), i_np
+                qcodes = pack_bits(q.astype(jnp.float32), self.threshold)
                 dists, idxs = hamming_topk(qcodes, self.codes, valid, k=k,
                                            chunk=chunk, impl=self.hamming_impl)
                 # one packed readback; distances are exact in f32 (<= dim,
@@ -224,8 +250,17 @@ class BinaryDeviceIndex(FlatDeviceIndex):
                 sims = 1.0 - d_np / float(self._dim)
                 sims = np.where(d_np >= _INVALID_DIST, -np.inf, sims)
                 return sims, i_np
-            dists, cand = hamming_topk(qcodes, self.codes, valid, k=r,
-                                       chunk=chunk, impl=self.hamming_impl)
+            if self.prescan == "asym":
+                pv, cand = asym_topk(q.astype(jnp.float32), self.codes,
+                                     valid, k=r, chunk=chunk)
+                # _rescore_topk's validity channel is the int32 Hamming
+                # plane; synthesize it from the -inf padding sentinel
+                dists = jnp.where(jnp.isfinite(pv), 0, _INVALID_DIST
+                                  ).astype(jnp.int32)
+            else:
+                qcodes = pack_bits(q.astype(jnp.float32), self.threshold)
+                dists, cand = hamming_topk(qcodes, self.codes, valid, k=r,
+                                           chunk=chunk, impl=self.hamming_impl)
             vals, idxs = _rescore_topk(
                 q, self.vectors, self.norms, cand, dists, k=k, metric=self.metric
             )
@@ -295,4 +330,5 @@ class BinaryDeviceIndex(FlatDeviceIndex):
         stats.extra["packed_mb"] = self.capacity * self._words * 4 / 1e6
         stats.extra["keep_vectors"] = float(self.keep_vectors)
         stats.extra["rescore_k"] = float(self._rescore_count(10))
+        stats.extra["prescan_asym"] = float(self.prescan == "asym")
         return stats

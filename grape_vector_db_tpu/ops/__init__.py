@@ -13,6 +13,7 @@ from grape_vector_db_tpu.ops.distance import (
 )
 from grape_vector_db_tpu.ops.topk import merge_topk, take_topk
 from grape_vector_db_tpu.ops.hamming import (
+    asym_topk,
     pack_bits,
     hamming_scores,
     hamming_topk,
@@ -29,6 +30,7 @@ __all__ = [
     "score_block",
     "merge_topk",
     "take_topk",
+    "asym_topk",
     "pack_bits",
     "hamming_scores",
     "hamming_topk",

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["words_per_vector", "pack_bits", "hamming_scores", "hamming_topk"]
+__all__ = ["words_per_vector", "pack_bits", "hamming_scores", "hamming_topk",
+           "asym_topk"]
 
 
 def words_per_vector(dim: int) -> int:
@@ -143,6 +144,75 @@ def hamming_topk(
         fvals = -nfvals
     fidx = jnp.take_along_axis(idxs, fpos, axis=1)
     return _pad_k(fvals, fidx, k, big)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def asym_topk(
+    queries: jax.Array,  # [B, D] f32 raw (normalized internally)
+    codes: jax.Array,    # [N, W] uint32 (capacity-padded)
+    valid: jax.Array,    # [N] bool
+    k: int,
+    chunk: int = 16384,
+) -> Tuple[jax.Array, jax.Array]:
+    """Asymmetric binary prescan: top-k LARGEST ``dot(q_unit, sign(x))``.
+
+    The binary analog of asymmetric PQ/ADC scoring: the corpus side is the
+    decoded sign vector (what the codes can express) but the query side
+    keeps its real values instead of being crushed to signs. On the MXU
+    this is the SAME bf16 matmul as the Hamming form (hamming_scores
+    impl="mxu" decodes to ±1 and matmuls sign(q)); only the left operand
+    differs — so the scan costs the same and ranks strictly better.
+    Measured at 131k x 768 (bench/binary_asym_ab.py): recall@10 after
+    exact rescore on an isotropic corpus 0.426/0.679/0.884 at budgets
+    64/256/1024 vs Hamming's 0.170/0.330/0.554 (clustered corpora tie at
+    ~0.97). Returns (scores [B, k] f32 DESCENDING, indices [B, k] int32);
+    invalid rows score -inf. No reference analog (quantization.rs ranks by
+    symmetric Hamming only) — this exists because the MXU decode path
+    makes the asymmetric form free.
+    """
+    n, w = codes.shape
+    b = queries.shape[0]
+    chunk = min(chunk, n)
+    assert n % chunk == 0
+    num_chunks = n // chunk
+    kk = min(k, chunk)
+    qn = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    qb = qn.astype(jnp.bfloat16)
+
+    def block(codes_i, valid_i, off):
+        xs = _unpack_signs(codes_i)                       # [chunk, D] ±1
+        dots = lax.dot_general(qb, xs, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        dots = jnp.where(valid_i[None, :], dots, -jnp.inf)
+        if kk > 16:
+            vals, idxs = lax.approx_max_k(dots, kk, recall_target=0.95)
+            return vals, idxs.astype(jnp.int32) + off
+        vals, idxs = lax.top_k(dots, kk)
+        return vals, idxs.astype(jnp.int32) + off
+
+    if num_chunks == 1:
+        vals, idxs = block(codes, valid, jnp.int32(0))
+        return _pad_k(vals, idxs, k, -jnp.inf)
+
+    codes_c = codes.reshape(num_chunks, chunk, w)
+    valid_c = valid.reshape(num_chunks, chunk)
+    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+
+    def body(carry, xs):
+        codes_i, valid_i, off = xs
+        return carry, block(codes_i, valid_i, off)
+
+    _, (vals, idxs) = lax.scan(body, None, (codes_c, valid_c, offsets))
+    vals = jnp.moveaxis(vals, 0, 1).reshape(b, num_chunks * kk)
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(b, num_chunks * kk)
+    kf = min(k, num_chunks * kk)
+    if kf > 16:
+        fvals, fpos = lax.approx_max_k(vals, kf, recall_target=0.95)
+    else:
+        fvals, fpos = lax.top_k(vals, kf)
+    fidx = jnp.take_along_axis(idxs, fpos, axis=1)
+    return _pad_k(fvals, fidx, k, -jnp.inf)
 
 
 def _pad_k(vals: jax.Array, idxs: jax.Array, k: int, fill) -> Tuple[jax.Array, jax.Array]:

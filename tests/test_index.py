@@ -111,6 +111,61 @@ def test_binary_two_stage_recall(rng):
     assert r2 > r1, f"rescoring should improve over hamming-only ({r2} vs {r1})"
 
 
+def test_binary_asym_prescan_beats_hamming_at_equal_budget(rng):
+    """The default asymmetric prescan — dot(q_unit, sign(x)), the same MXU
+    matmul as Hamming but with the real-valued query (ops/hamming.py
+    asym_topk) — must rank candidates at least as well as the symmetric
+    Hamming prescan at the same (small) rescore budget on an isotropic
+    corpus, and self-match exactly. On-chip A/B: bench/binary_asym_ab.py
+    (recall@10 0.426/0.679/0.884 vs 0.170/0.330/0.554 at budgets
+    64/256/1024 on 131k random)."""
+    d, n, k = 128, 4096, 10
+    ids, vecs = make_data(rng, n, d)
+    qs = vecs[:32] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+    want = oracle_topk(qs, ids, vecs, k)
+
+    def recall(got):
+        hit = sum(len(set(h[0] for h in g) & set(w)) for g, w in zip(got, want))
+        return hit / (len(want) * k)
+
+    rs = {}
+    for prescan in ("asym", "hamming"):
+        idx = BinaryDeviceIndex(
+            dimension=d, storage_dtype="float32", initial_capacity=4096,
+            rescore_ratio=0.01, max_rescore=64, prescan=prescan,
+        )
+        idx.add_batch(ids, vecs)
+        rs[prescan] = recall(idx.search_batch(qs, k=k))
+        # exact self-match through the asym path too
+        self_hits = idx.search_batch(vecs[:8], k=1)
+        assert [h[0][0] for h in self_hits] == ids[:8], prescan
+    assert rs["asym"] >= rs["hamming"], rs
+    assert rs["asym"] >= 0.6, rs  # tight budget, asym holds useful recall
+
+
+def test_binary_codes_only_asym_ranking(rng):
+    """Codes-only capacity config with the asym prescan: ranking is
+    dot(q_unit, sign(x))/sqrt(D) — scores in [-1, 1], self-match first,
+    and recall beats the Hamming-only ranking of the same codes."""
+    d, n, k = 128, 2000, 5
+    ids, vecs = make_data(rng, n, d)
+    idx = BinaryDeviceIndex(d, storage_dtype="float32", initial_capacity=2048,
+                            keep_vectors=False, prescan="asym")
+    idx.add_batch(ids, vecs)
+    qs = vecs[:16] + 0.02 * rng.standard_normal((16, d)).astype(np.float32)
+    want = oracle_topk(qs, ids, vecs, k)
+    got = idx.search_batch(qs, k=k)
+    ham = idx.hamming_only_topk(qs, k=k)
+
+    def recall(rows):
+        hit = sum(len(set(h[0] for h in g) & set(w)) for g, w in zip(rows, want))
+        return hit / (len(want) * k)
+
+    for row in got:
+        assert all(-1.001 <= h[1] <= 1.001 for h in row)
+    assert recall(got) >= recall(ham), (recall(got), recall(ham))
+
+
 def test_duplicate_ids_in_batch_last_wins(rng):
     idx = FlatDeviceIndex(dimension=8, storage_dtype="float32", initial_capacity=64)
     v1 = rng.standard_normal(8).astype(np.float32)

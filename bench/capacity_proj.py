@@ -191,8 +191,7 @@ def main() -> None:
 
     # ---- allocate resident planes ----------------------------------------
     code_w = R // 2 if CODES == "int4" else R
-    codes = jnp.zeros((NLIST, cap, code_w),
-                      jnp.uint8 if CODES == "int4" else jnp.int8)
+    codes = jnp.zeros((NLIST, cap, code_w), jnp.int8)
     scales = jnp.zeros((NLIST, cap), jnp.float32)
     norms = jnp.zeros((NLIST, cap), jnp.float32)
     valid = jnp.zeros((NLIST, cap), jnp.bool_)
@@ -228,8 +227,9 @@ def main() -> None:
             qv = jnp.clip(jnp.round(xp / jnp.maximum(sc[:, None], 1e-12)),
                           -8, 7)
             u = (qv + 8.0).astype(jnp.uint8)      # offset-binary nibbles
-            xi = jnp.bitwise_or(u[:, : R // 2],
-                                jnp.left_shift(u[:, R // 2:], 4))
+            xi = lax.bitcast_convert_type(
+                jnp.bitwise_or(u[:, : R // 2],
+                               jnp.left_shift(u[:, R // 2:], 4)), jnp.int8)
         else:
             sc = jnp.max(jnp.abs(xp), axis=1) / 127.0
             xi = jnp.clip(jnp.round(xp / jnp.maximum(sc[:, None], 1e-12)),

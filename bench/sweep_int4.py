@@ -141,7 +141,7 @@ def main() -> None:
             out["codes8"] = jnp.zeros((nlist, cap, DIM), jnp.int8)
             out["scales8"] = jnp.zeros((nlist, cap), jnp.float32)
         if "int4" in planes:
-            out["codes4"] = jnp.zeros((nlist, cap, DIM // 2), jnp.uint8)
+            out["codes4"] = jnp.zeros((nlist, cap, DIM // 2), jnp.int8)
             out["scales4"] = jnp.zeros((nlist, cap), jnp.float32)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -66,6 +66,17 @@ def main() -> None:
     print(f"recall@5 two-stage:    {recall(two):.1%}   "
           f"(rescore fixes what the reference lost), {exact_s / two_s:.1f}x vs exact")
 
+    # asymmetric prescan (the default): same MXU matmul as Hamming, but the
+    # query keeps its real values — prescan-only ranking already beats
+    # Hamming-only by ~3x on isotropic data (bench/binary_asym_ab.py)
+    asym_only = BinaryDeviceIndex(
+        d, storage_dtype="float32", initial_capacity=16384,
+        keep_vectors=False, prescan="asym")
+    asym_only.add_batch(ids, vecs)
+    asym = asym_only.search_batch(queries, k)
+    print(f"recall@5 asym-only:    {recall(asym):.1%}   "
+          "(codes-only capacity config, no rescore — the 32x-compression tier)")
+
 
 if __name__ == "__main__":
     main()

@@ -266,6 +266,77 @@ class BinaryDeviceIndex(FlatDeviceIndex):
             )
             return fetch_scores_slots(vals, idxs)
 
+    # -- maintenance ------------------------------------------------------------
+
+    def tune_rescore(self, queries: Optional[np.ndarray] = None, k: int = 10,
+                     target_recall: float = 0.95,
+                     max_budget: int = 8192) -> int:
+        """Pick (and set) the smallest rescore budget whose recall@k on a
+        validation query set meets ``target_recall``, measured against this
+        index's own exact full-precision scan as the oracle. The binary
+        analog of ``IvfDeviceIndex.tune_nprobe`` (the knob the reference's
+        multi_stage_search hardcoded, quantization.rs:151-193).
+
+        The rescore gather is per-ROW bound (~38 ns/row, measured in
+        bench/binary_profile3.py), so recall@k is a monotone function of the
+        budget and QPS is ~inverse in it — the sweep finds the cheapest
+        point on that curve for THIS corpus and query distribution instead
+        of shipping ``max_rescore=4096`` everywhere. ``queries`` defaults to
+        a sample of the indexed vectors (the self-recall protocol). Each
+        candidate budget is a separate jit variant; candidates grow
+        geometrically so the sweep compiles O(log max_budget) kernels.
+
+        Only meaningful in the two-stage config; the codes-only capacity
+        config (``keep_vectors=False``) has no rescore stage."""
+        if not self.keep_vectors:
+            raise ValueError("tune_rescore needs the two-stage config "
+                             "(keep_vectors=True); the codes-only capacity "
+                             "config has no rescore stage")
+        with self._lock:
+            if not self._id_to_slot:
+                return self.max_rescore
+            if queries is None:
+                slots = np.asarray(
+                    [s for s in list(self._id_to_slot.values())[:256]],
+                    dtype=np.int64)
+                queries = np.asarray(
+                    self.vectors[jnp.asarray(slots)]).astype(np.float32)
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.shape[1] != self._dim:
+            raise DimensionMismatchError(self._dim, queries.shape[1])
+        b = queries.shape[0]
+        qp = pad_rows(queries, next_bucket(b, base=8))
+        # Oracle: the exact full-precision scan over ALL rows (stage-2 math,
+        # stage-1 bypassed) — what a budget of n would return.
+        o_vals, o_slots = FlatDeviceIndex.raw_topk(self, qp, k)
+        oracle = [frozenset(int(s) for v, s in zip(vr, sr) if np.isfinite(v))
+                  for vr, sr in zip(o_vals[:b], o_slots[:b])]
+        denom = sum(len(w) for w in oracle) or 1
+        limit = min(int(max_budget), self.capacity)
+        saved = (self.rescore_ratio, self.max_rescore)
+        chosen: Optional[int] = None
+        try:
+            cand = next_bucket(max(64, k), base=64)
+            while True:
+                self.rescore_ratio = 1.0
+                self.max_rescore = cand
+                vals, slots = self.raw_topk(qp, k)
+                hits = sum(
+                    len({int(s) for v, s in zip(vr, sr) if np.isfinite(v)}
+                        & want)
+                    for vr, sr, want in zip(vals[:b], slots[:b], oracle))
+                if hits / denom >= target_recall or cand >= limit:
+                    chosen = cand
+                    return cand
+                cand = min(cand * 2, limit)
+        finally:
+            if chosen is None:
+                self.rescore_ratio, self.max_rescore = saved
+            else:
+                n = len(self._id_to_slot) or 1
+                self.rescore_ratio = min(1.0, chosen / n)
+                self.max_rescore = chosen
+
     def hamming_only_topk(self, queries: np.ndarray, k: int) -> List[List[SearchHit]]:
         """Stage-1-only search (similarity = 1 - d/dim, quantization.rs:144-148).
         Exposed for parity with the reference's pure-Hamming mode and for the

@@ -349,3 +349,38 @@ def test_binary_capacity_config_snapshot_roundtrip(rng, tmp_path):
     after = db2.index.search_batch(pts[5:6], 10)[0]
     assert [h[0] for h in after] == [h[0] for h in before], (before, after)
     assert all(abs(a[1] - b[1]) < 1e-6 for a, b in zip(after, before))
+
+
+def test_binary_tune_rescore(rng):
+    """tune_rescore picks the smallest budget meeting the recall target vs
+    the index's own exact oracle, and pins the search path to it."""
+    d, n, k = 128, 4000, 10
+    idx = BinaryDeviceIndex(
+        dimension=d, storage_dtype="float32", initial_capacity=4096,
+        rescore_ratio=0.02, max_rescore=64,
+    )
+    ids, vecs = make_data(rng, n, d)
+    idx.add_batch(ids, vecs)
+
+    budget = idx.tune_rescore(k=k, target_recall=0.9, max_budget=2048)
+    assert budget >= 64 and budget <= 2048
+    assert idx.max_rescore == budget
+    assert idx._rescore_count(k) == budget
+
+    # The tuned index must actually deliver the target on held-out noisy
+    # queries near the tuning distribution (self-recall protocol).
+    qs = vecs[:64] + 0.02 * rng.standard_normal((64, d)).astype(np.float32)
+    want = oracle_topk(qs, ids, vecs, k)
+    got = idx.search_batch(qs, k=k)
+    hit = sum(len(set(h[0] for h in g) & set(w)) for g, w in zip(got, want))
+    assert hit / (len(want) * k) >= 0.8, "tuned budget recall regressed"
+
+    # A stricter target must choose a budget at least as large.
+    wider = idx.tune_rescore(k=k, target_recall=0.999, max_budget=2048)
+    assert wider >= budget
+
+    # Codes-only config has no rescore stage to tune.
+    cap = BinaryDeviceIndex(dimension=d, keep_vectors=False,
+                            initial_capacity=256)
+    with pytest.raises(ValueError):
+        cap.tune_rescore()

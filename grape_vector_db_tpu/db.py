@@ -503,6 +503,24 @@ class VectorDatabase:
     def optimize(self) -> None:
         self.index.optimize()
 
+    def tune(self, target_recall: float = 0.95, k: int = 10) -> dict:
+        """Auto-tune the index's recall/QPS knob for a recall target on this
+        corpus (self-recall protocol) and pin the search path to it. Kind-
+        dispatched: IVF kinds sweep nprobe (``tune_nprobe``), the binary
+        two-stage kind sweeps the rescore budget (``tune_rescore``); exact
+        kinds have nothing to tune. The closed-loop version of the
+        reference's IndexOptimizer, which recommended but never measured
+        (performance/index_optimizer.rs)."""
+        out: dict = {"kind": self.index.kind}
+        tune_np = getattr(self.index, "tune_nprobe", None)
+        tune_rs = getattr(self.index, "tune_rescore", None)
+        if tune_np is not None:
+            out["nprobe"] = tune_np(k=k, target_recall=target_recall)
+        elif tune_rs is not None and getattr(self.index, "keep_vectors", False):
+            out["rescore_budget"] = tune_rs(k=k, target_recall=target_recall)
+        self.engine.invalidate_cache()
+        return out
+
     def flush(self) -> None:
         self.store.flush()
 

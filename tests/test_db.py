@@ -609,3 +609,33 @@ def test_host_rescore_restores_recall_on_codes_only_index(rng):
     # combined dense+text search path rescorses too: exact self-match on top
     res = resc_db.search(SearchRequest(vector=vecs[11].tolist(), limit=3))
     assert res and res[0].document.id == "d11"
+
+
+def test_tune_dispatch():
+    """db.tune dispatches to the kind's auto-tuner and pins the knob."""
+    # binary two-stage -> rescore budget
+    cfg = small_config()
+    cfg.index.kind = "binary"
+    db = VectorDatabase(config=cfg)
+    db.batch_add_documents(make_docs(200))
+    out = db.tune(target_recall=0.9, k=5)
+    assert out["kind"] == "binary"
+    assert out["rescore_budget"] >= 64
+    assert db.index.max_rescore == out["rescore_budget"]
+
+    # ivf -> nprobe
+    cfg2 = small_config()
+    cfg2.index.kind = "ivf"
+    cfg2.index.nlist = 8
+    db2 = VectorDatabase(config=cfg2)
+    db2.batch_add_documents(make_docs(200))
+    out2 = db2.tune(target_recall=0.9, k=5)
+    assert out2["kind"] == "ivf"
+    if "nprobe" in out2:  # untrained small corpora may skip
+        assert db2.index.nprobe == out2["nprobe"]
+
+    # exact kind: nothing to tune, still returns the kind
+    db3 = VectorDatabase(config=small_config())
+    db3.batch_add_documents(make_docs(20))
+    out3 = db3.tune()
+    assert out3 == {"kind": "flat"}

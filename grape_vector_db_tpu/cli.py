@@ -270,6 +270,25 @@ def cmd_serve(args) -> None:
             db.close()
 
 
+def cmd_tune(args) -> None:
+    """Auto-tune the index's recall/QPS knob against the stored corpus and
+    print the chosen setting (VectorDatabase.tune: nprobe for IVF kinds,
+    rescore budget for the binary two-stage kind). The tuned value applies
+    to this process; persist it in config for servers."""
+    import json
+
+    from grape_vector_db_tpu import VectorDatabase, VectorDbConfig, load_config
+
+    cfg = load_config(args.config) if args.config else VectorDbConfig()
+    db = VectorDatabase(path=args.data_dir, config=cfg)
+    try:
+        out = db.tune(target_recall=args.target_recall, k=args.k)
+        out["documents"] = db.stats().document_count
+        print(json.dumps(out), flush=True)
+    finally:
+        db.close()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="grape-vector-db-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -290,6 +309,13 @@ def main(argv=None) -> None:
     sp.add_argument("--docs", type=int, default=2000)
     sp.add_argument("--queries", type=int, default=200)
     sp.set_defaults(fn=cmd_fusion_benchmark)
+
+    sp = sub.add_parser("tune")
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--target-recall", type=float, default=0.95)
+    sp.add_argument("--k", type=int, default=10)
+    sp.set_defaults(fn=cmd_tune)
 
     sp = sub.add_parser("serve")
     sp.add_argument("--host", default="0.0.0.0")

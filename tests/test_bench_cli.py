@@ -107,3 +107,33 @@ def test_chaos_engine(consistency):
             assert attempt == 0, report
     finally:
         svc.stop()
+
+
+def test_cli_tune(capsys, tmp_path):
+    """cli tune loads the data dir, runs VectorDatabase.tune, prints JSON."""
+    from grape_vector_db_tpu import Document, VectorDatabase, VectorDbConfig
+
+    cfg_file = tmp_path / "cfg.toml"
+    cfg_file.write_text(
+        "vector_dimension = 32\n"
+        "[index]\nkind = \"binary\"\ninitial_capacity = 256\n"
+        "[device]\nstorage_dtype = \"float32\"\n"
+    )
+    cfg = VectorDbConfig(vector_dimension=32)
+    cfg.index.kind = "binary"
+    cfg.index.initial_capacity = 256
+    cfg.device.storage_dtype = "float32"
+    db = VectorDatabase(path=str(tmp_path / "data"), config=cfg)
+    db.batch_add_documents([
+        Document(id=f"d{i}", content=f"doc body {i} topic{i % 7}")
+        for i in range(150)
+    ])
+    db.flush()
+    db.close()
+
+    cli_main(["tune", "--data-dir", str(tmp_path / "data"),
+              "--config", str(cfg_file), "--target-recall", "0.9", "--k", "5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "binary"
+    assert out["rescore_budget"] >= 64
+    assert out["documents"] == 150

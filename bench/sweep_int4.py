@@ -411,12 +411,16 @@ def main() -> None:
 
             _, s10 = jax.jit(functools.partial(step_k, kk=K))(
                 q_hard, cents, codes4, factor4, nblk)
-            _, s64 = jax.jit(functools.partial(step_k, kk=64))(
-                q_hard, cents, codes4, factor4, nblk)
-            s10, s64 = np.asarray(s10), np.asarray(s64)
-            contain = sum(
-                len(set(g.tolist()) & set(w.tolist()))
-                for g, w in zip(s64, oracle_flat)) / oracle_flat.size
+            s10 = np.asarray(s10)
+
+            def containment(kk: int) -> float:
+                _, sk = jax.jit(functools.partial(step_k, kk=kk))(
+                    q_hard, cents, codes4, factor4, nblk)
+                sk = np.asarray(sk)
+                return sum(
+                    len(set(g.tolist()) & set(w.tolist()))
+                    for g, w in zip(sk, oracle_flat)) / oracle_flat.size
+
             ms = timed_fori(
                 functools.partial(step_k, kk=K), q_hard, cents, codes4,
                 factor4, nblk) if nprobe == 4 else None
@@ -424,7 +428,8 @@ def main() -> None:
                 nprobe=nprobe,
                 recall_at_10_vs_exact_bf16=round(
                     recall_at_k(s10, oracle_flat), 4),
-                top64_containment_of_true_top10=round(contain, 4),
+                top64_containment_of_true_top10=round(containment(64), 4),
+                top256_containment_of_true_top10=round(containment(256), 4),
                 **({"ms": round(ms, 3), "qps": round(B / ms * 1e3, 0)}
                    if ms is not None else {}))
 

@@ -98,9 +98,16 @@ class VectorDbServicer:
         if use_batcher:
             from grape_vector_db_tpu.services.concurrent import BatchingExecutor
 
+            import jax
+
             self.batcher = BatchingExecutor(
                 db.engine.vector_search_batch,
                 max_batch=db.config.device.max_query_batch,
+                # one compiled shape ON TPU: variable batch buckets each pay
+                # a fresh relay compile mid-load (BatchingExecutor._loop);
+                # on CPU padding costs real compute, so it stays off
+                pad_to=(db.config.device.max_query_batch
+                        if jax.default_backend() == "tpu" else None),
             )
 
     def _authorize(self, ctx, perm) -> Optional[str]:

@@ -78,10 +78,13 @@ class BatchingExecutor:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
         counters: Optional[AtomicCounters] = None,
+        pad_to: Optional[int] = None,
     ):
         self._fn = search_batch_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # pad_to: pad every launch to this many rows (one jit shape on TPU).
+        self.pad_to = pad_to
         self.counters = counters or AtomicCounters()
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stop = False
@@ -135,6 +138,18 @@ class BatchingExecutor:
             for k, group in by_k.items():
                 try:
                     stacked = np.stack([p.query for p in group])
+                    if self.pad_to and stacked.shape[0] < self.pad_to:
+                        # One compiled shape for the serving path: without
+                        # this, every distinct batch-size bucket compiles a
+                        # separate program — on the TPU relay a fresh compile
+                        # stalls the collector 60-200 s and times out every
+                        # queued future behind it (measured in
+                        # bench/cluster_qps.py). Zero rows are discarded.
+                        stacked = np.concatenate([
+                            stacked,
+                            np.zeros((self.pad_to - stacked.shape[0],
+                                      stacked.shape[1]), stacked.dtype),
+                        ])
                     results = self._fn(stacked, k)
                     for p, row in zip(group, results):
                         p.future.set_result(row)

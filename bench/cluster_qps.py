@@ -62,6 +62,8 @@ def main() -> None:
     dcfg = VectorDbConfig(vector_dimension=DIM)
     dcfg.index.initial_capacity = N
     dcfg.cache.enabled = False
+    dcfg.device.micro_batch_wait_ms = float(
+        os.environ.get("CQPS_WAIT_MS", dcfg.device.micro_batch_wait_ms))
     rcfg = RaftConfig(election_timeout_ms=(150, 300), heartbeat_ms=50.0,
                       tick_ms=10.0)
 

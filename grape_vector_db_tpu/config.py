@@ -195,6 +195,11 @@ class DeviceConfig:
     storage_dtype: str = "bfloat16"
     # Device batch the executor packs concurrent queries into.
     max_query_batch: int = 64
+    # How long the micro-batching executor waits to fill a batch. Higher =
+    # fewer, fuller device launches (throughput); lower = lower p50 latency.
+    # On the dev relay each launch costs ~25 ms RT, so throughput-bound
+    # deployments want 5-10 ms here.
+    micro_batch_wait_ms: float = 2.0
     # Mesh axis names for corpus sharding / replication.
     shard_axis: str = "shard"
     replica_axis: str = "replica"

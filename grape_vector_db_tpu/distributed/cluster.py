@@ -157,6 +157,7 @@ class ClusterNode:
         self._search_batcher = BatchingExecutor(
             self.db.engine.vector_search_batch,
             max_batch=self.db.config.device.max_query_batch,
+            max_wait_ms=self.db.config.device.micro_batch_wait_ms,
             # one compiled shape ON TPU: variable batch buckets would each
             # pay a 60-200 s relay compile mid-load (BatchingExecutor._loop).
             # On CPU padding costs real compute (BLAS scales with rows), so

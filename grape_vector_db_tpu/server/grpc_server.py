@@ -103,6 +103,7 @@ class VectorDbServicer:
             self.batcher = BatchingExecutor(
                 db.engine.vector_search_batch,
                 max_batch=db.config.device.max_query_batch,
+                max_wait_ms=db.config.device.micro_batch_wait_ms,
                 # one compiled shape ON TPU: variable batch buckets each pay
                 # a fresh relay compile mid-load (BatchingExecutor._loop);
                 # on CPU padding costs real compute, so it stays off

@@ -323,9 +323,14 @@ def main() -> None:
     # engine holds its 92%+ recall claim (docs/benchmarks.md "Binary
     # quantization" — the random-data binary_100k row above is the
     # adversarial floor where Hamming correlates weakly with cosine).
+    # Budget 64 is tune_rescore's pick at target 0.95 AND 0.99 on this
+    # corpus (self-recall sweep vs the exact oracle, index/binary.py) — the
+    # rescore gather is per-row bound, so the tuned budget is 16x cheaper
+    # than the adversarial row's 1024 at equal recall here. Fixed (not
+    # tuned in-bench) to keep the jit shapes stable run-to-run.
     bq_c = BinaryDeviceIndex(dimension=DIM, metric="cosine",
                              storage_dtype="bfloat16", initial_capacity=cap,
-                             max_rescore=1024)
+                             max_rescore=64)
     for i in range(0, n, 8192):
         bq_c.add_batch(ids[i:i + 8192], cvecs[i:i + 8192])
     rb_c = bq_c._rescore_count(K)
@@ -344,7 +349,8 @@ def main() -> None:
         "recall": round(recall_vs(oracle_c,
                                   bq_c.search_batch(cq100[:8], K)), 3),
         "note": "representative regime (clustered, corpus-drawn queries); "
-                "same engine/rescore budget as the adversarial binary_100k row",
+                "rescore budget 64 = tune_rescore's pick at target 0.99 "
+                "(the adversarial binary_100k row needs 1024)",
     }
     del bq_c
 

@@ -364,3 +364,23 @@ def test_azure_provider_url_and_headers(monkeypatch):
     hdrs = {k.lower(): v for k, v in seen["headers"].items()}
     assert hdrs.get("api-key") == "secret"
     assert "authorization" not in hdrs
+
+
+def test_batching_executor_pad_to_fixed_shape():
+    """pad_to pads every launch to one row count (one jit shape on TPU) and
+    each caller still gets exactly its own row back."""
+    shapes = []
+
+    def fake_search(batch, k):
+        shapes.append(batch.shape[0])
+        # row i echoes its first element so callers can check routing
+        return [[(f"hit-{batch[i, 0]:.0f}", 1.0)] * k
+                for i in range(batch.shape[0])]
+
+    ex = BatchingExecutor(fake_search, max_batch=8, max_wait_ms=20, pad_to=8)
+    futs = [ex.submit(np.full(4, i, dtype=np.float32), 2) for i in range(5)]
+    rows = [f.result(timeout=5) for f in futs]
+    ex.close()
+    assert set(shapes) == {8}, f"every launch must pad to 8 rows: {shapes}"
+    for i, row in enumerate(rows):
+        assert row[0][0] == f"hit-{i}", "padding must not misroute results"

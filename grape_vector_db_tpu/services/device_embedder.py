@@ -45,6 +45,42 @@ __all__ = ["DeviceHashEmbedder"]
 _PROJ_CACHE: Dict[Tuple[int, int, int], object] = {}
 _PROJ_LOCK = threading.Lock()
 
+_HASH_LIB = None
+_HASH_LIB_READY = False
+
+
+def _native_hash_lib():
+    """ctypes handle with gvdb_hash_features configured, or None (missing
+    toolchain / stale .so without the symbol -> Python featurizer)."""
+    global _HASH_LIB, _HASH_LIB_READY
+    with _PROJ_LOCK:
+        if _HASH_LIB_READY:
+            return _HASH_LIB
+        _HASH_LIB_READY = True
+        try:
+            import ctypes
+
+            from grape_vector_db_tpu.engine.sparse import _native_text_lib
+
+            lib = _native_text_lib()
+            if lib is None:
+                _HASH_LIB = None
+                return None
+            fn = lib.gvdb_hash_features  # AttributeError -> stale .so
+            fn.restype = ctypes.c_int32
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            fn.argtypes = [
+                ctypes.c_char_p, i32p, ctypes.c_int32,      # texts, offsets, n
+                ctypes.c_char_p, ctypes.c_int32,            # salt
+                ctypes.c_int32, ctypes.c_int32,             # lo_n, hi_n
+                ctypes.c_int32, ctypes.c_int32,             # buckets, m
+                i32p, ctypes.POINTER(ctypes.c_float),       # out idx/val
+            ]
+            _HASH_LIB = lib
+        except Exception:
+            _HASH_LIB = None
+        return _HASH_LIB
+
 
 class DeviceHashEmbedder(EmbeddingProvider):
     """Deterministic local embedder: signed feature hashing → MXU projection.
@@ -125,8 +161,20 @@ class DeviceHashEmbedder(EmbeddingProvider):
         m = self._max_features
         idx = np.zeros((len(texts), m), np.int32)
         val = np.zeros((len(texts), m), np.float32)
-        for i, t in enumerate(texts):
-            feats = self._features(t)
+        # ASCII texts take the native hot loop (exact-parity featurizer in
+        # native/gvdb_text.cpp::gvdb_hash_features — the pure-Python n-gram
+        # loop measured ~5.7 ms/text, capping embed-at-ingest at ~175
+        # texts/s); non-ASCII stays here so Unicode behavior is
+        # single-sourced, same split as the BM25 tokenizer.
+        remaining = range(len(texts))
+        lib = _native_hash_lib()
+        if lib is not None:
+            ascii_ids = [i for i in remaining if texts[i].isascii()]
+            if ascii_ids and self._hash_native(lib, texts, ascii_ids, idx, val):
+                aset = set(ascii_ids)
+                remaining = [i for i in range(len(texts)) if i not in aset]
+        for i in remaining:
+            feats = self._features(texts[i])
             if not feats:
                 continue
             items = sorted(feats.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
@@ -136,6 +184,33 @@ class DeviceHashEmbedder(EmbeddingProvider):
                 else:
                     idx[i, j], val[i, j] = -key - 1, -w
         return idx, val
+
+    def _hash_native(self, lib, texts: Sequence[str], ids, idx: np.ndarray,
+                     val: np.ndarray) -> bool:
+        """Featurize ``texts[ids]`` (all ASCII) through the C++ loop into the
+        matching rows of ``idx``/``val``. False -> caller falls back."""
+        import ctypes
+
+        m = self._max_features
+        blobs = [texts[i].encode("ascii") for i in ids]
+        offsets = np.zeros(len(blobs) + 1, np.int32)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        concat = b"".join(blobs)
+        sub_idx = np.zeros((len(blobs), m), np.int32)
+        sub_val = np.zeros((len(blobs), m), np.float32)
+        lo_n, hi_n = self._ngram
+        rc = lib.gvdb_hash_features(
+            concat, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(blobs), self._seed_salt, len(self._seed_salt),
+            lo_n, hi_n, self._buckets, m,
+            sub_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sub_val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            return False
+        idx[ids] = sub_idx
+        val[ids] = sub_val
+        return True
 
     # -- device kernel ----------------------------------------------------------
 

@@ -131,3 +131,50 @@ def test_batch_padding_consistency(n):
     for i, t in enumerate(texts):
         single = emb.embed_array([t])[0]
         np.testing.assert_allclose(batch[i], single, atol=1e-5)
+
+
+def test_native_featurizer_exact_parity():
+    """The C++ gvdb_hash_features loop must reproduce the Python featurizer
+    bit-for-bit on ASCII text (same split as the BM25 tokenizer parity)."""
+    from grape_vector_db_tpu.services.device_embedder import (
+        DeviceHashEmbedder, _native_hash_lib)
+
+    if _native_hash_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    emb = DeviceHashEmbedder(dim=32, buckets=4096, seed=7, max_features=64)
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "the", "microbatching", "x1", "a_b", "zz",
+             "tokenization", "and", "q"]
+    texts = []
+    for _ in range(200):
+        k = int(rng.integers(1, 30))
+        texts.append(" ".join(words[int(j)] for j in rng.integers(0, len(words), k)))
+    texts += ["", "   ", "the and of", "UPPER Case MIX 123", "_", "<>",
+              "a" * 300, ("word " * 100).strip()]
+
+    # force-native vs force-python on identical inputs
+    idx_n, val_n = emb._featurize(texts)
+
+    import grape_vector_db_tpu.services.device_embedder as mod
+    saved, saved_ready = mod._HASH_LIB, mod._HASH_LIB_READY
+    mod._HASH_LIB, mod._HASH_LIB_READY = None, True
+    try:
+        idx_p, val_p = emb._featurize(texts)
+    finally:
+        mod._HASH_LIB, mod._HASH_LIB_READY = saved, saved_ready
+
+    np.testing.assert_array_equal(idx_n, idx_p)
+    np.testing.assert_array_equal(val_n, val_p)
+
+    # non-ASCII rows route through Python inside the mixed batch
+    mixed = ["ascii only here", "中文 内容 ascii", "naïve café"]
+    idx_m, val_m = emb._featurize(mixed)
+    mod._HASH_LIB, mod._HASH_LIB_READY = None, True
+    try:
+        idx_mp, val_mp = emb._featurize(mixed)
+    finally:
+        mod._HASH_LIB, mod._HASH_LIB_READY = saved, saved_ready
+    np.testing.assert_array_equal(idx_m, idx_mp)
+    np.testing.assert_array_equal(val_m, val_mp)

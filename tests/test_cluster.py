@@ -1043,3 +1043,32 @@ def test_relinquish_hands_off_before_dropping(svc):
     assert holder.db.store.get(target.id) is None
     with holder._version_lock:
         assert sid not in holder._complete_shards
+
+
+def test_concurrent_scatter_search_under_load(svc):
+    """Many client threads scatter-searching at once: the per-node search
+    batcher must pack them without deadlock, timeout, or misrouting
+    (regression for the batched _rpc_data_search path)."""
+    import concurrent.futures
+
+    docs = make_docs(120)
+    svc.upsert(docs)
+    nodes = list(svc.nodes.values())
+    vecs = {int(d.id.split("-")[1]): np.asarray(d.vector, np.float32)
+            for d in docs}
+
+    def one(i):
+        nd = nodes[i % len(nodes)]
+        qi = i % 120
+        hits = nd.search(vecs[qi], k=3)
+        assert hits, f"empty hits for {qi}"
+        assert hits[0][0] == f"doc-{qi}", (qi, hits[:2])
+        return True
+
+    t0 = time.monotonic()
+    with concurrent.futures.ThreadPoolExecutor(16) as ex:
+        assert all(ex.map(one, range(160)))
+    assert time.monotonic() - t0 < 60, "scatter search under load too slow"
+    # the batcher actually packed: fewer launches than queries on some node
+    assert any(n._search_batcher.batches_run < n._search_batcher.queries_run
+               for n in nodes)

@@ -14,8 +14,12 @@ gap IS the serving-tier cost. Reference comparison: the 42,018 read-QPS
 baseline was the reference's whole-database serving number (BASELINE.md).
 
 Env: CQPS_THREADS (default 64), CQPS_SECONDS (default 10), CQPS_N corpus
-rows (default 8192), CQPS_DIM (default 256). Appends one JSON line to
-bench/SERVING.jsonl.
+rows (default 8192), CQPS_DIM (default 256), CQPS_WAIT_MS (micro-batch
+window), CQPS_SESSION=0 to drop the session token from the load loop
+(session-less searches additionally ride the coordinator-side leg packer:
+one data_search_batch RPC per node per window instead of one RPC per
+query), CQPS_COORD=0 to disable that packer for A/B. Appends one JSON
+line to bench/SERVING.jsonl.
 
 Run: timeout 570 python bench/cluster_qps.py
 """
@@ -64,6 +68,8 @@ def main() -> None:
     dcfg.cache.enabled = False
     dcfg.device.micro_batch_wait_ms = float(
         os.environ.get("CQPS_WAIT_MS", dcfg.device.micro_batch_wait_ms))
+    dcfg.device.coordinator_batch = os.environ.get("CQPS_COORD", "1") != "0"
+    use_session = os.environ.get("CQPS_SESSION", "1") != "0"
     rcfg = RaftConfig(election_timeout_ms=(150, 300), heartbeat_ms=50.0,
                       tick_ms=10.0)
 
@@ -88,11 +94,12 @@ def main() -> None:
         nodes = list(svc.nodes.values())
         qidx = rng.integers(0, N, 4096)
 
+        load_session = session if use_session else None
         # warm every node's search path (jit compiles happen here, and the
         # session settles so no stale-shard retries during the window)
         for nd in nodes:
             for qi in qidx[:4]:
-                nd.search(vecs[qi], k=10, session=session)
+                nd.search(vecs[qi], k=10, session=load_session)
         print("warmup OK", flush=True)
 
         stop_at = [0.0]
@@ -105,7 +112,7 @@ def main() -> None:
             while time.perf_counter() < stop_at[0]:
                 qi = int(qidx[int(r.integers(0, len(qidx)))])
                 t = time.perf_counter()
-                hits = nd.search(vecs[qi], k=10, session=session)
+                hits = nd.search(vecs[qi], k=10, session=load_session)
                 lat.append(time.perf_counter() - t)
                 if not hits:
                     raise SystemExit("empty result under load")
@@ -119,10 +126,17 @@ def main() -> None:
             wall = time.perf_counter() - t0
         total = sum(counts)
         arr = np.asarray(sorted(lat))
+        leg_rpcs = sum(lb.rpcs_sent for nd in nodes
+                       for lb in nd._leg_batchers.values())
+        legs = sum(lb.legs_packed for nd in nodes
+                   for lb in nd._leg_batchers.values())
         rec = {
             "bench": "cluster_scatter_gather_qps",
             "nodes": 3, "shards": 8, "rf": 2, "threads": THREADS,
             "n": N, "dim": DIM, "seconds": round(wall, 1),
+            "session": use_session,
+            "coordinator_batch": dcfg.device.coordinator_batch,
+            "leg_rpcs": leg_rpcs, "legs_packed": legs,
             "searches": total,
             "qps": round(total / wall, 0),
             "p50_ms": round(float(arr[int(0.50 * len(arr))]) * 1e3, 1),

@@ -200,6 +200,12 @@ class DeviceConfig:
     # On the dev relay each launch costs ~25 ms RT, so throughput-bound
     # deployments want 5-10 ms here.
     micro_batch_wait_ms: float = 2.0
+    # Coordinator-side leg batching: pack concurrent session-less
+    # scatter-gather legs headed to the SAME node into one
+    # data_search_batch RPC (halves+ the per-search leg count under load;
+    # the node unpacks straight into its device micro-batcher, so packs
+    # co-batch with everyone else's traffic on arrival).
+    coordinator_batch: bool = True
     # Mesh axis names for corpus sharding / replication.
     shard_axis: str = "shard"
     replica_axis: str = "replica"

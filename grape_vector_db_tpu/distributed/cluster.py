@@ -114,6 +114,97 @@ class _TransportDataAccess(ShardDataAccess):
         return resp["dropped"]
 
 
+class _SearchLegBatcher:
+    """Coordinator-side leg packer: concurrent session-less scatter legs
+    headed to ONE node ride a single ``data_search_batch`` RPC.
+
+    Under concurrent client load scatter-gather cost is leg-count-bound:
+    every search issues one transport round trip per target node, and on
+    TPU serving tiers each landing leg costs a device-launch slot
+    (~25 ms RT through the dev relay). The per-node device micro-batcher
+    (ClusterNode._search_batcher) already packs LAUNCHES on the serving
+    side; this packs the WIRE — N concurrent searches targeting the same
+    node become one RPC carrying N vectors, so the per-window leg count
+    drops N-fold and the receiving node's batcher sees the whole pack at
+    once (fuller launches, no per-query wait-window accrual).
+    Session-carrying legs bypass this path: their per-shard version gates
+    and stale/retry semantics are per-query (shard.rs:759-901's fan-out,
+    batched the TPU way)."""
+
+    def __init__(self, call_fn, max_batch: int = 64,
+                 max_wait_ms: float = 2.0):
+        import queue
+
+        self._call = call_fn  # payload -> resp dict (raises TransportError)
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue[Optional[Tuple[Any, int, Any]]]" = queue.Queue()
+        self._queue_mod = queue
+        self._stop = False
+        self.rpcs_sent = 0
+        self.legs_packed = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="gvdb-leg-batcher")
+        self._thread.start()
+
+    def submit(self, vector: List[float], k: int
+               ) -> "concurrent.futures.Future[Dict[str, Any]]":
+        fut: "concurrent.futures.Future[Dict[str, Any]]" = (
+            concurrent.futures.Future())
+        self._q.put((vector, k, fut))
+        return fut
+
+    def _collect(self):
+        try:
+            first = self._q.get(timeout=0.1)
+        except self._queue_mod.Empty:
+            return []
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except self._queue_mod.Empty:
+                break
+            if item is None:
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop:
+            batch = self._collect()
+            if not batch:
+                continue
+            by_k: Dict[int, List[Tuple[Any, int, Any]]] = {}
+            for item in batch:
+                by_k.setdefault(item[1], []).append(item)
+            for k, group in by_k.items():
+                try:
+                    resp = self._call({"vectors": [g[0] for g in group],
+                                       "k": k})
+                    per_q = resp["hits_per_query"]
+                    stale = resp.get("stale", [])
+                    self.rpcs_sent += 1
+                    self.legs_packed += len(group)
+                    for (_, _, fut), hits in zip(group, per_q):
+                        fut.set_result({"hits": hits, "stale": stale})
+                except Exception as e:
+                    for _, _, fut in group:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+    def close(self) -> None:
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=2.0)
+
+
 class ClusterNode:
     def __init__(
         self,
@@ -165,6 +256,11 @@ class ClusterNode:
             pad_to=(self.db.config.device.max_query_batch
                     if jax.default_backend() == "tpu" else None),
         )
+
+        # Coordinator-side leg packers (lazy, one per target node): pack
+        # concurrent session-less scatter legs into data_search_batch RPCs.
+        self._leg_batchers: Dict[str, _SearchLegBatcher] = {}
+        self._leg_batchers_lock = threading.Lock()
 
         # replicated cluster state (derived from applied raft commands)
         self._state_lock = threading.RLock()
@@ -343,6 +439,10 @@ class ClusterNode:
         if "_mraft_pool" in self.__dict__:  # cached_property: only if created
             self._mraft_pool.shutdown(wait=False)
         self._search_batcher.close()
+        with self._leg_batchers_lock:
+            for lb in self._leg_batchers.values():
+                lb.close()
+            self._leg_batchers.clear()
         self.db.close()
         self.transport.unregister(self.node_id)
 
@@ -1138,6 +1238,31 @@ class ClusterNode:
             int(payload["k"]), timeout_s=120.0)
         return {"hits": [(h.id, h.score) for h in hits], "stale": stale}
 
+    def _rpc_data_search_batch(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Batched scatter leg: Q query vectors in one RPC (coordinator-side
+        _SearchLegBatcher packs them; ClusterNode.search_batch sends natural
+        client batches). All Q submit to the device micro-batcher at once —
+        the pack lands in shared launches with any concurrent traffic.
+        An optional merged ``min_versions`` gate (per-shard MAX over the
+        pack) is waited once for the whole pack."""
+        stale: List[int] = []
+        min_versions = payload.get("min_versions")
+        if min_versions:
+            stale = self._wait_shard_versions(
+                {int(k): v for k, v in min_versions.items()}
+            )
+            with self._version_lock:
+                stale += [int(k) for k in min_versions
+                          if int(k) in self._unready_shards
+                          and int(k) not in stale]
+        k = int(payload["k"])
+        futs = [self._search_batcher.submit(
+                    np.asarray(v, dtype=np.float32), k)
+                for v in payload["vectors"]]
+        per_q = [[(h.id, h.score) for h in f.result(timeout=120.0)]
+                 for f in futs]
+        return {"hits_per_query": per_q, "stale": stale}
+
     def _rpc_data_count(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         sid = payload["shard_id"]
         n = sum(1 for rid in self.db.store.iter_ids()
@@ -1382,6 +1507,110 @@ class ClusterNode:
             rnd += 1
         return out
 
+    def _leg_batcher(self, nid: str) -> _SearchLegBatcher:
+        """Lazy per-target-node leg packer (created on first session-less
+        scatter leg to ``nid``; lifetime = this coordinator's)."""
+        with self._leg_batchers_lock:
+            lb = self._leg_batchers.get(nid)
+            if lb is None:
+                lb = _SearchLegBatcher(
+                    functools.partial(self._call_search_batch, nid),
+                    max_batch=self.db.config.device.max_query_batch,
+                    max_wait_ms=self.db.config.device.micro_batch_wait_ms,
+                )
+                self._leg_batchers[nid] = lb
+            return lb
+
+    def _call_search_batch(self, nid: str, payload: Dict[str, Any]
+                           ) -> Dict[str, Any]:
+        return self._call(nid, "data_search_batch", payload, timeout_s=120.0)
+
+    def search_batch(self, vectors: Sequence[Sequence[float]], k: int = 10,
+                     session: Optional[SessionToken] = None,
+                     stale_out: Optional[List[int]] = None
+                     ) -> List[List[Tuple[str, float]]]:
+        """Batched scatter-gather: Q client queries in ONE RPC per target
+        node (the natural-batch form of ``search``; shard.rs:759-901 only
+        ever fanned out single queries). With a ``session`` the pack waits
+        once per node on the per-shard MAX of the token's versions — every
+        query's read-your-writes bound is covered by the max. Shards still
+        stale at the deadline are reported through ``stale_out`` (retry
+        routing stays with the single-query path; a stale batch leg
+        degrades to reporting rather than per-query primary retries)."""
+        vecs = [list(v) for v in vectors]
+        if not vecs:
+            return []
+        owners, primaries, healthy = self._scatter_targets()
+        items = list(owners.items())
+
+        def one_batch(nid: str, sids: Set[int]):
+            payload: Dict[str, Any] = {"vectors": vecs, "k": k}
+            if session is not None and session.versions:
+                mv = {str(sid): session.versions[sid]
+                      for sid in sids if sid in session.versions}
+                if mv:
+                    payload["min_versions"] = mv
+            try:
+                return self._call_search_batch(nid, payload)
+            except TransportError:
+                return None
+
+        if len(items) > 1:
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=len(items), thread_name_prefix="gvdb-scatter"
+            ) as pool:
+                responses = list(pool.map(lambda kv: one_batch(*kv), items))
+        else:
+            responses = [one_batch(nid, sids) for nid, sids in items]
+
+        merged: List[Dict[str, float]] = [{} for _ in vecs]
+        still_stale: Set[int] = set()
+        for (nid, sids), resp in zip(items, responses):
+            if resp is None:
+                continue
+            stale_sids = set(resp.get("stale", []))
+            still_stale |= stale_sids & sids
+            for qi, hits in enumerate(resp["hits_per_query"]):
+                acc = merged[qi]
+                for id_, score in hits:
+                    if self._shard_of_record(id_) not in sids:
+                        continue
+                    if id_ not in acc or score > acc[id_]:
+                        acc[id_] = score
+        if stale_out is not None:
+            stale_out.extend(sorted(still_stale))
+        return [
+            [(i, float(s))
+             for i, s in sorted(acc.items(), key=lambda kv: -kv[1])[:k]]
+            for acc in merged
+        ]
+
+    def _scatter_targets(self):
+        """(owners, primaries, healthy) under the same bounded bootstrap
+        grace the single-query path applies (see ``search``)."""
+        deadline = time.monotonic() + 5.0
+        while True:
+            with self._state_lock:
+                owners: Dict[str, Set[int]] = {}
+                healthy = set(self.healthy_node_ids())
+                primaries = {sid: info.primary_node
+                             for sid, info in self.shard_map.shards.items()}
+                any_placed = any(p for p in primaries.values())
+                for sid, info in self.shard_map.shards.items():
+                    target = None
+                    if info.primary_node in healthy:
+                        target = info.primary_node
+                    else:
+                        for r in info.replica_nodes:
+                            if r in healthy:
+                                target = r
+                                break
+                    if target is not None:
+                        owners.setdefault(target, set()).add(sid)
+            if owners or any_placed or time.monotonic() >= deadline:
+                return owners, primaries, healthy
+            time.sleep(0.02)
+
     def search(self, vector: Sequence[float], k: int = 10,
                session: Optional[SessionToken] = None,
                stale_out: Optional[List[int]] = None) -> List[Tuple[str, float]]:
@@ -1403,28 +1632,7 @@ class ClusterNode:
         # owners are all unhealthy are a degraded cluster, and stalling every
         # query 5 s exactly then would turn a fast degraded answer into a
         # thundering pile-up of blocked server threads.
-        deadline = time.monotonic() + 5.0
-        while True:
-            with self._state_lock:
-                owners: Dict[str, Set[int]] = {}
-                healthy = set(self.healthy_node_ids())
-                primaries = {sid: info.primary_node
-                             for sid, info in self.shard_map.shards.items()}
-                any_placed = any(p for p in primaries.values())
-                for sid, info in self.shard_map.shards.items():
-                    target = None
-                    if info.primary_node in healthy:
-                        target = info.primary_node
-                    else:
-                        for r in info.replica_nodes:
-                            if r in healthy:
-                                target = r
-                                break
-                    if target is not None:
-                        owners.setdefault(target, set()).add(sid)
-            if owners or any_placed or time.monotonic() >= deadline:
-                break
-            time.sleep(0.02)
+        owners, primaries, healthy = self._scatter_targets()
 
         def one(nid: str, sids: Set[int]):
             payload: Dict[str, Any] = {"vector": list(vector), "k": k}
@@ -1434,8 +1642,16 @@ class ClusterNode:
                 if mv:
                     payload["min_versions"] = mv
             try:
+                if ("min_versions" not in payload
+                        and self.db.config.device.coordinator_batch):
+                    # Session-less leg: ride the per-node leg packer — one
+                    # data_search_batch RPC per window instead of one RPC
+                    # per concurrent search (timeout covers a worst-case
+                    # cold jit compile through the relay behind the pack).
+                    fut = self._leg_batcher(nid).submit(list(vector), k)
+                    return fut.result(timeout=120.0)
                 return self._call(nid, "data_search", payload, timeout_s=5.0)
-            except TransportError:
+            except (TransportError, concurrent.futures.TimeoutError):
                 return None
 
         # Fan out concurrently: scatter latency is the slowest shard, not the

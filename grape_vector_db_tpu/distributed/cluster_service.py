@@ -199,6 +199,10 @@ class ClusterService:
     def search(self, vector, k: int = 10, session=None) -> List[Tuple[str, float]]:
         return self.any_node().search(vector, k, session=session)
 
+    def search_batch(self, vectors, k: int = 10,
+                     session=None) -> List[List[Tuple[str, float]]]:
+        return self.any_node().search_batch(vectors, k, session=session)
+
     def delete(self, ids: Sequence[str], session=None) -> int:
         return self.any_node().delete(ids, session=session)
 

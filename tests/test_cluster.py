@@ -1072,3 +1072,61 @@ def test_concurrent_scatter_search_under_load(svc):
     # the batcher actually packed: fewer launches than queries on some node
     assert any(n._search_batcher.batches_run < n._search_batcher.queries_run
                for n in nodes)
+
+
+def test_search_batch_api_matches_single_query_scatter(svc):
+    """ClusterNode.search_batch: Q queries in ONE RPC per target node must
+    return, per query, the same ranking the single-query scatter does."""
+    docs = make_docs(60)
+    svc.upsert(docs)
+    node = svc.any_node()
+    picks = [3, 11, 42, 57]
+    res = node.search_batch([docs[i].vector for i in picks], k=5)
+    assert len(res) == len(picks)
+    for hits, i in zip(res, picks):
+        assert hits[0][0] == f"doc-{i}"
+        single = node.search(docs[i].vector, k=5)
+        assert [h[0] for h in hits] == [h[0] for h in single]
+    assert node.search_batch([], k=5) == []
+
+
+def test_coordinator_leg_batcher_packs_concurrent_searches(svc):
+    """Session-less concurrent searches through one coordinator must pack
+    into data_search_batch legs: strictly fewer RPCs than legs on the wire
+    (the coordinator-side half of the serving-tier batching story)."""
+    import concurrent.futures
+
+    docs = make_docs(80)
+    svc.upsert(docs)
+    node = svc.any_node()
+    # widen the pack window so packing is deterministic under CI load (the
+    # leg batchers are created lazily on first use, reading this config)
+    node.db.config.device.micro_batch_wait_ms = 50.0
+
+    def one(i):
+        hits = node.search(docs[i].vector, k=3)
+        assert hits[0][0] == f"doc-{i}", (i, hits[:2])
+        return True
+
+    with concurrent.futures.ThreadPoolExecutor(16) as ex:
+        assert all(ex.map(one, range(64)))
+    stats = [(lb.rpcs_sent, lb.legs_packed)
+             for lb in node._leg_batchers.values()]
+    assert stats, "coordinator leg batchers never engaged"
+    assert sum(l for _, l in stats) > sum(r for r, _ in stats), stats
+
+
+def test_session_searches_bypass_the_leg_batcher(svc):
+    """A session-carrying search has per-shard version gates and per-query
+    stale/retry semantics — it must take the direct data_search path, not
+    the packed one."""
+    from grape_vector_db_tpu.distributed.types import SessionToken
+
+    docs = make_docs(30)
+    node = svc.any_node()
+    session = SessionToken()
+    node.upsert(docs, session=session)
+    assert session.versions
+    hits = node.search(docs[9].vector, k=3, session=session)
+    assert hits[0][0] == "doc-9"
+    assert not node._leg_batchers, "session search rode the leg batcher"

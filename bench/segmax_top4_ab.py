@@ -1,0 +1,93 @@
+"""Top-4-per-segment vs top-2 exact engine A/B at 1M x 768.
+
+The top-2 engine's phase-2 wall is the rescore row gather — per-ROW bound
+(~38 ns/row/query), floor(k/2)=5 segments x 32 rows = 160 rows/query
+(~0.78 ms at B=128, ~1.56 ms at B=256). The top-4 kernel returns ranks
+1..3 as KNOWN candidates (value + member index, no gather) and provably
+shrinks the rescore to floor(k/4)=2 segments = 64 rows. This probe times
+both full pipelines at B=128/256 plus the top-4 kernel alone (is the
+bigger VPU epilogue still hidden behind the corpus DMA?), and checks
+on-chip value agreement. Appends tag=top4_ab to bench/SEGMAX_AB.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench._harness import append_jsonl, gen_corpus, make_timed  # noqa: E402
+
+DIM, K = 768, 10
+ITERS = int(os.environ.get("AB_ITERS", "32"))
+REPS = int(os.environ.get("AB_REPS", "3"))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import random
+
+    from grape_vector_db_tpu.ops.distance import prepare_queries
+    from grape_vector_db_tpu.ops.segmax_pallas import (
+        make_weight_plane, pallas_segmax2_topk, pallas_segmax4_topk,
+        segmax4_scores_pallas)
+
+    vecs, norms, valid, key = gen_corpus(DIM)
+    n = vecs.shape[0]
+    kq, key = random.split(key)
+    q128 = random.normal(kq, (128, DIM), jnp.float32)
+    q256 = jnp.concatenate([q128, q128 * 1.0001 + 0.001])
+
+    timed = make_timed(ITERS, REPS)
+
+    def eng(fn):
+        def step(qi, vecs, norms, valid):
+            vals, _ = fn(qi, vecs, norms, valid, k=K, metric="cosine",
+                         select="twolevel")
+            return vals[0, 0]
+        return step
+
+    def kernel_only(qi, vecs, norms, valid):
+        qp = prepare_queries(qi, "cosine")
+        w = make_weight_plane(norms, valid, "cosine")
+        outs = segmax4_scores_pallas(qp, vecs, w)
+        return outs[0][0, 0] + outs[6][0, 0]
+
+    rows = {}
+    rows["top4_b128"] = timed(eng(pallas_segmax4_topk), q128,
+                              vecs, norms, valid)
+    rows["top2_b128"] = timed(eng(pallas_segmax2_topk), q128,
+                              vecs, norms, valid)
+    rows["k4_kernel_b128"] = timed(kernel_only, q128, vecs, norms, valid)
+    rows["top4_b256"] = timed(eng(pallas_segmax4_topk), q256,
+                              vecs, norms, valid, its=ITERS // 2)
+    rows["top2_b256"] = timed(eng(pallas_segmax2_topk), q256,
+                              vecs, norms, valid, its=ITERS // 2)
+
+    out = {"tag": "top4_ab", "n": n, "dim": DIM, "k": K, "iters": ITERS,
+           "backend": jax.default_backend(), "values_agree_onchip": None,
+           "rows_ms_best_median": {k_: [round(a, 3), round(b, 3)]
+                                   for k_, (a, b) in rows.items()}}
+    print(json.dumps(out, indent=2), flush=True)
+
+    try:
+        v2, _ = jax.jit(lambda q: pallas_segmax2_topk(
+            q, vecs, norms, valid, k=K, metric="cosine"))(q128)
+        v4, _ = jax.jit(lambda q: pallas_segmax4_topk(
+            q, vecs, norms, valid, k=K, metric="cosine"))(q128)
+        out["values_agree_onchip"] = bool(np.allclose(
+            np.asarray(v2), np.asarray(v4), rtol=1e-5, atol=1e-5))
+    except Exception as e:
+        out["values_agree_onchip"] = f"check-failed: {e}"[:120]
+    print(json.dumps({"values_agree_onchip": out["values_agree_onchip"]}),
+          flush=True)
+    append_jsonl("SEGMAX_AB.jsonl", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,8 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["segmax_scores_pallas", "segmax_scores_pallas_contig",
-           "segmax2_scores_pallas", "pallas_segmax_topk",
-           "pallas_segmax2_topk", "segmax_pallas_supported", "SEG"]
+           "segmax2_scores_pallas", "segmax4_scores_pallas",
+           "pallas_segmax_topk", "pallas_segmax2_topk",
+           "pallas_segmax4_topk", "segmax_pallas_supported", "SEG"]
 
 SEG = 32          # rows per segment (matches ops/distance.SEGMENT)
 CB = 4096         # corpus rows per grid step; CB/SEG = 128 keeps the output
@@ -274,6 +275,259 @@ def _segmax2_kernel_selfold(q_vmem, vec_vmem, w_vmem, mrow_vmem,
     m1_vmem[...] = m1
     i1_vmem[...] = i1
     m2_vmem[...] = m2
+
+
+def _segmax4_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
+                    m1_vmem, m2_vmem, m3_vmem, m4_vmem,
+                    i1_vmem, i2_vmem, i3_vmem):
+    """One grid step: score a [CB, D] corpus block, reduce each strided
+    segment to its TOP-4 values + the member indices of ranks 1..3.
+
+    Why top-4: the phase-2 wall of the top-2 engine is the rescore row
+    gather, which is per-ROW bound (~38 ns/row on v5e, dtype-independent —
+    CLAUDE.md "binary_profile3"), so the only lever is the number of rows
+    gathered. With top-j values and member indices for j <= 3, a rank-j
+    top-k row is a KNOWN candidate (no gather) for j <= 3, and a segment
+    can hide a rank->=4 row only if its FOURTH value reaches the global
+    k-th — at most floor(k/4) segments can (each holds four rows at or
+    above the threshold). The rescore gather shrinks floor(k/2) ->
+    floor(k/4) segments (k=10: 160 -> 64 rows/query) and for k <= 3
+    disappears entirely.
+
+    Fold: the block is split into four width-CB/4 quarter planes, sorted
+    descending with a 5-compare-exchange odd-even network, then folded by
+    halves with a bitonic 4+4 merge (reverse-pair max stage + 4-element
+    bitonic cleanup, 8 compare-exchanges/step) — values only, no index
+    carries. Member indexes for ranks 1..3 are then recovered with the
+    eqfold trick (strided-expand the rank plane over the block, compare
+    against the scores, min-fold the constant member-index plane); on
+    exact ties between rank values the recovered members collide, which
+    duplicates a row at EQUAL value in the candidate pool — interchangeable
+    under the same tie convention as _verified_exact_topk."""
+    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    dots = jax.lax.dot_general(
+        q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                      # [B, CB]
+    w = w_vmem[0:1, :]
+    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
+    cb = scores.shape[1]
+    spb = cb // SEG                                        # 128
+    qw = cb // 4
+
+    def ce(a, b):  # descending compare-exchange
+        return jnp.maximum(a, b), jnp.minimum(a, b)
+
+    # quarter planes: plane p covers block columns {p*qw + c}; folding all
+    # four down to width spb makes column j the union over the whole block
+    # of columns {j + t*spb}, i.e. exactly strided segment j
+    p0 = scores[:, :qw]
+    p1 = scores[:, qw:2 * qw]
+    p2 = scores[:, 2 * qw:3 * qw]
+    p3 = scores[:, 3 * qw:]
+    # odd-even sort-4 (descending): (0,1)(2,3)(0,2)(1,3)(1,2)
+    a, b = ce(p0, p1)
+    c, d = ce(p2, p3)
+    a, c = ce(a, c)
+    b, d = ce(b, d)
+    b, c = ce(b, c)
+    m = [a, b, c, d]
+    width = qw
+    while width > spb:
+        half = width // 2
+        lo = [x[:, :half] for x in m]
+        hi = [x[:, half:width] for x in m]
+        # bitonic 4+4 merge, top half: s_i = max(lo_i, hi_{3-i}) holds the
+        # union's top-4 and is bitonic; clean up with (0,2)(1,3)(0,1)(2,3)
+        s0 = jnp.maximum(lo[0], hi[3])
+        s1 = jnp.maximum(lo[1], hi[2])
+        s2 = jnp.maximum(lo[2], hi[1])
+        s3 = jnp.maximum(lo[3], hi[0])
+        s0, s2 = ce(s0, s2)
+        s1, s3 = ce(s1, s3)
+        s0, s1 = ce(s0, s1)
+        s2, s3 = ce(s2, s3)
+        m = [s0, s1, s2, s3]
+        width = half
+    m1, m2, m3, m4 = m                                     # [B, spb] each
+    # eqfold member-index recovery for ranks 1..3 (rank 4 needs no index:
+    # its segments are fully rescored)
+    mrow = mrow_vmem[0:1, :]                               # [1, CB]
+    for mj, ivmem in ((m1, i1_vmem), (m2, i2_vmem), (m3, i3_vmem)):
+        tiled = jnp.concatenate([mj] * SEG, axis=1)        # [B, CB]
+        sel = jnp.where(scores == tiled, mrow, float(SEG))
+        width = cb
+        while width > spb:
+            half = width // 2
+            sel = jnp.minimum(sel[:, :half], sel[:, half:width])
+            width = half
+        ivmem[...] = sel
+    m1_vmem[...] = m1
+    m2_vmem[...] = m2
+    m3_vmem[...] = m3
+    m4_vmem[...] = m4
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segmax4_scores_pallas(
+    q: jax.Array,        # [B, D] f32 prepared (normalized for cosine)
+    vectors: jax.Array,  # [N, D] bf16/f32, N % CB == 0, D % 128 == 0
+    w_plane: jax.Array,  # [8, N] f32 validity-masked weight (0 = invalid)
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """(m1, m2, m3, m4, i1, i2, i3): [B, N/SEG] top-4 strided segment values
+    + rank-1..3 member indices (f32 in [0, SEG); block-major segment
+    numbering, same as segmax_scores_pallas)."""
+    b, d = q.shape
+    n = vectors.shape[0]
+    if n % CB:
+        raise ValueError(f"N={n} must be a multiple of {CB}")
+    if d % 128 and not interpret:
+        raise ValueError(f"D={d} must be 128-aligned for the Pallas kernel")
+    nblocks = n // CB
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    mrow = jnp.broadcast_to(
+        (jnp.arange(CB, dtype=jnp.int32) // (CB // SEG)
+         ).astype(jnp.float32)[None, :], (8, CB))
+    spec_out = pl.BlockSpec((b, CB // SEG), lambda i: (0, i))
+    return pl.pallas_call(
+        _segmax4_kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, n // SEG), jnp.float32)
+            for _ in range(7)),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),            # q resident
+            pl.BlockSpec((CB, d), lambda i: (i, 0)),           # corpus block
+            pl.BlockSpec((8, CB), lambda i: (0, i)),           # weight block
+            pl.BlockSpec((8, CB), lambda i: (0, 0)),           # member idx
+        ],
+        out_specs=tuple(spec_out for _ in range(7)),
+        interpret=interpret,
+        **kwargs,
+    )(q, vectors, w_plane, mrow)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "interpret", "select")
+)
+def pallas_segmax4_topk(
+    queries: jax.Array,   # [B, D] f32 raw
+    vectors: jax.Array,   # [N, D] storage dtype
+    norms: jax.Array,     # [N] f32
+    valid: jax.Array,     # [N] bool
+    k: int,
+    metric: str = "cosine",
+    interpret: bool = False,
+    mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
+    select: str = "auto",           # "auto" | "iterative" | "twolevel"
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k via the top-4-per-segment kernel: ranks 1..3 of every
+    segment are KNOWN candidates (value + member index from the kernel, no
+    gather), and only the top-floor(k/4) segments by FOURTH value are fully
+    rescored — for k <= 3 the result needs no row gather at all.
+
+    Exactness: let tau be the true k-th score. A top-k row r at rank j
+    within its segment s has m_j(s) = score(r) >= tau, and s holds j rows
+    >= tau — so at most floor(k/j) segments can contain a rank-j top-k row,
+    and every one of them outranks any non-qualifying segment on the m_j
+    plane. Top-floor(k/j) by m_j therefore surfaces r as the known
+    candidate (m_j, i_j) for j <= 3, and for j >= 4 the rescore of
+    top-floor(k/4) segments by m_4 covers r (m_4(s) >= score(r) >= tau for
+    any rank->=4 row). Boundary ties are interchangeable by value (same
+    convention as _verified_exact_topk)."""
+    from grape_vector_db_tpu.ops.distance import (_iterative_topk,
+                                                  prepare_queries)
+
+    n, d = vectors.shape
+    b = queries.shape[0]
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
+    q = prepare_queries(queries, metric)
+    w_plane = make_weight_plane(norms, valid, metric)
+    m1, m2, m3, m4, i1, i2, i3 = segmax4_scores_pallas(
+        q, vectors, w_plane, interpret=interpret)          # [B, N/SEG] each
+    num_seg = n // SEG
+    kk = min(k, num_seg)
+    if select == "auto":
+        select = "twolevel" if num_seg >= 16_384 else "iterative"
+    sel = _twolevel_topk if select == "twolevel" else _iterative_topk
+    spb_ = CB // SEG
+
+    def known_rows(mj, ij, rj):
+        vj, segj = sel(mj, rj)
+        memj = jnp.take_along_axis(ij, segj, axis=1).astype(jnp.int32)
+        rowsj = (segj // spb_) * CB + segj % spb_ + memj * spb_
+        if metric == "cosine":
+            vj = jnp.minimum(vj, 1.0)
+        return vj, rowsj, segj
+
+    v1, rows1, seg1 = known_rows(m1, i1, kk)
+    pools_v = [v1]
+    pools_rows = [rows1]
+    pools_seg = [seg1]
+    r2 = min(kk // 2, num_seg)
+    if r2:
+        v2, rows2, seg2 = known_rows(m2, i2, r2)
+        pools_v.append(v2)
+        pools_rows.append(rows2)
+        pools_seg.append(seg2)
+    r3 = min(kk // 3, num_seg)
+    if r3:
+        v3, rows3, seg3 = known_rows(m3, i3, r3)
+        pools_v.append(v3)
+        pools_rows.append(rows3)
+        pools_seg.append(seg3)
+    r4 = min(kk // 4, num_seg)
+    if r4 == 0:
+        cand_vals = jnp.concatenate(pools_v, axis=1)
+        cand_rows = jnp.concatenate(pools_rows, axis=1)
+        fvals, fpos = lax.top_k(cand_vals, kk)
+        fidx = jnp.take_along_axis(cand_rows, fpos, axis=1)
+        return fvals, fidx.astype(jnp.int32)
+
+    _, seg4 = sel(m4, r4)                         # segments needing rescore
+    blk = seg4 // spb_
+    j = seg4 % spb_
+    mm = jnp.arange(SEG, dtype=jnp.int32)[None, None, :]
+    rows4 = (blk[:, :, None] * CB + j[:, :, None] + mm * spb_
+             ).reshape(b, r4 * SEG)               # [B, r4*SEG]
+    cvecs = vectors[rows4]
+    precision = (
+        lax.Precision.HIGHEST if vectors.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    dots = jnp.einsum("bd,bcd->bc", q.astype(vectors.dtype), cvecs,
+                      preferred_element_type=jnp.float32, precision=precision)
+    cnorms = norms[rows4]
+    if metric == "cosine":
+        cw = 1.0 / jnp.maximum(cnorms, 1e-12)
+    else:
+        cw = jnp.ones_like(cnorms)
+    cw = jnp.where(valid[rows4], cw, 0.0)
+    rs = jnp.where(cw == 0.0, -jnp.inf, dots * cw)
+    if metric == "cosine":
+        rs = jnp.minimum(rs, 1.0)
+
+    # dedup: known candidates whose segment is fully rescored appear twice —
+    # mask the known copy (the rescore copy carries the same value)
+    for i in range(len(pools_v)):
+        dup = jnp.any(pools_seg[i][:, :, None] == seg4[:, None, :], axis=2)
+        pools_v[i] = jnp.where(dup, -jnp.inf, pools_v[i])
+
+    cand_vals = jnp.concatenate(pools_v + [rs], axis=1)
+    cand_rows = jnp.concatenate(pools_rows + [rows4], axis=1)
+    fvals, fpos = lax.top_k(cand_vals, kk)
+    fidx = jnp.take_along_axis(cand_rows, fpos, axis=1)
+    return fvals, fidx.astype(jnp.int32)
 
 
 def _segmax_kernel_contig(q_vmem, vec_vmem, w_vmem, out_vmem):

@@ -373,6 +373,68 @@ def test_segmax2_pallas_matches_exact(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_segmax4_pallas_matches_exact(rng):
+    """Top-4-per-segment engine: exact for every k (k <= 3 is gather-free),
+    masked search, and two adversarial placements — many of the true top-k
+    stacked in ONE segment (only the m4-rescore can find ranks 4+), and the
+    top-k spread as PAIRS/TRIPLES across segments (the rank-2/3 known-
+    candidate pools must surface them without any rescore)."""
+    from grape_vector_db_tpu.ops.segmax_pallas import pallas_segmax4_topk
+    from grape_vector_db_tpu.ops.distance import scored_topk
+
+    n, d, b = 8192, 128, 16
+    vecs = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    norms = jnp.linalg.norm(vecs, axis=1)
+    valid = jnp.asarray(rng.random(n) > 0.1)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    for metric in ("cosine", "dot"):
+        for k in (1, 2, 3, 4, 10, 33):
+            rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric=metric,
+                                chunk=n, mode="exact")
+            pv, _ = pallas_segmax4_topk(q, vecs, norms, valid, k=k,
+                                        metric=metric, interpret=True)
+            np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                       rtol=1e-5, atol=1e-5)
+    mask = jnp.asarray(rng.random(n) > 0.7)
+    rv, _ = scored_topk(q, vecs, norms, valid, k=10, metric="cosine",
+                        chunk=n, mode="exact", mask=mask)
+    pv, _ = pallas_segmax4_topk(q, vecs, norms, valid, k=10,
+                                metric="cosine", interpret=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    # 12 near-duplicates of one strong row, all in strided segment
+    # (blk=1, j=5): ranks 4..12 reachable only through the m4 rescore
+    v2 = np.asarray(vecs).copy()
+    for m in range(12):
+        v2[4096 + 5 + m * 128] = v2[77] * (1.0 + 1e-4 * m)
+    v2 = jnp.asarray(v2)
+    n2 = jnp.linalg.norm(v2, axis=1)
+    av = jnp.ones(n, bool)
+    rv, _ = scored_topk(q, v2, n2, av, k=10, metric="dot", chunk=n,
+                        mode="exact")
+    pv, _ = pallas_segmax4_topk(q, v2, n2, av, k=10, metric="dot",
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    # pairs + triples spread across segments: strided segment of row c is
+    # c % 128 within block c // 4096 — place 2-3 boosted rows per segment
+    v3 = np.asarray(vecs).copy()
+    strong = rng.standard_normal(d).astype(np.float32) * 3.0
+    placements = [(0, 9, (0, 1)), (0, 30, (2, 5, 9)), (1, 9, (4, 7)),
+                  (1, 77, (0, 3, 8))]
+    for blk, j, members in placements:
+        for t, m in enumerate(members):
+            v3[blk * 4096 + j + m * 128] = strong * (1.0 + 1e-3 * t)
+    v3 = jnp.asarray(v3)
+    n3 = jnp.linalg.norm(v3, axis=1)
+    rv, ri = scored_topk(q, v3, n3, av, k=10, metric="dot", chunk=n,
+                         mode="exact")
+    pv, pi = pallas_segmax4_topk(q, v3, n3, av, k=10, metric="dot",
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_twolevel_topk_matches_topk(rng):
     """_twolevel_topk (supersegment pre-selection) must return the exact
     top-k values over the minor axis — both above and below its ns >= kk

@@ -433,6 +433,15 @@ def test_segmax4_pallas_matches_exact(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
                                rtol=1e-5, atol=1e-5)
+    # bf16 storage (the production corpus dtype): phase 1 and the rescore
+    # must use the same arithmetic as score_block so values match exactly
+    vb = vecs.astype(jnp.bfloat16)
+    rv, _ = scored_topk(q, vb, norms, valid, k=10, metric="cosine",
+                        chunk=n, mode="exact")
+    pv, _ = pallas_segmax4_topk(q, vb, norms, valid, k=10,
+                                metric="cosine", interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_twolevel_topk_matches_topk(rng):

@@ -437,7 +437,7 @@ def main() -> None:
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "batch_ms_median": round(ms_med, 3),
         "qps_median": round(BATCH / ms_med * 1e3, 0),
-        "note": "fused Pallas top-2 segmax, recall 1.0 by construction",
+        "note": "fused Pallas top-4 segmax, recall 1.0 by construction",
     }
 
     # Throughput-optimal batch for the same engine: the 1.6 GB corpus read
@@ -708,7 +708,40 @@ def main() -> None:
         "matrix": matrix,
         "backend": jax.default_backend(),
     }
-    print(json.dumps(result))
+    # Full matrix first, compact summary LAST: the driver keeps only the
+    # final ~2000 stdout chars, and in round 3 that cap cut the full-matrix
+    # line mid-object, losing the headline/write rows from the permanent
+    # record. The summary line is sized to survive the tail cap whole and
+    # carries every headline number; the verbose matrix stays above for
+    # humans and docs.
+    print(json.dumps(result), flush=True)
+    e1m = matrix.get("flat_exact_1M", {})
+    e1m256 = matrix.get("flat_exact_1M_b256", {})
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "flat_exact_1M": {kk_: e1m.get(kk_) for kk_ in
+                          ("qps", "qps_median", "recall", "note")},
+        "flat_exact_1M_b256": {kk_: e1m256.get(kk_) for kk_ in
+                               ("qps", "qps_median")},
+        "north_star_1M": {kk_: ns.get(kk_) for kk_ in
+                          ("qps", "qps_median", "recall")},
+        "north_star_1M_int8": {kk_: ns8.get(kk_) for kk_ in
+                               ("qps", "qps_median", "recall")},
+        "ivf_int4_raw": {kk_: matrix.get(
+            "ivf_int4_pallas_1M_clustered_nprobe1", {}).get(kk_)
+            for kk_ in ("qps", "qps_median", "recall")},
+        "ivf_int4_rescore": {kk_: matrix.get(
+            "ivf_int4_rescore_pallas_1M_clustered_nprobe1", {}).get(kk_)
+            for kk_ in ("qps", "qps_median", "recall")},
+        "write_path_docs_per_s": matrix.get(
+            "write_path_100k", {}).get("docs_per_s"),
+        "ingest_docs_per_s": matrix.get("ingest_100k", {}).get("docs_per_s"),
+        "backend": result["backend"],
+    }
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

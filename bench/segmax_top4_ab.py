@@ -73,7 +73,6 @@ def main() -> None:
            "backend": jax.default_backend(), "values_agree_onchip": None,
            "rows_ms_best_median": {k_: [round(a, 3), round(b, 3)]
                                    for k_, (a, b) in rows.items()}}
-    print(json.dumps(out, indent=2), flush=True)
 
     try:
         v2, _ = jax.jit(lambda q: pallas_segmax2_topk(
@@ -84,8 +83,7 @@ def main() -> None:
             np.asarray(v2), np.asarray(v4), rtol=1e-5, atol=1e-5))
     except Exception as e:
         out["values_agree_onchip"] = f"check-failed: {e}"[:120]
-    print(json.dumps({"values_agree_onchip": out["values_agree_onchip"]}),
-          flush=True)
+    print(json.dumps(out, indent=2), flush=True)
     append_jsonl("SEGMAX_AB.jsonl", out)
 
 

@@ -210,6 +210,13 @@ def _segmax_exact_topk(
         q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
         rs = -(q_sq - 2.0 * dots + cnorms * cnorms)
     rs = jnp.where(valid[rows], rs, NEG_INF)
+    # degenerate-plane guard: repeated seg_ids picks (fewer finite segments
+    # than kk — a large-capacity bucket holding few valid docs) would
+    # rescore the same rows to equal finite values twice and top_k could
+    # emit one row id twice, displacing a true top-k row
+    from grape_vector_db_tpu.ops.segmax_pallas import _dup_pick_mask
+    rs = jnp.where(jnp.repeat(_dup_pick_mask(seg_ids), SEGMENT, axis=1),
+                   NEG_INF, rs)
     fvals, fpos = lax.top_k(rs, min(k, rs.shape[1]))
     fidx = jnp.take_along_axis(rows, fpos, axis=1)
     return fvals, fidx.astype(jnp.int32)
@@ -283,14 +290,18 @@ def scored_topk(
     ):
         # Fused Pallas form when shapes align on TPU: the matmul + segment
         # reduction happen in VMEM, so the [B, chunk] score blocks never
-        # round-trip HBM. The top-2-per-segment kernel additionally returns
-        # each segment's argmax member, so phase 2 gathers only the
-        # floor(k/2) segments whose SECOND value could hide a top-k row —
-        # the rescore gather was the largest phase-2 term (measured at
-        # 1M x 768, 128-batch on v5e: 3.15 ms vs 3.95 ms single-max vs
-        # 5.4 ms XLA scan; identical results).
+        # round-trip HBM. The top-j-per-segment kernels additionally return
+        # each segment's top member values + indices, so phase 2 gathers
+        # only the floor(k/j) segments whose j-th value could hide a top-k
+        # row — the rescore row gather is the dominant phase-2 term
+        # (per-row bound, ~38 ns/row on v5e). k >= 4 routes to the top-4
+        # kernel (rescore floor(k/4) segments; ranks 1-3 are gather-free
+        # known candidates), smaller k to the top-2 kernel (measured at
+        # 1M x 768, 128-batch on v5e: top-2 3.15 ms vs 3.95 ms single-max
+        # vs 5.4 ms XLA scan; identical results).
         from grape_vector_db_tpu.ops.segmax_pallas import (
-            CB as _SEG_CB, segmax_pallas_supported, pallas_segmax2_topk)
+            CB as _SEG_CB, segmax_pallas_supported, pallas_segmax2_topk,
+            pallas_segmax4_topk)
 
         if (
             segmax_pallas_supported()
@@ -301,8 +312,9 @@ def scored_topk(
                           # bigger batches (e.g. graph-build centroid scans)
                           # stay on the chunked XLA engine
         ):
-            vals, idxs = pallas_segmax2_topk(queries, vectors, norms, valid,
-                                             k=kk, metric=metric)
+            eng = pallas_segmax4_topk if kk >= 4 else pallas_segmax2_topk
+            vals, idxs = eng(queries, vectors, norms, valid,
+                             k=kk, metric=metric)
             return _pad_k(vals, idxs, k)
         if big_n:
             vals, idxs = _segmax_exact_topk(q, vectors, norms, valid, kk,

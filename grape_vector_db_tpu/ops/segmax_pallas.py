@@ -354,16 +354,28 @@ def _segmax4_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
         width = half
     m1, m2, m3, m4 = m                                     # [B, spb] each
     # eqfold member-index recovery for ranks 1..3 (rank 4 needs no index:
-    # its segments are fully rescored)
+    # its segments are fully rescored). On exact rank-value ties (duplicate
+    # vectors; likelier under bf16 scoring) the naive equality match would
+    # recover the SAME member for every tied rank — returning one row id
+    # twice and dropping the other tied row. Break ties by excluding the
+    # members already recovered for higher ranks: m_j == m_{j-1} implies
+    # the segment's score multiset holds >= j members at that value, so an
+    # un-excluded match always exists and ranks 1..3 recover DISTINCT rows.
     mrow = mrow_vmem[0:1, :]                               # [1, CB]
+    prev = []                                              # [B, spb] planes
     for mj, ivmem in ((m1, i1_vmem), (m2, i2_vmem), (m3, i3_vmem)):
         tiled = jnp.concatenate([mj] * SEG, axis=1)        # [B, CB]
-        sel = jnp.where(scores == tiled, mrow, float(SEG))
+        hit = scores == tiled
+        for ip in prev:
+            hit = jnp.logical_and(
+                hit, mrow != jnp.concatenate([ip] * SEG, axis=1))
+        sel = jnp.where(hit, mrow, float(SEG))
         width = cb
         while width > spb:
             half = width // 2
             sel = jnp.minimum(sel[:, :half], sel[:, half:width])
             width = half
+        prev.append(sel)
         ivmem[...] = sel
     m1_vmem[...] = m1
     m2_vmem[...] = m2
@@ -516,6 +528,10 @@ def pallas_segmax4_topk(
     rs = jnp.where(cw == 0.0, -jnp.inf, dots * cw)
     if metric == "cosine":
         rs = jnp.minimum(rs, 1.0)
+    # degenerate-plane guard: repeated seg4 picks (fewer finite m4 segments
+    # than r4) would rescore the same rows to equal finite values twice
+    rs = jnp.where(jnp.repeat(_dup_pick_mask(seg4), SEG, axis=1),
+                   -jnp.inf, rs)
 
     # dedup: known candidates whose segment is fully rescored appear twice —
     # mask the known copy (the rescore copy carries the same value)
@@ -649,6 +665,21 @@ def _twolevel_topk(plane: jax.Array, kk: int, fan: int = 128
     return tv, jnp.take_along_axis(child, tp, axis=1)
 
 
+def _dup_pick_mask(seg: jax.Array) -> jax.Array:
+    """[B, r] bool: True where this segment id already appeared at an
+    EARLIER position in the same row. The iterative selection's tail picks
+    index 0 repeatedly once a plane is all -inf (fewer finite segments than
+    picks — e.g. a large-capacity bucket holding few valid docs), and the
+    -inf masking is then a no-op; without this mask the duplicated
+    segment's rows would be rescored to the same FINITE values twice and
+    lax.top_k could emit one row id twice, displacing a true top-k row."""
+    r = seg.shape[1]
+    return jnp.any(
+        (seg[:, :, None] == seg[:, None, :])
+        & (jnp.arange(r)[None, None, :] < jnp.arange(r)[None, :, None]),
+        axis=2)
+
+
 def make_weight_plane(norms: jax.Array, valid: jax.Array,
                       metric: str = "cosine") -> jax.Array:
     """[N] norms + validity -> [8, N] f32 score-weight plane (kernel reads
@@ -753,6 +784,10 @@ def pallas_segmax2_topk(
     rs = jnp.where(cw == 0.0, -jnp.inf, dots * cw)
     if metric == "cosine":
         rs = jnp.minimum(rs, 1.0)
+    # degenerate-plane guard: repeated seg2 picks (fewer finite m2 segments
+    # than r) would rescore the same rows to equal finite values twice
+    rs = jnp.where(jnp.repeat(_dup_pick_mask(seg2), SEG, axis=1),
+                   -jnp.inf, rs)
 
     # dedup: argmax candidates whose segment is fully rescored would appear
     # twice — mask the m1 copy (the rescore copy carries the same value)
@@ -855,6 +890,10 @@ def pallas_segmax_topk(
     rs = jnp.where(cw == 0.0, -jnp.inf, dots * cw)
     if metric == "cosine":
         rs = jnp.minimum(rs, 1.0)
+    # degenerate-plane guard: repeated seg_ids picks (fewer finite segments
+    # than kk) would rescore the same rows to equal finite values twice
+    rs = jnp.where(jnp.repeat(_dup_pick_mask(seg_ids), SEG, axis=1),
+                   -jnp.inf, rs)
     fvals, fpos = lax.top_k(rs, min(k, rs.shape[1]))
     fidx = jnp.take_along_axis(rows, fpos, axis=1)
     return fvals, fidx.astype(jnp.int32)

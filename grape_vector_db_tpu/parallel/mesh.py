@@ -130,15 +130,17 @@ def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int,
 
     n, d = vecs.shape
     b = q.shape[0]
-    # Large local shards take the fused top-2 segmax kernel (same gates as
-    # scored_topk's single-chip routing): the [B, n_local] score plane never
-    # reaches HBM and phase 2 rescores only floor(k/2) segments. Pallas
-    # inside shard_map is the established pattern here (the IVF probes run
-    # the same way). q is already prepared — pallas_segmax2_topk's own
-    # prepare_queries is idempotent for cosine and identity for dot.
+    # Large local shards take the fused top-j segmax kernels (same gates +
+    # k>=4 split as scored_topk's single-chip routing): the [B, n_local]
+    # score plane never reaches HBM and phase 2 rescores only floor(k/j)
+    # segments. Pallas inside shard_map is the established pattern here
+    # (the IVF probes run the same way). q is already prepared — the
+    # engines' own prepare_queries is idempotent for cosine and identity
+    # for dot.
     if mode == "exact" and k <= 64 and n > 262_144:
         from grape_vector_db_tpu.ops.segmax_pallas import (
-            CB as _SEG_CB, pallas_segmax2_topk, segmax_pallas_supported)
+            CB as _SEG_CB, pallas_segmax2_topk, pallas_segmax4_topk,
+            segmax_pallas_supported)
 
         if (
             segmax_pallas_supported()
@@ -147,8 +149,8 @@ def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int,
             and d % 128 == 0
             and b <= 256
         ):
-            return pallas_segmax2_topk(q, vecs, norms, valid,
-                                       k=min(k, n), metric=metric)
+            eng = pallas_segmax4_topk if min(k, n) >= 4 else pallas_segmax2_topk
+            return eng(q, vecs, norms, valid, k=min(k, n), metric=metric)
     if b * n <= 2**27:
         s = score_block(q, vecs, norms, valid, metric)
         vals, idxs = _select_topk(s, min(k, n), mode, recall_target)

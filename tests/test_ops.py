@@ -433,6 +433,20 @@ def test_segmax4_pallas_matches_exact(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
                                rtol=1e-5, atol=1e-5)
+    # INDEX parity: the gather-free index recovery (rowsj reconstruction,
+    # eqfold member recovery, the dedup mask) is the novelty of this engine
+    # — a wrong spb_ stride would pass the value check above yet return
+    # wrong rows. Exact ties exist across segments (each placement reuses
+    # scale 1+1e-3*t from t=0), so instead of rank-for-rank equality assert
+    # (a) every returned index's recomputed score equals the returned value
+    # and (b) no duplicate ids within a query's top-k.
+    pi_np, pv_np = np.asarray(pi), np.asarray(pv)
+    true_scores = np.asarray(q, np.float64) @ np.asarray(v3, np.float64).T
+    np.testing.assert_allclose(
+        np.take_along_axis(true_scores, pi_np, axis=1), pv_np,
+        rtol=1e-4, atol=1e-4)
+    for row in pi_np:
+        assert len(set(row.tolist())) == len(row)
     # bf16 storage (the production corpus dtype): phase 1 and the rescore
     # must use the same arithmetic as score_block so values match exactly
     vb = vecs.astype(jnp.bfloat16)
@@ -442,6 +456,85 @@ def test_segmax4_pallas_matches_exact(rng):
                                 metric="cosine", interpret=True)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_segmax4_pallas_exact_ties_return_distinct_rows(rng):
+    """EXACT intra-segment score ties (duplicate vectors — common in real
+    corpora): the eqfold member recovery must break ties so ranks 1..3 of a
+    segment holding identical rows surface as DISTINCT row ids, not the same
+    id repeated (which would silently drop the other tied rows). Uses k=3 so
+    r4=0 — no rescore can paper over a collision."""
+    from grape_vector_db_tpu.ops.segmax_pallas import pallas_segmax4_topk
+    from grape_vector_db_tpu.ops.distance import scored_topk
+
+    n, d, b = 8192, 128, 4
+    vecs = np.asarray(rng.standard_normal((n, d)), np.float32)
+    # queries share a common direction and the tied vector is a strong
+    # multiple of it, so the tied rows are the global top scores for EVERY
+    # query (plain random dot products can be negative)
+    base = rng.standard_normal(d).astype(np.float32)
+    q_np = (base[None, :] + 0.1 * rng.standard_normal((b, d))).astype(
+        np.float32)
+    strong = base * 10.0
+    # three IDENTICAL copies inside one strided segment (blk=0, j=17,
+    # members 2/6/11 -> rows 17 + m*128) — m1 == m2 == m3 exactly
+    tied_rows = [17 + m * 128 for m in (2, 6, 11)]
+    for r in tied_rows:
+        vecs[r] = strong
+    vecs = jnp.asarray(vecs)
+    norms = jnp.linalg.norm(vecs, axis=1)
+    valid = jnp.ones(n, bool)
+    q = jnp.asarray(q_np)
+    for k in (3, 4, 10):
+        rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric="dot",
+                            chunk=n, mode="exact")
+        pv, pi = pallas_segmax4_topk(q, vecs, norms, valid, k=k,
+                                     metric="dot", interpret=True)
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)
+        pi_np = np.asarray(pi)
+        for row in pi_np:
+            assert len(set(row.tolist())) == len(row), (k, row)
+        # the three tied rows must ALL be present when k covers them
+        if k >= 3:
+            for row in pi_np:
+                assert set(tied_rows) <= set(row.tolist()[:max(3, k)]), (
+                    k, sorted(tied_rows), sorted(row.tolist()))
+
+
+def test_segmax_engines_degenerate_validity_no_duplicate_ids(rng):
+    """Large-capacity bucket holding FEW valid docs, concentrated in 3 fully
+    valid strided segments (96 rows < num_seg picks needed): every rank
+    plane has only 3 finite segments, so the iterative selection's tail
+    repeatedly picks segment 0 (argmax over an all--inf plane, and -inf
+    masking is a no-op) — segment 0 IS one of the valid ones here, so
+    without the degenerate-plane guard the repeated rescore emits the same
+    finite-scored row ids multiple times, displacing true top-k rows."""
+    from grape_vector_db_tpu.ops.segmax_pallas import (
+        pallas_segmax_topk, pallas_segmax2_topk, pallas_segmax4_topk)
+
+    n, d, b, k = 8192, 128, 4, 10
+    vecs = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    norms = jnp.linalg.norm(vecs, axis=1)
+    # all 32 members of strided segments 0/1/2 in block 0: rows j + m*128
+    valid_np = np.zeros(n, bool)
+    valid_rows = np.array([j + m * 128 for j in (0, 1, 2) for m in range(32)])
+    valid_np[valid_rows] = True
+    valid = jnp.asarray(valid_np)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    # float64 oracle over the valid rows only
+    sc = (np.asarray(q, np.float64)
+          @ np.asarray(vecs, np.float64)[valid_rows].T)      # [B, 96]
+    oracle_v = -np.sort(-sc, axis=1)[:, :k]
+    valid_set = set(valid_rows.tolist())
+    for eng in (pallas_segmax_topk, pallas_segmax2_topk, pallas_segmax4_topk):
+        pv, pi = eng(q, vecs, norms, valid, k=k, metric="dot",
+                     interpret=True)
+        pv, pi = np.asarray(pv), np.asarray(pi)
+        np.testing.assert_allclose(pv, oracle_v, rtol=1e-4, atol=1e-4)
+        for row_i in pi:
+            assert len(set(row_i.tolist())) == len(row_i), (eng, row_i)
+            assert set(row_i.tolist()) <= valid_set, (eng, row_i)
 
 
 def test_twolevel_topk_matches_topk(rng):

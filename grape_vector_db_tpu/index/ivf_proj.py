@@ -39,23 +39,36 @@ __all__ = ["ProjectedInt8IvfIndex", "ProjectedInt4IvfIndex",
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
-def _fit_projection(sample: jax.Array, r: int) -> jax.Array:
-    """Top-r eigenvectors of the uncentered second moment E[xx^T].
+def _fit_projection(sample: jax.Array, r: int) -> Tuple[jax.Array, jax.Array]:
+    """Top-r eigenvectors of the uncentered second moment E[xx^T], plus the
+    retained-energy fraction (sum of the top-r eigenvalues over the total).
 
     Uncentered (no mean subtraction) so that dot products — and therefore
     cosine ranking — are preserved on the retained subspace: for P spanning
-    the top eigenspace, x.y ~= (P^T x).(P^T y).
+    the top eigenspace, x.y ~= (P^T x).(P^T y). The energy fraction is the
+    build-time tier-choice signal: measured end-to-end, energy@384 = 0.82 on
+    text-like embeddings gave proj recall 0.69-0.81 and the loss is NOT
+    host-rescore-recoverable (bench/proj_text_ab.py) — flat-spectrum corpora
+    should use full-dim int4 at equal bytes instead.
     """
     cov = jax.lax.dot_general(sample, sample, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    _, evecs = jnp.linalg.eigh(cov)          # ascending eigenvalues
-    return evecs[:, ::-1][:, :r]             # [D, r], top-r first
+    evals, evecs = jnp.linalg.eigh(cov)      # ascending eigenvalues
+    evals = jnp.maximum(evals, 0.0)          # clip fp noise on near-zeros
+    energy = evals[-r:].sum() / jnp.maximum(evals.sum(), 1e-30)
+    return evecs[:, ::-1][:, :r], energy     # [D, r] top-r first, scalar
 
 
 class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
     kind = "ivf_int8_proj"
 
-    def __init__(self, dimension: int, proj_dim: int = 384, **kwargs):
+    # Below this retained-energy fraction the projection measurably loses
+    # unrecoverable recall (energy@384=0.82 -> 0.69-0.81 e2e on text-like
+    # embeddings, bench/proj_text_ab.py) — warn and point at full-dim int4.
+    ENERGY_WARN = 0.9
+
+    def __init__(self, dimension: int, proj_dim: int = 384,
+                 min_energy: float = 0.0, **kwargs):
         if proj_dim >= dimension:
             raise ValueError(
                 f"proj_dim {proj_dim} must be < dimension {dimension}")
@@ -64,6 +77,8 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
                 f"proj_dim {proj_dim} must be 128-aligned (Pallas DMA lanes)")
         self.full_dim = dimension
         self.proj_dim = proj_dim
+        self.min_energy = min_energy              # refuse-to-build floor
+        self.proj_energy: Optional[float] = None  # retained energy at fit
         self.proj: Optional[jax.Array] = None     # [D, R] f32
         super().__init__(proj_dim, **kwargs)      # the engine runs at R
 
@@ -79,9 +94,31 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
             jnp.asarray(vectors, dtype=jnp.float32) @ self.proj)
 
     def _maybe_fit(self, sample: np.ndarray) -> None:
-        if self.proj is None:
-            self.proj = _fit_projection(
-                jnp.asarray(sample, dtype=jnp.float32), self.proj_dim)
+        if self.proj is not None:
+            return
+        proj, energy = _fit_projection(
+            jnp.asarray(sample, dtype=jnp.float32), self.proj_dim)
+        energy = float(np.asarray(energy))
+        if energy < self.min_energy:
+            raise ValueError(
+                f"{self.kind}: sample retains only {energy:.3f} of spectral "
+                f"energy at proj_dim={self.proj_dim} (< min_energy="
+                f"{self.min_energy}) — projection loss at this level is not "
+                f"rescore-recoverable; use full-dim kind='ivf_int4' at equal "
+                f"bytes/row, or raise proj_dim")
+        if energy < self.ENERGY_WARN:
+            import warnings
+
+            warnings.warn(
+                f"{self.kind}: flat-spectrum corpus — the {self.proj_dim}-d "
+                f"projection retains only {energy:.3f} of spectral energy "
+                f"(< {self.ENERGY_WARN}); expect unrecoverable recall loss "
+                f"(~0.7-0.8 end-to-end measured at 0.82 energy). Prefer "
+                f"full-dim kind='ivf_int4' at equal bytes/row, or raise "
+                f"proj_dim.",
+                RuntimeWarning, stacklevel=3)
+        self.proj = proj
+        self.proj_energy = energy
 
     # -- training / mutation ------------------------------------------------------
 
@@ -118,6 +155,7 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
     def clear(self) -> None:
         super().clear()
         self.proj = None
+        self.proj_energy = None
 
     def optimize(self) -> None:
         """Refit projection + centroids on the full corpus and repack (the
@@ -185,6 +223,8 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
         stats.kind = self.kind
         stats.dimension = self.full_dim
         stats.extra["proj_dim"] = float(self.proj_dim)
+        if self.proj_energy is not None:
+            stats.extra["proj_energy"] = round(self.proj_energy, 4)
         return stats
 
 

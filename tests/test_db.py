@@ -468,6 +468,10 @@ def test_index_snapshot_roundtrip_every_engine(tmp_path, rng, kind):
     cfg.cache.enabled = False
     db = VectorDatabase(config=cfg)
     vecs = rng.standard_normal((300, dim)).astype(np.float32)
+    if kind.endswith("_proj"):
+        # decaying spectrum: the regime proj tiers are FOR — isotropic data
+        # would (correctly) trip the build-time energy guard's warning
+        vecs *= ((1.0 + np.arange(dim)) ** -1.0).astype(np.float32)[None, :]
     db.batch_add_documents([Document(id=f"d{i}", content=f"c{i}",
                                      vector=vecs[i].tolist())
                             for i in range(300)])

@@ -273,3 +273,43 @@ def test_projected_int8_ivf_decaying_spectrum(rng):
         for g, w in zip(got, want)
     ])
     assert recall >= 0.85, f"decaying-spectrum projected recall {recall}"
+
+
+def test_projected_ivf_energy_guard(rng):
+    """Build-time spectrum guard (docs/benchmarks.md tier guidance made
+    self-enforcing): a flat-spectrum corpus warns (projection loss at this
+    level is not rescore-recoverable), min_energy refuses outright, and a
+    decaying-spectrum corpus fits silently with proj_energy in stats."""
+    import warnings
+
+    import pytest
+
+    from grape_vector_db_tpu.index.ivf_proj import ProjectedInt8IvfIndex
+
+    d, r = 256, 128
+    # pure isotropic: energy@128 = 0.5 — the adversarial regime
+    flat_pts = rng.standard_normal((2000, d)).astype(np.float32)
+    idx = ProjectedInt8IvfIndex(d, proj_dim=r, storage_dtype="float32",
+                                nlist=8, nprobe=8, initial_capacity=4096)
+    with pytest.warns(RuntimeWarning, match="spectral energy"):
+        idx.train(flat_pts)
+    assert idx.proj_energy is not None and idx.proj_energy < 0.9
+    assert idx.get_stats().extra["proj_energy"] == round(idx.proj_energy, 4)
+
+    # refuse-to-build floor
+    strict = ProjectedInt8IvfIndex(d, proj_dim=r, storage_dtype="float32",
+                                   min_energy=0.9, nlist=8, nprobe=8,
+                                   initial_capacity=4096)
+    with pytest.raises(ValueError, match="min_energy"):
+        strict.train(flat_pts)
+
+    # decaying spectrum: no warning
+    spec = (1.0 + np.arange(d)) ** -1.0
+    good_pts = (rng.standard_normal((2000, d)) * spec[None, :]).astype(
+        np.float32)
+    ok = ProjectedInt8IvfIndex(d, proj_dim=r, storage_dtype="float32",
+                               nlist=8, nprobe=8, initial_capacity=4096)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        ok.train(good_pts)
+    assert ok.proj_energy is not None and ok.proj_energy >= 0.9

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
@@ -252,6 +253,37 @@ inline uint32_t crc32_update(uint32_t crc, const char* buf, size_t len) {
     return crc ^ 0xFFFFFFFFu;
 }
 
+// Token-level feature memoization: a token's feature multiset (the token +
+// its char n-grams, each mapped to a signed bucket key) depends only on the
+// token and the (salt, lo_n, hi_n, buckets) config — NOT on the document.
+// Real corpora are Zipf-distributed, so almost every token instance repeats
+// an already-seen token; caching the per-token (key, multiplicity) list
+// skips all crc32 work for it and turns the per-doc cost into map merges.
+// This is the embed-at-ingest throughput lever on a 1-core host where
+// threading the featurizer buys nothing. Bit-exact: the doc accumulator is
+// sum over unique tokens of count(t) * multiset(t), identical to the
+// feature-at-a-time accumulation it replaces.
+struct TokenFeatCache {
+    std::string salt;
+    int32_t lo_n = -1, hi_n = -1, buckets = -1;
+    std::unordered_map<std::string,
+                       std::vector<std::pair<int32_t, int32_t>>> map;
+};
+
+TokenFeatCache& token_cache() {
+    static TokenFeatCache c;
+    return c;
+}
+
+std::mutex& token_cache_mu() {
+    static std::mutex mu;
+    return mu;
+}
+
+// Soft bound: ~2M cached tokens (~200 MB worst case). Clearing on overflow
+// keeps the amortized cost at one recompute per token per epoch.
+constexpr size_t kMaxCachedTokens = 2'000'000;
+
 }  // namespace
 
 extern "C" {
@@ -272,6 +304,21 @@ int32_t gvdb_hash_features(
     counts.reserve(128);
     acc.reserve(2048);
     tok.reserve(24);
+    // one lock for the whole call: ctypes releases the GIL around foreign
+    // calls, so concurrent embedders could otherwise race the static cache
+    std::lock_guard<std::mutex> cache_lock(token_cache_mu());
+    TokenFeatCache& tc = token_cache();
+    if (tc.lo_n != lo_n || tc.hi_n != hi_n || tc.buckets != buckets ||
+        tc.salt.size() != static_cast<size_t>(salt_len) ||
+        std::memcmp(tc.salt.data(), salt, static_cast<size_t>(salt_len)) != 0) {
+        tc.map.clear();
+        tc.salt.assign(salt, static_cast<size_t>(salt_len));
+        tc.lo_n = lo_n;
+        tc.hi_n = hi_n;
+        tc.buckets = buckets;
+    }
+    std::unordered_map<int32_t, int32_t> tok_acc;
+    tok_acc.reserve(256);
     for (int32_t d = 0; d < n_docs; ++d) {
         counts.clear();
         acc.clear();
@@ -294,31 +341,43 @@ int32_t gvdb_hash_features(
         for (const auto& kv : counts) {
             const std::string& t = kv.first;
             const int64_t cnt = kv.second;
-            padded.clear();
-            padded.push_back('<');
-            padded += t;
-            padded.push_back('>');
-            // feature -> signed key -> accumulate, for the token itself and
-            // every char n-gram of the padded form
-            auto add_feat = [&](const char* f, size_t flen) {
-                const uint32_t c_f = crc32_update(0, f, flen);
-                const uint32_t c_raw = crc32_update(c_f, salt,
-                                                    static_cast<size_t>(salt_len));
-                const int64_t b = static_cast<int64_t>(
-                    c_raw % static_cast<uint32_t>(buckets));
-                const uint32_t c_sign = crc32_update(
-                    crc32_update(hash_salt, f, flen), salt,
-                    static_cast<size_t>(salt_len));
-                const int64_t key = (c_sign & 1u) ? b : -(b + 1);
-                acc[key] += cnt;
-            };
-            add_feat(t.data(), t.size());
-            const int64_t plen = static_cast<int64_t>(padded.size());
-            for (int32_t ng = lo_n; ng <= hi_n; ++ng) {
-                if (plen < ng) break;
-                for (int64_t i = 0; i + ng <= plen; ++i)
-                    add_feat(padded.data() + i, static_cast<size_t>(ng));
+            auto hit = tc.map.find(t);
+            if (hit == tc.map.end()) {
+                // novel token: compute its feature multiset once and cache
+                // it as a (signed key, multiplicity) list
+                tok_acc.clear();
+                padded.clear();
+                padded.push_back('<');
+                padded += t;
+                padded.push_back('>');
+                // feature -> signed key, for the token itself and every
+                // char n-gram of the padded form
+                auto add_feat = [&](const char* f, size_t flen) {
+                    const uint32_t c_f = crc32_update(0, f, flen);
+                    const uint32_t c_raw = crc32_update(
+                        c_f, salt, static_cast<size_t>(salt_len));
+                    const int32_t b = static_cast<int32_t>(
+                        c_raw % static_cast<uint32_t>(buckets));
+                    const uint32_t c_sign = crc32_update(
+                        crc32_update(hash_salt, f, flen), salt,
+                        static_cast<size_t>(salt_len));
+                    const int32_t key = (c_sign & 1u) ? b : -(b + 1);
+                    ++tok_acc[key];
+                };
+                add_feat(t.data(), t.size());
+                const int64_t plen = static_cast<int64_t>(padded.size());
+                for (int32_t ng = lo_n; ng <= hi_n; ++ng) {
+                    if (plen < ng) break;
+                    for (int64_t i = 0; i + ng <= plen; ++i)
+                        add_feat(padded.data() + i, static_cast<size_t>(ng));
+                }
+                if (tc.map.size() >= kMaxCachedTokens) tc.map.clear();
+                hit = tc.map.emplace(
+                    t, std::vector<std::pair<int32_t, int32_t>>(
+                           tok_acc.begin(), tok_acc.end())).first;
             }
+            for (const auto& km : hit->second)
+                acc[km.first] += static_cast<int64_t>(km.second) * cnt;
         }
         if (acc.empty()) continue;
         items.assign(acc.begin(), acc.end());

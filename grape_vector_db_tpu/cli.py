@@ -282,7 +282,8 @@ def cmd_tune(args) -> None:
     cfg = load_config(args.config) if args.config else VectorDbConfig()
     db = VectorDatabase(path=args.data_dir, config=cfg)
     try:
-        out = db.tune(target_recall=args.target_recall, k=args.k)
+        out = db.tune(target_recall=args.target_recall, k=args.k,
+                      hard=args.hard)
         out["documents"] = db.stats().document_count
         print(json.dumps(out), flush=True)
     finally:
@@ -315,6 +316,11 @@ def main(argv=None) -> None:
     sp.add_argument("--config", default=None)
     sp.add_argument("--target-recall", type=float, default=0.95)
     sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--hard", action="store_true",
+                    help="tune against synthesized held-out queries with a "
+                         "joint nprobe x host_rescore sweep (the self-recall "
+                         "default overstates probe reachability on capacity "
+                         "tiers — see docs/benchmarks.md cap16m_hard)")
     sp.set_defaults(fn=cmd_tune)
 
     sp = sub.add_parser("serve")

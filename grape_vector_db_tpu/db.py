@@ -14,7 +14,7 @@ import os
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -503,23 +503,153 @@ class VectorDatabase:
     def optimize(self) -> None:
         self.index.optimize()
 
-    def tune(self, target_recall: float = 0.95, k: int = 10) -> dict:
-        """Auto-tune the index's recall/QPS knob for a recall target on this
-        corpus (self-recall protocol) and pin the search path to it. Kind-
-        dispatched: IVF kinds sweep nprobe (``tune_nprobe``), the binary
-        two-stage kind sweeps the rescore budget (``tune_rescore``); exact
-        kinds have nothing to tune. The closed-loop version of the
-        reference's IndexOptimizer, which recommended but never measured
-        (performance/index_optimizer.rs)."""
+    def tune(self, target_recall: float = 0.95, k: int = 10,
+             queries: Optional[np.ndarray] = None, hard: bool = False,
+             max_host_rescore: int = 64) -> dict:
+        """Auto-tune the index's recall/QPS knobs for a recall target on this
+        corpus and pin the search path to them. Kind-dispatched: IVF kinds
+        sweep nprobe (``tune_nprobe``), the binary two-stage kind sweeps the
+        rescore budget (``tune_rescore``); exact kinds have nothing to tune.
+        The closed-loop version of the reference's IndexOptimizer, which
+        recommended but never measured (performance/index_optimizer.rs).
+
+        Two query regimes:
+
+        - default (``hard=False``, no ``queries``): the self-recall protocol
+          — validation queries are corpus rows. This is the EASY bound:
+          a corpus row's neighbors concentrate in its own list, so the
+          sweep can pick nprobe=1 where fresh queries need 4-8 (measured
+          at 16.78M rows: self-recall said nprobe=1, held-out recall@10
+          there was 0.27-0.36 raw — docs/benchmarks.md cap16m_hard).
+        - ``hard=True`` or explicit held-out ``queries``: sweeps
+          nprobe x host_rescore jointly against an exhaustive-probe +
+          exact-host-rescore oracle, using synthesized held-out queries
+          from the cluster distribution when none are given
+          (``synth_tuning_queries``). Pins ``index.nprobe`` AND
+          ``config.query.host_rescore`` to the cheapest passing pair.
+        """
         out: dict = {"kind": self.index.kind}
         tune_np = getattr(self.index, "tune_nprobe", None)
         tune_rs = getattr(self.index, "tune_rescore", None)
         if tune_np is not None:
-            out["nprobe"] = tune_np(k=k, target_recall=target_recall)
+            if hard or queries is not None:
+                out.update(self._tune_hard(queries, k, target_recall,
+                                           max_host_rescore))
+            else:
+                out["nprobe"] = tune_np(k=k, target_recall=target_recall)
         elif tune_rs is not None and getattr(self.index, "keep_vectors", False):
             out["rescore_budget"] = tune_rs(k=k, target_recall=target_recall)
         self.engine.invalidate_cache()
         return out
+
+    def synth_tuning_queries(self, n: int = 128, seed: int = 0
+                             ) -> np.ndarray:
+        """Held-out tuning queries synthesized from the cluster distribution:
+        midpoints of same-list stored pairs — on the data manifold but NOT
+        corpus rows. Corpus-drawn self-queries overstate probe reachability
+        (their neighbors concentrate in their own list); a fresh point
+        between members of a cell has true neighbors spread across adjacent
+        cells, which is the regime the 16.78M hard-query truth table showed
+        needs nprobe 4-8 (docs/benchmarks.md cap16m_hard)."""
+        rng = np.random.default_rng(seed)
+        cell = getattr(self.index, "_id_to_cell", None)
+        dim = self.config.vector_dimension
+        if not cell:
+            raise InvalidArgumentError(
+                "synth_tuning_queries needs a trained IVF-family index")
+        ids = list(cell)
+        # sample enough ids that ~n same-list pairs appear by birthday
+        # collision (m^2 / 2L >= n) without walking the full id map at 16M+
+        nlist = getattr(self.index, "nlist", 1)
+        m = min(len(ids), int(np.sqrt(2.0 * nlist * n)) + 4 * n)
+        sample = rng.choice(len(ids), size=m, replace=False)
+        by_list: Dict[int, List[str]] = {}
+        for si in sample:
+            id_ = ids[si]
+            by_list.setdefault(cell[id_][0], []).append(id_)
+        pairs: List[Tuple[str, str]] = []
+        for members in by_list.values():
+            rng.shuffle(members)
+            for a, b in zip(members[::2], members[1::2]):
+                pairs.append((a, b))
+        if not pairs:
+            raise InvalidArgumentError(
+                "not enough same-list pairs to synthesize queries — pass "
+                "held-out queries explicitly")
+        take = [pairs[i % len(pairs)] for i in range(n)]
+        qs = np.empty((n, dim), np.float32)
+        for i, (a, b) in enumerate(take):
+            ra, rb = self.store.get(a), self.store.get(b)
+            if ra is None or ra.embedding is None or rb is None \
+                    or rb.embedding is None:
+                va = self.index.get_vector(a)
+                vb = self.index.get_vector(b)
+            else:
+                va = np.asarray(ra.embedding, np.float32)
+                vb = np.asarray(rb.embedding, np.float32)
+            qs[i] = 0.5 * (va + vb)
+        return qs
+
+    def _tune_hard(self, queries: Optional[np.ndarray], k: int,
+                   target_recall: float, max_host_rescore: int) -> dict:
+        """Joint (nprobe, host_rescore) sweep against an exhaustive-probe +
+        exact-host-rescore oracle on held-out queries. The oracle is this
+        index's own best reachable operating point (nprobe=nlist, rescore
+        from the store's full-precision embeddings), so the chosen pair's
+        recall is relative reachability — exactly what nprobe buys
+        (cap16m_hard: top-256 containment == top-64, i.e. the tier is
+        probe-limited, not rescore-budget-limited). Pins index.nprobe and
+        config.query.host_rescore."""
+        idx = self.index
+        if queries is None:
+            queries = self.synth_tuning_queries(n=128)
+        queries = np.asarray(queries, dtype=np.float32)
+        # host rescore needs full-precision rows in the store
+        have_store = False
+        for id_ in list(getattr(idx, "_id_to_cell", {}))[:1]:
+            rec = self.store.get(id_)
+            have_store = rec is not None and rec.embedding is not None
+        rescore_grid = [0, max_host_rescore] if (
+            have_store and max_host_rescore > k) else [0]
+
+        def run(nprobe: int, rescore: int) -> List[List[Tuple[str, float]]]:
+            fetch = max(k, rescore)
+            rows = idx.search_batch(queries, fetch, nprobe=nprobe)
+            if rescore:
+                rows = self.engine._host_rescore_rows(queries, rows, k)
+            return [row[:k] for row in rows]
+
+        oracle_rows = run(idx.nlist, max(r for r in rescore_grid + [0]) or 0)
+        oracle = [frozenset(h[0] for h in row) for row in oracle_rows]
+        denom = sum(len(w) for w in oracle) or 1
+
+        def recall_of(rows) -> float:
+            return sum(len({h[0] for h in row} & want)
+                       for row, want in zip(rows, oracle)) / denom
+
+        chosen = (idx.nlist, rescore_grid[-1])
+        chosen_recall = 1.0
+        cand = 1
+        table = []
+        while cand <= idx.nlist:
+            found = False
+            for rescore in rescore_grid:
+                rec = recall_of(run(cand, rescore))
+                table.append({"nprobe": cand, "host_rescore": rescore,
+                              "recall": round(rec, 4)})
+                if rec >= target_recall:
+                    chosen = (cand, rescore)
+                    chosen_recall = rec
+                    found = True
+                    break
+            if found or cand == idx.nlist:
+                break
+            cand = min(cand * 2, idx.nlist)
+        idx.nprobe = chosen[0]
+        self.config.query.host_rescore = chosen[1]
+        return {"nprobe": chosen[0], "host_rescore": chosen[1],
+                "recall": round(chosen_recall, 4), "protocol": "held_out",
+                "sweep": table}
 
     def flush(self) -> None:
         self.store.flush()

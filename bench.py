@@ -538,7 +538,11 @@ def main() -> None:
                                metric="cosine", nblocks=nblk,
                                interpret=interp)
 
-    its_np = 32 if SCALE == 1 else 1
+    # sub-ms probes ride the relay constant hard: at its=32 a 0.07 ms kernel
+    # is ~2 ms of loop against ~25 ms of subtracted overhead, and best/median
+    # of 5 still swung 2-3x run-to-run (VERDICT r3 weak #3). its=128 puts
+    # 9-40 ms of real work in every rep so the variance amortizes.
+    its_np = 128 if SCALE == 1 else 1
     ms, ms_med = timed_fori_reps(step_np, qc, cents, iv, recip, nblk,
                                  its=its_np, reps=5)
 

@@ -354,6 +354,92 @@ def main() -> None:
                 hbm_gb=round((codes4.size + factor4.size * 4
                               + inr.size * 4 + scales4.size * 4) / 2**30, 2))
 
+    # ---------------------------------------------------------- cap16m_masked
+    if "cap16m_masked" in STAGES:
+        # Masked filtered search on the capacity tier (VERDICT r3 item 6):
+        # the cell_mask plumbing reaches the int4 probe
+        # (ivf_int4.py:147-159) and CPU tests prove exactness, but every
+        # on-chip filtered-QPS number dated from the r2 bf16 probe. One row
+        # each at ~1% and ~50% selectivity: QPS + (a) strict containment —
+        # every returned id allowed — and (b) recall vs the MASKED int4
+        # full-scan oracle at the same ranking arithmetic.
+        n, nlist = 16_777_216 // SCALE, 16_384 // SCALE
+        lay = build_clustered_layout(n, nlist, n_centers=262_144 // SCALE,
+                                     seed=4, planes={"int4"})
+        cents, inr, ival = lay["cents"], lay["inr"], lay["ival"]
+        codes4, scales4 = lay["codes4"], lay["scales4"]
+        cap = codes4.shape[1]
+        factor4 = make_factor(scales4, inr, ival)
+        nblk = nblocks_from_counts(jnp.sum(ival, axis=1))
+        kq = random.PRNGKey(7)
+        take = (B + nlist - 1) // nlist
+        qsrc = (unpack_int4(codes4[:, :take, :]).astype(jnp.float32)
+                * scales4[:, :take, None]).reshape(-1, DIM)[:B]
+        q0 = qsrc + 0.05 * random.normal(kq, (B, DIM), jnp.float32)
+
+        lists_per = 256 // SCALE if nlist % (256 // SCALE) == 0 else nlist
+
+        @jax.jit
+        def f_oracle16_masked(q, codes4, factor4, mask):
+            qp = prepare_queries(q, "cosine")
+            nchunks = nlist // lists_per
+            c3 = codes4.reshape(nchunks, lists_per, cap, DIM // 2)
+            f3 = factor4.reshape(nchunks, lists_per, 8, cap)
+            m3 = mask.reshape(nchunks, lists_per, cap)
+
+            def body(carry, xs):
+                cc, ff, mm = xs
+                cand = unpack_int4(cc).astype(jnp.bfloat16)
+                dots = jnp.einsum("bd,lcd->blc", qp.astype(jnp.bfloat16),
+                                  cand, preferred_element_type=jnp.float32)
+                w = jnp.where(mm, ff[:, 0, :], 0.0)
+                sc = dots * w[None] + jnp.where(w[None] == 0.0, -1e9, 0.0)
+                v, i = lax.top_k(sc.reshape(B, lists_per * cap), K)
+                return carry, (v, i)
+
+            _, (vs, is_) = lax.scan(body, None, (c3, f3, m3))
+            offs = (jnp.arange(nchunks, dtype=jnp.int32)
+                    * (lists_per * cap))[:, None, None]
+            is_ = is_ + offs
+            vs = jnp.moveaxis(vs, 0, 1).reshape(B, -1)
+            is_ = jnp.moveaxis(is_, 0, 1).reshape(B, -1)
+            fv, fp = lax.top_k(vs, K)
+            return fv, jnp.take_along_axis(is_, fp, axis=1)
+
+        kmask = random.PRNGKey(21)
+        for sel in (0.5, 0.01):
+            k1, kmask = random.split(kmask)
+            mask = jnp.logical_and(
+                random.uniform(k1, ival.shape) < sel, ival)
+            allowed_np = np.asarray(mask)
+            _, omi = f_oracle16_masked(q0, codes4, factor4, mask)
+            oracle_m = np.asarray(omi)
+
+            for nprobe in (4, 8):
+                def step_m(q, cents, codes4, factor4, mask, nblk,
+                           nprobe=nprobe):
+                    return pallas_ivf_topk_int4(
+                        q, cents, codes4, factor4, k=K, nprobe=nprobe,
+                        metric="cosine", nblocks=nblk, cell_mask=mask,
+                        interpret=interpret)
+
+                ms = timed_fori(step_m, q0, cents, codes4, factor4, mask,
+                                nblk)
+                _, sm = jax.jit(step_m)(q0, cents, codes4, factor4, mask,
+                                        nblk)
+                sm = np.asarray(sm)
+                flat_allowed = allowed_np.reshape(-1)
+                viol = int(sum(0 if flat_allowed[i] else 1
+                               for row in sm for i in row.tolist()
+                               if i >= 0))
+                log("int4_16M_masked", n=n, nlist=nlist, selectivity=sel,
+                    nprobe=nprobe, ms=round(ms, 3),
+                    qps=round(B / ms * 1e3, 0),
+                    disallowed_returned=viol,
+                    recall_vs_masked_oracle=round(
+                        recall_at_k(sm, oracle_m), 4))
+        del lay, cents, inr, ival, codes4, scales4, factor4
+
     # ------------------------------------------------------------ cap16m_hard
     if "cap16m_hard" in STAGES:
         # The honest regime for the 16.78M tier: HELD-OUT queries (fresh

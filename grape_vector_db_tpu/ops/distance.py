@@ -312,7 +312,14 @@ def scored_topk(
                           # bigger batches (e.g. graph-build centroid scans)
                           # stay on the chunked XLA engine
         ):
-            eng = pallas_segmax4_topk if kk >= 4 else pallas_segmax2_topk
+            # Batch split (bench/SEGMAX_AB.jsonl tag=top4_ab, 1M x 768): at
+            # B<=128 the top-4 epilogue hides behind the corpus DMA and the
+            # smaller rescore wins (2.90 vs 2.98 ms); at B=256 the MXU+VPU
+            # work is no longer DMA-hidden and the 3 eqfold recoveries cost
+            # more than the gather they save (4.47 vs 4.35 ms) — top-2 wins
+            # the throughput batch.
+            eng = (pallas_segmax4_topk if kk >= 4 and b <= 128
+                   else pallas_segmax2_topk)
             vals, idxs = eng(queries, vectors, norms, valid,
                              k=kk, metric=metric)
             return _pad_k(vals, idxs, k)

@@ -482,23 +482,50 @@ def pallas_segmax4_topk(
             vj = jnp.minimum(vj, 1.0)
         return vj, rowsj, segj
 
+    def member_rows(ij, segj):
+        memj = jnp.take_along_axis(ij, segj, axis=1).astype(jnp.int32)
+        return (segj // spb_) * CB + segj % spb_ + memj * spb_
+
     v1, rows1, seg1 = known_rows(m1, i1, kk)
     pools_v = [v1]
     pools_rows = [rows1]
     pools_seg = [seg1]
+    # Only TWO full-plane selections are ever needed (m1 for the rank-1
+    # candidates, m2 for the rank-2 pool): m2 >= m3 >= m4 pointwise, so any
+    # segment with m_j >= tau (j >= 3) also has m2 >= tau — and at most
+    # floor(k/2) segments can. The rank-3 pool and the rank-4 rescore set
+    # are therefore FOUND WITHIN the m2-top-floor(k/2) segments by a tiny
+    # [B, r2] gather + top_k, replacing two more full-[B, N/SEG]-plane
+    # selection passes (the selections, not the gather, were the measured
+    # phase-2 wall after the top-4 flip — bench/SEGMAX_AB.jsonl tag=top4_ab).
+    # Boundary ties stay interchangeable by value: a segment excluded by an
+    # m2 tie at tau can only hide rows of value exactly tau.
     r2 = min(kk // 2, num_seg)
+    r3 = min(kk // 3, r2)
+    r4 = min(kk // 4, r2)
     if r2:
-        v2, rows2, seg2 = known_rows(m2, i2, r2)
+        v2, seg2 = sel(m2, r2)
+        if metric == "cosine":
+            v2 = jnp.minimum(v2, 1.0)
         pools_v.append(v2)
-        pools_rows.append(rows2)
+        pools_rows.append(member_rows(i2, seg2))
         pools_seg.append(seg2)
-    r3 = min(kk // 3, num_seg)
+        # degenerate-plane guard for the RESTRICTED selections below: when
+        # m2 has fewer finite segments than r2, the selection's tail
+        # repeats segment 0 — which can be a real finite segment whose
+        # duplicated m3/m4 values would then shadow other qualifying
+        # segments out of the restricted top-k
+        dup2 = _dup_pick_mask(seg2)                         # [B, r2]
     if r3:
-        v3, rows3, seg3 = known_rows(m3, i3, r3)
+        m3_at = jnp.where(dup2, -jnp.inf,
+                          jnp.take_along_axis(m3, seg2, axis=1))  # [B, r2]
+        v3, p3 = lax.top_k(m3_at, r3)
+        seg3 = jnp.take_along_axis(seg2, p3, axis=1)
+        if metric == "cosine":
+            v3 = jnp.minimum(v3, 1.0)
         pools_v.append(v3)
-        pools_rows.append(rows3)
+        pools_rows.append(member_rows(i3, seg3))
         pools_seg.append(seg3)
-    r4 = min(kk // 4, num_seg)
     if r4 == 0:
         cand_vals = jnp.concatenate(pools_v, axis=1)
         cand_rows = jnp.concatenate(pools_rows, axis=1)
@@ -506,7 +533,10 @@ def pallas_segmax4_topk(
         fidx = jnp.take_along_axis(cand_rows, fpos, axis=1)
         return fvals, fidx.astype(jnp.int32)
 
-    _, seg4 = sel(m4, r4)                         # segments needing rescore
+    m4_at = jnp.where(dup2, -jnp.inf,
+                      jnp.take_along_axis(m4, seg2, axis=1))  # [B, r2]
+    _, p4 = lax.top_k(m4_at, r4)
+    seg4 = jnp.take_along_axis(seg2, p4, axis=1)  # segments needing rescore
     blk = seg4 // spb_
     j = seg4 % spb_
     mm = jnp.arange(SEG, dtype=jnp.int32)[None, None, :]

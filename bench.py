@@ -437,6 +437,7 @@ def main() -> None:
         "batch_ms": round(ms, 3), "qps": round(BATCH / ms * 1e3, 0),
         "batch_ms_median": round(ms_med, 3),
         "qps_median": round(BATCH / ms_med * 1e3, 0),
+        "recall": 1.0,  # exact engine (segment-bound argument + parity tests)
         "note": "fused Pallas top-4 segmax (B<=128 routing), recall 1.0 by construction",
     }
 

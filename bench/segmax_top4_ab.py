@@ -75,12 +75,21 @@ def main() -> None:
                                    for k_, (a, b) in rows.items()}}
 
     try:
-        v2, _ = jax.jit(lambda q: pallas_segmax2_topk(
-            q, vecs, norms, valid, k=K, metric="cosine"))(q128)
-        v4, _ = jax.jit(lambda q: pallas_segmax4_topk(
-            q, vecs, norms, valid, k=K, metric="cosine"))(q128)
+        # Corpus as jit OPERANDS, never closure captures: a captured 1.5 GB
+        # array is baked into the HLO and re-uploaded through the relay.
+        # Agreement = INDEX agreement + bf16-tolerant values: on-chip the
+        # two engines score identical rows but with different accumulation
+        # splits (kernel dot vs rescore einsum), so values jitter ~1e-4 rel
+        # in bf16 (bench/top4_agree_diag.py: indices agree at every rank,
+        # worst value delta 1.3e-3 rel). rtol=1e-5 was a false alarm.
+        v2, i2 = jax.jit(lambda q, v, nn, va: pallas_segmax2_topk(
+            q, v, nn, va, k=K, metric="cosine"))(q128, vecs, norms, valid)
+        v4, i4 = jax.jit(lambda q, v, nn, va: pallas_segmax4_topk(
+            q, v, nn, va, k=K, metric="cosine"))(q128, vecs, norms, valid)
+        out["indices_agree_onchip"] = bool(
+            np.array_equal(np.asarray(i2), np.asarray(i4)))
         out["values_agree_onchip"] = bool(np.allclose(
-            np.asarray(v2), np.asarray(v4), rtol=1e-5, atol=1e-5))
+            np.asarray(v2), np.asarray(v4), rtol=3e-3, atol=1e-4))
     except Exception as e:
         out["values_agree_onchip"] = f"check-failed: {e}"[:120]
     print(json.dumps(out, indent=2), flush=True)

@@ -277,43 +277,12 @@ def _segmax2_kernel_selfold(q_vmem, vec_vmem, w_vmem, mrow_vmem,
     m2_vmem[...] = m2
 
 
-def _segmax4_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
-                    m1_vmem, m2_vmem, m3_vmem, m4_vmem,
-                    i1_vmem, i2_vmem, i3_vmem):
-    """One grid step: score a [CB, D] corpus block, reduce each strided
-    segment to its TOP-4 values + the member indices of ranks 1..3.
-
-    Why top-4: the phase-2 wall of the top-2 engine is the rescore row
-    gather, which is per-ROW bound (~38 ns/row on v5e, dtype-independent —
-    CLAUDE.md "binary_profile3"), so the only lever is the number of rows
-    gathered. With top-j values and member indices for j <= 3, a rank-j
-    top-k row is a KNOWN candidate (no gather) for j <= 3, and a segment
-    can hide a rank->=4 row only if its FOURTH value reaches the global
-    k-th — at most floor(k/4) segments can (each holds four rows at or
-    above the threshold). The rescore gather shrinks floor(k/2) ->
-    floor(k/4) segments (k=10: 160 -> 64 rows/query) and for k <= 3
-    disappears entirely.
-
-    Fold: the block is split into four width-CB/4 quarter planes, sorted
-    descending with a 5-compare-exchange odd-even network, then folded by
-    halves with a bitonic 4+4 merge (reverse-pair max stage + 4-element
-    bitonic cleanup, 8 compare-exchanges/step) — values only, no index
-    carries. Member indexes for ranks 1..3 are then recovered with the
-    eqfold trick (strided-expand the rank plane over the block, compare
-    against the scores, min-fold the constant member-index plane); on
-    exact ties between rank values the recovered members collide, which
-    duplicates a row at EQUAL value in the candidate pool — interchangeable
-    under the same tie convention as _verified_exact_topk."""
-    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
-                 else lax.Precision.DEFAULT)
-    dots = jax.lax.dot_general(
-        q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                      # [B, CB]
-    w = w_vmem[0:1, :]
-    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
+def _segmax4_core(scores, mrow_vmem):
+    """Shared top-4 fold + eqfold member recovery over one block's score
+    plane: returns (m1, m2, m3, m4, i1, i2, i3), each [B, CB/SEG]. Factored
+    out so the sup-output kernel variant emits the IDENTICAL fold HLO (the
+    relay compile cache keys on HLO — the shared body keeps the plain
+    kernel's cache entry stable)."""
     cb = scores.shape[1]
     spb = cb // SEG                                        # 128
     qw = cb // 4
@@ -363,7 +332,8 @@ def _segmax4_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
     # un-excluded match always exists and ranks 1..3 recover DISTINCT rows.
     mrow = mrow_vmem[0:1, :]                               # [1, CB]
     prev = []                                              # [B, spb] planes
-    for mj, ivmem in ((m1, i1_vmem), (m2, i2_vmem), (m3, i3_vmem)):
+    sels = []
+    for mj in (m1, m2, m3):
         tiled = jnp.concatenate([mj] * SEG, axis=1)        # [B, CB]
         hit = scores == tiled
         for ip in prev:
@@ -376,11 +346,109 @@ def _segmax4_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
             sel = jnp.minimum(sel[:, :half], sel[:, half:width])
             width = half
         prev.append(sel)
-        ivmem[...] = sel
+        sels.append(sel)
+    return m1, m2, m3, m4, sels[0], sels[1], sels[2]
+
+
+def _segmax4_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem,
+                    m1_vmem, m2_vmem, m3_vmem, m4_vmem,
+                    i1_vmem, i2_vmem, i3_vmem):
+    """One grid step: score a [CB, D] corpus block, reduce each strided
+    segment to its TOP-4 values + the member indices of ranks 1..3.
+
+    Why top-4: the phase-2 wall of the top-2 engine is the rescore row
+    gather, which is per-ROW bound (~38 ns/row on v5e, dtype-independent —
+    CLAUDE.md "binary_profile3"), so the only lever is the number of rows
+    gathered. With top-j values and member indices for j <= 3, a rank-j
+    top-k row is a KNOWN candidate (no gather) for j <= 3, and a segment
+    can hide a rank->=4 row only if its FOURTH value reaches the global
+    k-th — at most floor(k/4) segments can (each holds four rows at or
+    above the threshold). The rescore gather shrinks floor(k/2) ->
+    floor(k/4) segments (k=10: 160 -> 64 rows/query) and for k <= 3
+    disappears entirely.
+
+    Fold: the block is split into four width-CB/4 quarter planes, sorted
+    descending with a 5-compare-exchange odd-even network, then folded by
+    halves with a bitonic 4+4 merge (reverse-pair max stage + 4-element
+    bitonic cleanup, 8 compare-exchanges/step) — values only, no index
+    carries. Member indexes for ranks 1..3 are then recovered with the
+    eqfold trick (strided-expand the rank plane over the block, compare
+    against the scores, min-fold the constant member-index plane); on
+    exact ties between rank values the recovered members collide, which
+    duplicates a row at EQUAL value in the candidate pool — interchangeable
+    under the same tie convention as _verified_exact_topk."""
+    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    dots = jax.lax.dot_general(
+        q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                      # [B, CB]
+    w = w_vmem[0:1, :]
+    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
+    m1, m2, m3, m4, i1, i2, i3 = _segmax4_core(scores, mrow_vmem)
+    i1_vmem[...] = i1
+    i2_vmem[...] = i2
+    i3_vmem[...] = i3
     m1_vmem[...] = m1
     m2_vmem[...] = m2
     m3_vmem[...] = m3
     m4_vmem[...] = m4
+
+
+def _segmax4_sup_kernel(q_vmem, vec_vmem, w_vmem, mrow_vmem, lane_vmem,
+                        m1_vmem, m2_vmem, m3_vmem, m4_vmem,
+                        i1_vmem, i2_vmem, i3_vmem, s1_vmem, s2_vmem):
+    """_segmax4_kernel plus per-BLOCK supersegment maxima of the m1/m2
+    planes as two extra [B, nblocks] outputs, written one lane per grid
+    step into a revisited [B, W] output block (W = lanes per out block;
+    grid step i writes lane i % W of out block i // W).
+
+    Why: phase 2's two full-plane selections each start with a [B, N/SEG]
+    -> [B, nblocks] contiguous-fan reduce — a full extra HBM pass over each
+    16.7 MB plane (B=128 @ 1M) that the kernel can emit for free behind
+    the corpus DMA. Block i's segments are exactly the contiguous range
+    [i*spb, (i+1)*spb) of the global plane (block-major numbering), so
+    s1[:, i] == m1_plane[:, i*spb:(i+1)*spb].max(axis=1) — the same
+    supersegment partition _twolevel_topk(fan=spb) builds on the fly.
+
+    The lane-index plane arrives as an INPUT (like mrow): comparing lanes
+    against a program_id-derived scalar avoids materializing an iota in
+    VMEM (lazily-replicated iota slicing crashes Mosaic on v5e)."""
+    precision = (lax.Precision.HIGHEST if vec_vmem.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    dots = jax.lax.dot_general(
+        q_vmem[...].astype(vec_vmem.dtype), vec_vmem[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                      # [B, CB]
+    w = w_vmem[0:1, :]
+    scores = jnp.where(w == 0.0, -jnp.inf, dots * w)
+    m1, m2, m3, m4, i1, i2, i3 = _segmax4_core(scores, mrow_vmem)
+    i1_vmem[...] = i1
+    i2_vmem[...] = i2
+    i3_vmem[...] = i3
+    m1_vmem[...] = m1
+    m2_vmem[...] = m2
+    m3_vmem[...] = m3
+    m4_vmem[...] = m4
+    # supersegment epilogue: cross-lane max of the folded planes, written
+    # into this step's lane of the revisited [B, W] output block. The first
+    # visit (t == 0) initializes every other lane to -inf instead of
+    # reading the (stale) previous window's values.
+    wlanes = s1_vmem.shape[1]
+    pid = pl.program_id(0)
+    t = (pid % wlanes).astype(jnp.float32)
+    hit = lane_vmem[0:1, :] == t                           # [1, W]
+    first = (pid % wlanes) == 0
+    sup1 = jnp.max(m1, axis=1, keepdims=True)              # [B, 1]
+    sup2 = jnp.max(m2, axis=1, keepdims=True)
+    prev1 = jnp.where(first, -jnp.inf, s1_vmem[...])
+    prev2 = jnp.where(first, -jnp.inf, s2_vmem[...])
+    s1_vmem[...] = jnp.where(hit, sup1, prev1)
+    s2_vmem[...] = jnp.where(hit, sup2, prev2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

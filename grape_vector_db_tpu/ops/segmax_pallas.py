@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["segmax_scores_pallas", "segmax_scores_pallas_contig",
            "segmax2_scores_pallas", "segmax4_scores_pallas",
+           "segmax4_sup_scores_pallas",
            "pallas_segmax_topk", "pallas_segmax2_topk",
            "pallas_segmax4_topk", "segmax_pallas_supported", "SEG"]
 
@@ -496,8 +497,73 @@ def segmax4_scores_pallas(
     )(q, vectors, w_plane, mrow)
 
 
+SUPW = 128        # lanes per supersegment output block (f32 minor tiling)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segmax4_sup_scores_pallas(
+    q: jax.Array,        # [B, D] f32 prepared (normalized for cosine)
+    vectors: jax.Array,  # [N, D] bf16/f32, N % CB == 0, D % 128 == 0
+    w_plane: jax.Array,  # [8, N] f32 validity-masked weight (0 = invalid)
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """segmax4_scores_pallas plus per-BLOCK supersegment maxima of the
+    m1/m2 planes: returns (m1, m2, m3, m4, i1, i2, i3, s1, s2) with
+    s1/s2 = [B, nblocks] f32 (s1[:, i] == max over block i's segments of
+    m1 — the contiguous fan=CB/SEG partition _twolevel_topk builds with a
+    full extra HBM pass over each [B, N/SEG] plane; here it rides the
+    kernel's VPU shadow behind the corpus DMA). Grid step i writes lane
+    i % SUPW of revisited out block i // SUPW; trailing lanes of a partial
+    final block are -inf."""
+    b, d = q.shape
+    n = vectors.shape[0]
+    if n % CB:
+        raise ValueError(f"N={n} must be a multiple of {CB}")
+    if d % 128 and not interpret:
+        raise ValueError(f"D={d} must be 128-aligned for the Pallas kernel")
+    nblocks = n // CB
+    nsup = -(-nblocks // SUPW) * SUPW
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    mrow = jnp.broadcast_to(
+        (jnp.arange(CB, dtype=jnp.int32) // (CB // SEG)
+         ).astype(jnp.float32)[None, :], (8, CB))
+    # lane-index plane as an INPUT (like mrow): comparing against a
+    # program_id-derived scalar avoids a VMEM iota (lazily-replicated iota
+    # slicing crashes Mosaic on v5e)
+    lane = jnp.broadcast_to(
+        jnp.arange(SUPW, dtype=jnp.float32)[None, :], (8, SUPW))
+    spec_out = pl.BlockSpec((b, CB // SEG), lambda i: (0, i))
+    spec_sup = pl.BlockSpec((b, SUPW), lambda i: (0, i // SUPW))
+    outs = pl.pallas_call(
+        _segmax4_sup_kernel,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((b, n // SEG), jnp.float32)
+             for _ in range(7)]
+            + [jax.ShapeDtypeStruct((b, nsup), jnp.float32)
+               for _ in range(2)]),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),            # q resident
+            pl.BlockSpec((CB, d), lambda i: (i, 0)),           # corpus block
+            pl.BlockSpec((8, CB), lambda i: (0, i)),           # weight block
+            pl.BlockSpec((8, CB), lambda i: (0, 0)),           # member idx
+            pl.BlockSpec((8, SUPW), lambda i: (0, 0)),         # lane idx
+        ],
+        out_specs=tuple([spec_out for _ in range(7)]
+                        + [spec_sup for _ in range(2)]),
+        interpret=interpret,
+        **kwargs,
+    )(q, vectors, w_plane, mrow, lane)
+    return outs[:7] + (outs[7][:, :nblocks], outs[8][:, :nblocks])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "interpret", "select")
+    jax.jit, static_argnames=("k", "metric", "interpret", "select", "impl")
 )
 def pallas_segmax4_topk(
     queries: jax.Array,   # [B, D] f32 raw
@@ -509,11 +575,19 @@ def pallas_segmax4_topk(
     interpret: bool = False,
     mask: jax.Array | None = None,  # [N] bool filter (True = allowed)
     select: str = "auto",           # "auto" | "iterative" | "twolevel"
+    impl: str = "plain",            # "plain" | "sup" (in-kernel supersegs)
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k via the top-4-per-segment kernel: ranks 1..3 of every
     segment are KNOWN candidates (value + member index from the kernel, no
     gather), and only the top-floor(k/4) segments by FOURTH value are fully
     rescored — for k <= 3 the result needs no row gather at all.
+
+    impl="sup" runs the kernel variant that also emits per-block
+    supersegment maxima of the m1/m2 planes ([B, nblocks] extra outputs,
+    VPU work hidden behind the corpus DMA), so both phase-2 selections
+    skip their [B, N/SEG]-plane reduce pass and start directly from the
+    precomputed supersegment plane (falls back to iterative selection when
+    nblocks < picks — tiny corpora).
 
     Exactness: let tau be the true k-th score. A top-k row r at rank j
     within its segment s has m_j(s) = score(r) >= tau, and s holds j rows
@@ -533,17 +607,24 @@ def pallas_segmax4_topk(
         valid = jnp.logical_and(valid, mask)
     q = prepare_queries(queries, metric)
     w_plane = make_weight_plane(norms, valid, metric)
-    m1, m2, m3, m4, i1, i2, i3 = segmax4_scores_pallas(
-        q, vectors, w_plane, interpret=interpret)          # [B, N/SEG] each
     num_seg = n // SEG
     kk = min(k, num_seg)
     if select == "auto":
         select = "twolevel" if num_seg >= 16_384 else "iterative"
-    sel = _twolevel_topk if select == "twolevel" else _iterative_topk
+    if impl == "sup":
+        (m1, m2, m3, m4, i1, i2, i3, s1p, s2p) = segmax4_sup_scores_pallas(
+            q, vectors, w_plane, interpret=interpret)
+        sel_m1 = functools.partial(_twolevel_topk_pre, sup=s1p)
+        sel_m2 = functools.partial(_twolevel_topk_pre, sup=s2p)
+    else:
+        m1, m2, m3, m4, i1, i2, i3 = segmax4_scores_pallas(
+            q, vectors, w_plane, interpret=interpret)      # [B, N/SEG] each
+        sel = _twolevel_topk if select == "twolevel" else _iterative_topk
+        sel_m1 = sel_m2 = sel
     spb_ = CB // SEG
 
-    def known_rows(mj, ij, rj):
-        vj, segj = sel(mj, rj)
+    def known_rows(mj, ij, rj, selfn):
+        vj, segj = selfn(mj, rj)
         memj = jnp.take_along_axis(ij, segj, axis=1).astype(jnp.int32)
         rowsj = (segj // spb_) * CB + segj % spb_ + memj * spb_
         if metric == "cosine":
@@ -554,7 +635,7 @@ def pallas_segmax4_topk(
         memj = jnp.take_along_axis(ij, segj, axis=1).astype(jnp.int32)
         return (segj // spb_) * CB + segj % spb_ + memj * spb_
 
-    v1, rows1, seg1 = known_rows(m1, i1, kk)
+    v1, rows1, seg1 = known_rows(m1, i1, kk, sel_m1)
     pools_v = [v1]
     pools_rows = [rows1]
     pools_seg = [seg1]
@@ -572,7 +653,7 @@ def pallas_segmax4_topk(
     r3 = min(kk // 3, r2)
     r4 = min(kk // 4, r2)
     if r2:
-        v2, seg2 = sel(m2, r2)
+        v2, seg2 = sel_m2(m2, r2)
         if metric == "cosine":
             v2 = jnp.minimum(v2, 1.0)
         pools_v.append(v2)
@@ -741,6 +822,33 @@ def _twolevel_topk(plane: jax.Array, kk: int, fan: int = 128
         return _iterative_topk(plane, kk)
     p3 = plane.reshape(b, ns, fan)
     sup = p3.max(axis=-1)                                   # [B, ns]
+    return _twolevel_from_sup(p3, sup, kk, fan)
+
+
+def _twolevel_topk_pre(plane: jax.Array, kk: int, sup: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """_twolevel_topk with the supersegment plane PRECOMPUTED (the
+    segmax4 sup-kernel emits it behind the corpus DMA), skipping the
+    [B, W]-plane reduce pass. sup[:, i] must equal
+    plane[:, i*fan:(i+1)*fan].max(axis=1) with fan = W // ns; falls back
+    to iterative selection when ns < kk (tiny corpora)."""
+    from grape_vector_db_tpu.ops.distance import _iterative_topk
+
+    b, w = plane.shape
+    ns = sup.shape[1]
+    if ns < kk or w % ns:
+        return _iterative_topk(plane, kk)
+    fan = w // ns
+    return _twolevel_from_sup(plane.reshape(b, ns, fan), sup, kk, fan)
+
+
+def _twolevel_from_sup(p3: jax.Array, sup: jax.Array, kk: int, fan: int
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Shared tail: select top-kk supersegments on `sup`, then exact top-kk
+    over the chosen contiguous children of p3 = plane.reshape(b, ns, fan)."""
+    from grape_vector_db_tpu.ops.distance import _iterative_topk
+
+    b = p3.shape[0]
     _, blks = _iterative_topk(sup, kk)                      # [B, kk]
     cvals = jnp.take_along_axis(p3, blks[:, :, None], axis=1)  # [B, kk, fan]
     # Degenerate-plane guard: when fewer than kk supersegments hold any

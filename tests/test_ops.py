@@ -458,6 +458,78 @@ def test_segmax4_pallas_matches_exact(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_segmax4_sup_kernel_matches_plain_and_exact(rng):
+    """The sup-output kernel variant (impl="sup": per-block supersegment
+    maxima of m1/m2 emitted as extra [B, nblocks] outputs, phase-2
+    selections start from them) must (a) emit s1/s2 planes equal to the
+    reshape-max _twolevel_topk would compute, including -inf invalid
+    segments, and (b) produce value+index-valid top-k identical to the
+    exact baseline — at nblocks >= kk (two-level engaged, partial SUPW
+    output block) AND nblocks < kk (iterative fallback inside the pre
+    selection)."""
+    from grape_vector_db_tpu.ops.segmax_pallas import (
+        CB, SEG, make_weight_plane, pallas_segmax4_topk,
+        segmax4_sup_scores_pallas, segmax4_scores_pallas)
+    from grape_vector_db_tpu.ops.distance import prepare_queries, scored_topk
+
+    d, b = 128, 4
+    for n in (65_536, 8_192):          # nblocks = 16 (>= kk) and 2 (< kk)
+        vecs = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        norms = jnp.linalg.norm(vecs, axis=1)
+        valid = jnp.asarray(rng.random(n) > 0.1)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+        qp = prepare_queries(q, "cosine")
+        w = make_weight_plane(norms, valid, "cosine")
+        outs_plain = segmax4_sup_scores_pallas(qp, vecs, w, interpret=True)
+        m1, m2 = outs_plain[0], outs_plain[1]
+        s1, s2 = outs_plain[7], outs_plain[8]
+        nblocks, spb = n // CB, CB // SEG
+        np.testing.assert_array_equal(
+            np.asarray(s1), np.asarray(m1).reshape(b, nblocks, spb).max(-1))
+        np.testing.assert_array_equal(
+            np.asarray(s2), np.asarray(m2).reshape(b, nblocks, spb).max(-1))
+        # m/i planes bitwise-match the plain kernel (shared _segmax4_core)
+        outs_ref = segmax4_scores_pallas(qp, vecs, w, interpret=True)
+        for a, r in zip(outs_plain[:7], outs_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+        for k in (1, 3, 4, 10, 33):
+            rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric="cosine",
+                                chunk=n, mode="exact")
+            pv, pi = pallas_segmax4_topk(q, vecs, norms, valid, k=k,
+                                         metric="cosine", interpret=True,
+                                         impl="sup")
+            np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                                       rtol=1e-5, atol=1e-5)
+            # returned indices must rescore to the returned values and be
+            # distinct within each row (the sup path changes WHICH segments
+            # are inspected, never the value/index contract)
+            pi_np, pv_np = np.asarray(pi), np.asarray(pv)
+            vn = np.asarray(vecs, np.float64)
+            vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+            qn = np.asarray(q, np.float64)
+            qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+            true_scores = qn @ vn.T
+            np.testing.assert_allclose(
+                np.take_along_axis(true_scores, pi_np, axis=1),
+                np.minimum(pv_np, 1.0), rtol=1e-4, atol=1e-4)
+            for row in pi_np:
+                assert len(set(row.tolist())) == len(row)
+    # masked parity at the two-level size
+    n = 65_536
+    vecs = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    norms = jnp.linalg.norm(vecs, axis=1)
+    valid = jnp.ones(n, bool)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    mask = jnp.asarray(rng.random(n) > 0.7)
+    rv, _ = scored_topk(q, vecs, norms, valid, k=10, metric="cosine",
+                        chunk=n, mode="exact", mask=mask)
+    pv, _ = pallas_segmax4_topk(q, vecs, norms, valid, k=10,
+                                metric="cosine", interpret=True,
+                                mask=mask, impl="sup")
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_segmax4_pallas_exact_ties_return_distinct_rows(rng):
     """EXACT intra-segment score ties (duplicate vectors — common in real
     corpora): the eqfold member recovery must break ties so ranks 1..3 of a
@@ -485,11 +557,11 @@ def test_segmax4_pallas_exact_ties_return_distinct_rows(rng):
     norms = jnp.linalg.norm(vecs, axis=1)
     valid = jnp.ones(n, bool)
     q = jnp.asarray(q_np)
-    for k in (3, 4, 10):
+    for k, impl in ((3, "plain"), (4, "plain"), (10, "plain"), (10, "sup")):
         rv, _ = scored_topk(q, vecs, norms, valid, k=k, metric="dot",
                             chunk=n, mode="exact")
         pv, pi = pallas_segmax4_topk(q, vecs, norms, valid, k=k,
-                                     metric="dot", interpret=True)
+                                     metric="dot", interpret=True, impl=impl)
         np.testing.assert_allclose(np.asarray(pv), np.asarray(rv),
                                    rtol=1e-5, atol=1e-5)
         pi_np = np.asarray(pi)
@@ -527,7 +599,9 @@ def test_segmax_engines_degenerate_validity_no_duplicate_ids(rng):
           @ np.asarray(vecs, np.float64)[valid_rows].T)      # [B, 96]
     oracle_v = -np.sort(-sc, axis=1)[:, :k]
     valid_set = set(valid_rows.tolist())
-    for eng in (pallas_segmax_topk, pallas_segmax2_topk, pallas_segmax4_topk):
+    import functools as _ft
+    for eng in (pallas_segmax_topk, pallas_segmax2_topk, pallas_segmax4_topk,
+                _ft.partial(pallas_segmax4_topk, impl="sup")):
         pv, pi = eng(q, vecs, norms, valid, k=k, metric="dot",
                      interpret=True)
         pv, pi = np.asarray(pv), np.asarray(pi)

@@ -312,13 +312,20 @@ def scored_topk(
                           # bigger batches (e.g. graph-build centroid scans)
                           # stay on the chunked XLA engine
         ):
-            # Batch split (bench/SEGMAX_AB.jsonl tag=top4_ab, 1M x 768): at
-            # B<=128 the top-4 epilogue hides behind the corpus DMA and the
-            # smaller rescore wins (2.90 vs 2.98 ms); at B=256 the MXU+VPU
-            # work is no longer DMA-hidden and the 3 eqfold recoveries cost
-            # more than the gather they save (4.47 vs 4.35 ms) — top-2 wins
-            # the throughput batch.
-            eng = (pallas_segmax4_topk if kk >= 4 and b <= 128
+            # bench/SEGMAX_AB.jsonl tag=top4_ab, 1M x 768: top-4 wins B=128
+            # outright (2.90 vs 2.98 ms — epilogue hides behind the corpus
+            # DMA, smaller rescore). The ORIGINAL phase 2 lost B=256 (4.47
+            # vs 4.35: four full-plane selections outweighed the saved
+            # gather), but the restricted phase 2 (rank-3 pool and rescore
+            # set derived from the m2 selection — only two full-plane
+            # selections remain) flipped it: top-4 4.30-4.33 vs top-2
+            # 4.34-4.44 in same-run pairs, so top-4 takes every batch the
+            # kernel accepts. The sup-output kernel variant (impl="sup",
+            # in-kernel supersegment maxima) measured a WASH on top of this
+            # (tag=sup_ab: 2.836/4.348 vs 2.834/4.328 ms) — the two reduce
+            # passes it eliminates are ~0.04 ms of HBM traffic — so the
+            # default stays "plain"; don't re-attempt without a new lever.
+            eng = (pallas_segmax4_topk if kk >= 4
                    else pallas_segmax2_topk)
             vals, idxs = eng(queries, vectors, norms, valid,
                              k=kk, metric=metric)

@@ -149,9 +149,10 @@ def _local_topk(q, vecs, norms, valid, k: int, metric: str, chunk: int,
             and d % 128 == 0
             and b <= 256
         ):
-            # same batch split as scored_topk: top-4 only where its epilogue
-            # hides behind the corpus DMA (bench/SEGMAX_AB.jsonl tag=top4_ab)
-            eng = (pallas_segmax4_topk if min(k, n) >= 4 and b <= 128
+            # same split as scored_topk: top-4 at every accepted batch since
+            # the restricted phase 2 (bench/SEGMAX_AB.jsonl tag=top4_ab:
+            # B=128 2.90 vs 2.98 ms; B=256 4.30-4.33 vs 4.34-4.44)
+            eng = (pallas_segmax4_topk if min(k, n) >= 4
                    else pallas_segmax2_topk)
             return eng(q, vecs, norms, valid, k=min(k, n), metric=metric)
     if b * n <= 2**27:

@@ -438,7 +438,7 @@ def main() -> None:
         "batch_ms_median": round(ms_med, 3),
         "qps_median": round(BATCH / ms_med * 1e3, 0),
         "recall": 1.0,  # exact engine (segment-bound argument + parity tests)
-        "note": "fused Pallas top-4 segmax (B<=128 routing), recall 1.0 by construction",
+        "note": "fused Pallas top-4 segmax, recall 1.0 by construction",
     }
 
     # Throughput-optimal batch for the same engine: the 1.6 GB corpus read
@@ -451,9 +451,9 @@ def main() -> None:
         "batch_ms": round(ms, 3), "qps": round(256 / ms * 1e3, 0),
         "batch_ms_median": round(ms_med, 3),
         "qps_median": round(256 / ms_med * 1e3, 0),
-        "note": "exact engine at the throughput batch (256 queries; routes "
-                "to the top-2 kernel — the top-4 epilogue is only DMA-hidden "
-                "at B<=128, bench/SEGMAX_AB.jsonl tag=top4_ab)",
+        "note": "exact engine at the throughput batch (256 queries; top-4 "
+                "segmax with the m2-restricted phase 2 — bench/SEGMAX_AB.jsonl "
+                "tag=top4_ab)",
     }
     del v1m, n1m, m1m, c1m, f1m
 

@@ -359,23 +359,50 @@ class VectorDatabase:
         # unique, so skipping the CachingEmbedder wrapper here loses nothing;
         # the query path still goes through the cache).
         missing = [d for d in docs if d.vector is None]
+        dim = self.config.vector_dimension
+        embedded_all: Optional[np.ndarray] = None
+        device_ingest = None  # (chunks, drain) from embed_ingest
         if missing:
             texts = [f"{d.title or ''} {d.content}".strip() for d in missing]
             prov = self.embedder
+            ing_fn = getattr(prov, "embed_ingest", None) or getattr(
+                getattr(prov, "inner", None), "embed_ingest", None)
             arr_fn = getattr(prov, "embed_array", None) or getattr(
                 getattr(prov, "inner", None), "embed_array", None)
-            if arr_fn is not None:
-                for d, row in zip(missing, arr_fn(texts)):
+            if (ing_fn is not None
+                    and len(missing) == len(docs)
+                    and hasattr(self.index, "add_batch_device")
+                    and len({d.id for d in docs}) == len(docs)):
+                # text-only batch on a device-scatter-capable index: the
+                # projection outputs stay on the device for the index scatter
+                # (no readback->re-upload round trip on the vector rows) and
+                # the store's f16 copy drains AFTER the scatter is dispatched
+                # so the wire transfer overlaps host work. Per 4096x768
+                # batch: 6.3 MB moved vs 18.9 MB on the host path
+                # (bench/SERVING.jsonl tag=embed_profile).
+                device_ingest = ing_fn(texts)
+            elif arr_fn is not None:
+                arr = arr_fn(texts)
+                for d, row in zip(missing, arr):
                     d.vector = row
+                if len(missing) == len(docs):
+                    # text-only batch: the embed output IS the batch matrix;
+                    # skip the per-row re-stack below (one 12 MB memcpy per
+                    # 4096x768 batch) and check the dim once
+                    embedded_all = arr
             else:
                 for d, e in zip(missing, self.embedder.generate_embeddings(texts)):
                     d.vector = list(e)
-        dim = self.config.vector_dimension
-        for d in docs:
-            if len(d.vector) != dim:
+        if embedded_all is not None:
+            if embedded_all.shape[1] != dim:
                 raise InvalidArgumentError(
-                    f"document {d.id}: vector dim {len(d.vector)} != {dim}"
-                )
+                    f"embedder dim {embedded_all.shape[1]} != {dim}")
+        elif device_ingest is None:
+            for d in docs:
+                if len(d.vector) != dim:
+                    raise InvalidArgumentError(
+                        f"document {d.id}: vector dim {len(d.vector)} != {dim}"
+                    )
         with self._lock:
             ids = [d.id for d in docs]
             # BM25 indexing overlaps the other host phases on a worker
@@ -391,10 +418,28 @@ class VectorDatabase:
             )
             err: Optional[BaseException] = None
             try:
-                records = [DocumentRecord.from_document(d) for d in docs]
-                self.store.batch_insert(records)
-                vecs = _stack_vectors(docs, dim)
-                self.index.add_batch(ids, vecs)
+                if device_ingest is not None:
+                    # device-direct order: scatter first (all-async device
+                    # work), then drain the f16 store rows — the wire
+                    # transfer overlaps the scatter dispatch, the filter
+                    # indexing below, and the BM25 thread (its native
+                    # tokenizer call releases the GIL)
+                    chunks, drain = device_ingest
+                    self.index.add_batch_device(ids, chunks)
+                    arr = drain()
+                    if arr.shape[1] != dim:
+                        raise InvalidArgumentError(
+                            f"embedder dim {arr.shape[1]} != {dim}")
+                    for d, row in zip(docs, arr):
+                        d.vector = row
+                    records = [DocumentRecord.from_document(d) for d in docs]
+                    self.store.batch_insert(records)
+                else:
+                    records = [DocumentRecord.from_document(d) for d in docs]
+                    self.store.batch_insert(records)
+                    vecs = (embedded_all if embedded_all is not None
+                            else _stack_vectors(docs, dim))
+                    self.index.add_batch(ids, vecs)
                 self.filter_engine.index_documents(
                     (d.id, d.metadata) for d in docs)
             except BaseException as e:

@@ -61,6 +61,14 @@ def ship_batch(arr: np.ndarray, storage_dtype) -> np.ndarray:
     return arr
 
 
+@functools.partial(jax.jit, static_argnames=("dt",))
+def _cast_rows(vecs, dt: str):
+    """Storage-dtype cast + norms for a device-resident batch (the
+    device-direct ingest path: the batch never visits the host)."""
+    v = vecs.astype(dt)
+    return v, _row_norms(v)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_invalidate(valid, slots):
     return valid.at[slots].set(False, mode="drop")
@@ -196,6 +204,35 @@ class FlatDeviceIndex(VectorIndex):
             # host); on the MXU it is free and pipelines with the scatter.
             norms_d = _row_norms(vecs_d)
             self._write(jnp.asarray(slots_p), vecs_d, norms_d)
+
+    def add_batch_device(self, ids: Sequence[str],
+                         chunks: Sequence[Tuple[jax.Array, int]]) -> None:
+        """Scatter device-resident rows without a host round trip.
+
+        ``chunks`` is ``[(device f32 [padded_rows, dim], n_valid), ...]``
+        with ``sum(n_valid) == len(ids)`` — the shape ``DeviceHashEmbedder.
+        embed_ingest`` hands back. Rows past ``n_valid`` in each chunk are
+        padding and are dropped via PAD_SLOT. Caller guarantees ``ids`` are
+        unique within the batch (the db's text-only ingest path checks);
+        the host path ``add_batch`` remains the general entry.
+        """
+        if not len(ids):
+            return
+        total = sum(nv for _, nv in chunks)
+        if total != len(ids):
+            raise ValueError(f"chunks carry {total} rows for {len(ids)} ids")
+        for dev, _ in chunks:
+            if dev.ndim != 2 or dev.shape[1] != self._dim:
+                raise DimensionMismatchError(self._dim, dev.shape[-1])
+        with self._lock:
+            slots = self._assign_slots(ids)
+            off = 0
+            for dev, nv in chunks:
+                sp = pad_rows(slots[off:off + nv], dev.shape[0],
+                              fill=PAD_SLOT)
+                off += nv
+                vecs_d, norms_d = _cast_rows(dev, str(self.storage_dtype))
+                self._write(jnp.asarray(sp), vecs_d, norms_d)
 
     def _write(self, slots, vecs, norms) -> None:
         """Scatter one padded batch into the device arrays (overridable)."""

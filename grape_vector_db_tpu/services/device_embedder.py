@@ -117,18 +117,40 @@ class DeviceHashEmbedder(EmbeddingProvider):
 
     def embed_array(self, texts: Sequence[str]) -> np.ndarray:
         """Batch embed to a float32 ``[len(texts), dim]`` array (no per-float
-        boxing — the ingest path stores these rows directly)."""
+        boxing — the ingest path stores these rows directly). Values ride the
+        f16 readback wire (see ``embed_ingest``), so they carry f16 rounding
+        (~5e-4 relative on unit rows) — deterministically, same text same
+        vector."""
         if not texts:
             return np.zeros((0, self._dim), np.float32)
+        _, drain = self.embed_ingest(texts)
+        return drain().astype(np.float32)
+
+    def embed_ingest(self, texts: Sequence[str]):
+        """Ingest-path embedding: ``(chunks, drain)``.
+
+        ``chunks`` is ``[(device f32 [padded, dim], n_valid), ...]`` — the
+        projection outputs still resident on the device, for a device-direct
+        index scatter (``FlatDeviceIndex.add_batch_device``) that skips the
+        host round trip on the scatter operand entirely. ``drain()`` blocks
+        on the f16 host copies (started async here, so the transfer overlaps
+        the caller's scatter dispatch and host work) and returns the
+        ``[len(texts), dim]`` float16 rows the document store keeps.
+
+        Relay-bandwidth accounting per 4096x768 batch (tag=embed_profile):
+        the old path read back 12.6 MB f32 then re-uploaded 6.3 MB bf16 for
+        the scatter; this path moves 6.3 MB f16 total.
+        """
+        if not texts:
+            return [], lambda: np.zeros((0, self._dim), np.float16)
         idx, val = self._featurize(texts)
         fn, proj = self._kernel()
-        out = np.empty((len(texts), self._dim), np.float32)
         step = self._chunk
         # dispatch every chunk asynchronously, then drain with one readback
         # pass: jax dispatch is async, so the per-chunk round trip (~25 ms
         # each through the TPU relay) otherwise serializes — at 4 chunks per
         # 4096-doc ingest batch that was ~75 ms/batch of pure latency
-        pending = []
+        chunks, parts = [], []
         for lo in range(0, len(texts), step):
             hi = min(lo + step, len(texts))
             b = next_bucket(hi - lo)
@@ -136,10 +158,21 @@ class DeviceHashEmbedder(EmbeddingProvider):
             vb = np.zeros((b, idx.shape[1]), np.float32)
             ib[: hi - lo] = idx[lo:hi]
             vb[: hi - lo] = val[lo:hi]
-            pending.append((lo, hi, fn(ib, vb, proj)))
-        for lo, hi, dev in pending:
-            out[lo:hi] = np.asarray(dev)[: hi - lo]
-        return out
+            e32, e16 = fn(ib, vb, proj)
+            try:
+                e16.copy_to_host_async()
+            except Exception:
+                pass  # backend without async host copy: drain still works
+            chunks.append((e32, hi - lo))
+            parts.append((lo, hi, e16))
+
+        def drain() -> np.ndarray:
+            out = np.empty((len(texts), self._dim), np.float16)
+            for lo, hi, e16 in parts:
+                out[lo:hi] = np.asarray(e16)[: hi - lo]
+            return out
+
+        return chunks, drain
 
     # -- featurization (host) --------------------------------------------------
 
@@ -249,7 +282,13 @@ class DeviceHashEmbedder(EmbeddingProvider):
                 e = jax.lax.dot(plane.astype(jnp.bfloat16), proj,
                                 preferred_element_type=jnp.float32)
                 n = jnp.linalg.norm(e, axis=1, keepdims=True)
-                return e / jnp.maximum(n, 1e-12)
+                out = e / jnp.maximum(n, 1e-12)
+                # two outputs: f32 stays on device for a device-direct index
+                # scatter; the f16 copy is what crosses the wire to the host
+                # (half the readback bytes — the relay data path measured
+                # ~28-55 MB/s, so bytes ARE milliseconds on this term;
+                # bench/SERVING.jsonl tag=embed_profile)
+                return out, out.astype(jnp.float16)
 
             _PROJ_CACHE[key] = (embed, proj)
             return _PROJ_CACHE[key]

@@ -178,3 +178,47 @@ def test_native_featurizer_exact_parity():
         mod._HASH_LIB, mod._HASH_LIB_READY = saved, saved_ready
     np.testing.assert_array_equal(idx_m, idx_mp)
     np.testing.assert_array_equal(val_m, val_mp)
+
+
+def test_device_direct_ingest_parity_and_fallbacks():
+    """The text-only fast path (embed_ingest + add_batch_device: device
+    f32 rows scattered without a host round trip, f16 rows to the store)
+    must be search- and store-equivalent to the host path, and mixed /
+    duplicate-id batches must take the host path."""
+    cfg = VectorDbConfig(vector_dimension=128)
+    cfg.embedding.provider = "device"
+    cfg.embedding.hash_buckets = 4096
+    cfg.index.initial_capacity = 64
+    cfg.cache.enabled = False
+    db = VectorDatabase(config=cfg)
+    try:
+        texts = [f"theme {i % 5} document body number {i}" for i in range(33)]
+        db.batch_add_documents(
+            [Document(id=f"t{i}", content=texts[i]) for i in range(33)])
+        # stored rows: f16, matching embed_array (same f16 wire) exactly
+        ref = db.embedder.embed_array(texts)
+        for i in (0, 7, 32):
+            rec = db.store.get(f"t{i}")
+            emb = np.asarray(rec.embedding, np.float32)
+            np.testing.assert_allclose(emb, ref[i], atol=2e-3)
+        # index rows live: text query self-match through the full engine
+        res = db.search(SearchRequest(query=texts[7], limit=1))
+        assert res and res[0].document.id == "t7"
+        # mixed batch (one doc carries a vector): host path, still correct
+        v = np.zeros(128, np.float32); v[0] = 1.0
+        db.batch_add_documents([
+            Document(id="mix_v", content="has a vector", vector=v),
+            Document(id="mix_t", content="unique zebra xylophone text"),
+        ])
+        res = db.search(SearchRequest(query="unique zebra xylophone", limit=1))
+        assert res and res[0].document.id == "mix_t"
+        # duplicate ids in one text-only batch: host path dedupes, last wins
+        db.batch_add_documents([
+            Document(id="dup", content="first version of the dup doc"),
+            Document(id="dup", content="second version wins the slot"),
+        ])
+        rec = db.store.get("dup")
+        assert rec is not None
+        assert len(db.index) == 33 + 2 + 1
+    finally:
+        db.close()

@@ -202,10 +202,16 @@ class DeviceConfig:
     micro_batch_wait_ms: float = 2.0
     # Coordinator-side leg batching: pack concurrent session-less
     # scatter-gather legs headed to the SAME node into one
-    # data_search_batch RPC (halves+ the per-search leg count under load;
-    # the node unpacks straight into its device micro-batcher, so packs
-    # co-batch with everyone else's traffic on arrival).
-    coordinator_batch: bool = True
+    # data_search_batch RPC. Measured A/B under 64-thread load
+    # (bench/cluster_qps.py, in-process transport): OFF wins — 615 QPS
+    # p50 93 ms vs 449 QPS p50 138.7 ms on — because the per-node
+    # BatchingExecutor already packs concurrent legs at the data-RPC
+    # layer, so the coordinator window is a second serial wait in the
+    # path (double batching). Default off; the knob remains for
+    # deployments whose per-leg RPC overhead dominates (e.g. many
+    # coordinator->node hops over a high-latency DCN where cutting leg
+    # COUNT matters more than the window).
+    coordinator_batch: bool = False
     # Mesh axis names for corpus sharding / replication.
     shard_axis: str = "shard"
     replica_axis: str = "replica"

@@ -1100,7 +1100,11 @@ def test_coordinator_leg_batcher_packs_concurrent_searches(svc):
     svc.upsert(docs)
     node = svc.any_node()
     # widen the pack window so packing is deterministic under CI load (the
-    # leg batchers are created lazily on first use, reading this config)
+    # leg batchers are created lazily on first use, reading this config).
+    # coordinator_batch defaults OFF since the measured A/B (per-node
+    # batching already packs legs; bench/cluster_qps.py) — opt in here to
+    # exercise the packer path itself.
+    node.db.config.device.coordinator_batch = True
     node.db.config.device.micro_batch_wait_ms = 50.0
 
     def one(i):

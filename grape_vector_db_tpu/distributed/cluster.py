@@ -1232,10 +1232,14 @@ class ClusterNode:
                 stale += [int(k) for k in min_versions
                           if int(k) in self._unready_shards
                           and int(k) not in stale]
-        # timeout covers a worst-case cold jit compile through the relay
+        # Budget covers a worst-case cold jit compile AND congested-relay
+        # stalls (observed >120 s): abandoning the future doesn't cancel the
+        # device work, it just loses the answer the queue will produce
+        # anyway, so the handler waits long and the CALLER's transport
+        # deadline + failed-leg replica retry handle truly lost nodes.
         hits = self._search_batcher.search(
             np.asarray(payload["vector"], dtype=np.float32),
-            int(payload["k"]), timeout_s=120.0)
+            int(payload["k"]), timeout_s=600.0)
         return {"hits": [(h.id, h.score) for h in hits], "stale": stale}
 
     def _rpc_data_search_batch(self, payload: Dict[str, Any]) -> Dict[str, Any]:
@@ -1259,7 +1263,7 @@ class ClusterNode:
         futs = [self._search_batcher.submit(
                     np.asarray(v, dtype=np.float32), k)
                 for v in payload["vectors"]]
-        per_q = [[(h.id, h.score) for h in f.result(timeout=120.0)]
+        per_q = [[(h.id, h.score) for h in f.result(timeout=600.0)]
                  for f in futs]
         return {"hits_per_query": per_q, "stale": stale}
 
@@ -1523,7 +1527,9 @@ class ClusterNode:
 
     def _call_search_batch(self, nid: str, payload: Dict[str, Any]
                            ) -> Dict[str, Any]:
-        return self._call(nid, "data_search_batch", payload, timeout_s=120.0)
+        # deadline matches the handler's 600 s device budget (see
+        # _rpc_data_search)
+        return self._call(nid, "data_search_batch", payload, timeout_s=600.0)
 
     def search_batch(self, vectors: Sequence[Sequence[float]], k: int = 10,
                      session: Optional[SessionToken] = None,
@@ -1540,7 +1546,7 @@ class ClusterNode:
         vecs = [list(v) for v in vectors]
         if not vecs:
             return []
-        owners, primaries, healthy = self._scatter_targets()
+        owners, primaries, healthy, alternates = self._scatter_targets()
         items = list(owners.items())
 
         def one_batch(nid: str, sids: Set[int]):
@@ -1586,29 +1592,30 @@ class ClusterNode:
         ]
 
     def _scatter_targets(self):
-        """(owners, primaries, healthy) under the same bounded bootstrap
-        grace the single-query path applies (see ``search``)."""
+        """(owners, primaries, healthy, alternates) under the same bounded
+        bootstrap grace the single-query path applies (see ``search``).
+        ``alternates[sid]`` lists every healthy owner of the shard in
+        priority order (primary first) — the retry pool when a leg fails."""
         deadline = time.monotonic() + 5.0
         while True:
             with self._state_lock:
                 owners: Dict[str, Set[int]] = {}
+                alternates: Dict[int, List[str]] = {}
                 healthy = set(self.healthy_node_ids())
                 primaries = {sid: info.primary_node
                              for sid, info in self.shard_map.shards.items()}
                 any_placed = any(p for p in primaries.values())
                 for sid, info in self.shard_map.shards.items():
-                    target = None
-                    if info.primary_node in healthy:
-                        target = info.primary_node
-                    else:
-                        for r in info.replica_nodes:
-                            if r in healthy:
-                                target = r
-                                break
-                    if target is not None:
-                        owners.setdefault(target, set()).add(sid)
+                    cands, seen = [], set()
+                    for n in (info.primary_node, *info.replica_nodes):
+                        if n in healthy and n not in seen:
+                            seen.add(n)
+                            cands.append(n)
+                    if cands:
+                        alternates[sid] = cands
+                        owners.setdefault(cands[0], set()).add(sid)
             if owners or any_placed or time.monotonic() >= deadline:
-                return owners, primaries, healthy
+                return owners, primaries, healthy, alternates
             time.sleep(0.02)
 
     def search(self, vector: Sequence[float], k: int = 10,
@@ -1632,7 +1639,7 @@ class ClusterNode:
         # owners are all unhealthy are a degraded cluster, and stalling every
         # query 5 s exactly then would turn a fast degraded answer into a
         # thundering pile-up of blocked server threads.
-        owners, primaries, healthy = self._scatter_targets()
+        owners, primaries, healthy, alternates = self._scatter_targets()
 
         def one(nid: str, sids: Set[int]):
             payload: Dict[str, Any] = {"vector": list(vector), "k": k}
@@ -1649,8 +1656,18 @@ class ClusterNode:
                     # per concurrent search (timeout covers a worst-case
                     # cold jit compile through the relay behind the pack).
                     fut = self._leg_batcher(nid).submit(list(vector), k)
-                    return fut.result(timeout=120.0)
-                return self._call(nid, "data_search", payload, timeout_s=5.0)
+                    return fut.result(timeout=600.0)
+                # Transport deadline matches the handler's 600 s device
+                # budget: the leg's duration legitimately includes a cold
+                # jit compile or a congested-relay stall on the remote node
+                # (observed >120 s), and dropping a leg loses that shard's
+                # results. Dead nodes still fail fast via TransportError +
+                # the failure detector — the deadline only binds on
+                # slow-but-alive nodes, where waiting beats returning a
+                # partial top-k (a 5 s budget here measurably broke
+                # scatter-gather during relay stalls: self-match 2/8).
+                return self._call(nid, "data_search", payload,
+                                  timeout_s=600.0)
             except (TransportError, concurrent.futures.TimeoutError):
                 return None
 
@@ -1682,6 +1699,32 @@ class ClusterNode:
 
         for (nid, sids), resp in zip(items, responses):
             if resp is None:
+                # Leg failed: unreachable node, or a device launch stalled
+                # past the handler's budget (seen for real behind relay
+                # congestion). Dropping the shards silently returns a WRONG
+                # top-k — retry each shard once at its next healthy owner
+                # (RF>=2 keeps one); the stall that killed the first leg has
+                # usually cleared by the time the retry lands. Shards with
+                # no reachable owner are surfaced via stale_out rather than
+                # silently absent.
+                regroup: Dict[str, Set[int]] = {}
+                for sid in sids:
+                    alt = next((a for a in alternates.get(sid, [])
+                                if a != nid), None)
+                    if alt is not None:
+                        regroup.setdefault(alt, set()).add(sid)
+                    else:
+                        still_stale.append(sid)
+                for alt, alt_sids in regroup.items():
+                    r2 = one(alt, alt_sids)
+                    if r2 is None:
+                        still_stale.extend(sorted(alt_sids))
+                        continue
+                    stale2 = set(r2.get("stale", [])) & alt_sids
+                    merge(r2, only_shards=alt_sids - stale2)
+                    if stale2:
+                        merge(r2, only_shards=stale2)
+                        still_stale.extend(sorted(stale2))
                 continue
             stale_sids = set(resp.get("stale", []))
             # A stale shard's hits from this node may include deleted docs or

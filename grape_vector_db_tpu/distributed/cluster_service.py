@@ -176,6 +176,10 @@ class ClusterService:
         while not self._stop_discovery.wait(self.config.heartbeat_interval_s):
             for n in self.nodes.values():
                 try:
+                    # a node is trivially alive to itself, but it never
+                    # receives its own heartbeat RPC — touch the self entry
+                    # so the staleness sweep only ever suspects PEERS
+                    n.load_balancer.mark_heartbeat(n.node_id)
                     n.load_balancer.sweep_stale()
                 except Exception:
                     pass

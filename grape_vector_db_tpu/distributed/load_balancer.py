@@ -13,6 +13,7 @@ from __future__ import annotations
 import random
 import threading
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -65,8 +66,18 @@ class IntelligentLoadBalancer:
     # -- membership ------------------------------------------------------------
 
     def add_node(self, info: NodeInfo) -> None:
+        # The LB owns a COPY of the NodeInfo: its staleness sweep
+        # (sweep_stale -> SUSPECTED) is a local routing hint, while the
+        # caller's object is typically the raft-replicated membership entry —
+        # sharing the object let the LB's view silently corrupt the
+        # replicated one (a node never heartbeats ITSELF, so every node's
+        # own entry went stale-SUSPECTED once uptime passed stale_after_s,
+        # and cluster_health reported a permanently degraded cluster).
+        # Membership transitions still reach the LB explicitly via
+        # set_node_state (the node_failed/node_recovered apply path).
         with self._lock:
-            self._nodes[info.node_id] = _NodeStats(info=info, weight=info.weight)
+            self._nodes[info.node_id] = _NodeStats(
+                info=dataclasses.replace(info), weight=info.weight)
 
     def remove_node(self, node_id: str) -> None:
         with self._lock:

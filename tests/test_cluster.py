@@ -1134,3 +1134,59 @@ def test_session_searches_bypass_the_leg_batcher(svc):
     hits = node.search(docs[9].vector, k=3, session=session)
     assert hits[0][0] == "doc-9"
     assert not node._leg_batchers, "session search rode the leg batcher"
+
+
+def test_cluster_health_stays_healthy_past_the_stale_window(svc):
+    """A node never receives its own heartbeat RPC, so the service's
+    staleness sweep must touch each node's own LB entry — otherwise every
+    node goes stale-SUSPECTED once uptime passes stale_after_s and health
+    reports a permanently degraded cluster (regression: exposed by a
+    slow-relay tpu_cluster_smoke; searches were fine, health stuck at 2/3)."""
+    import time as _time
+
+    for n in svc.nodes.values():
+        n.load_balancer.config.stale_after_s = 0.05
+    _time.sleep(max(0.4, svc.config.heartbeat_interval_s * 4))
+    h = svc.any_node().cluster_health()
+    assert h.status == "healthy" and h.healthy_nodes == 3, (
+        h.status, h.healthy_nodes)
+    # and the LB did not quietly suspect peers it IS hearing from
+    for n in svc.nodes.values():
+        assert n.load_balancer.route_request()
+
+
+def test_failed_scatter_leg_retries_at_replica(svc):
+    """A scatter leg that dies in flight (transport drop / stalled handler
+    past its budget) must not silently lose its shards from the top-k: the
+    coordinator retries each shard once at its next healthy owner (RF=2
+    keeps one). Regression for the relay-stall mode where one leg timed out
+    and self-match quietly dropped to 2/8."""
+    from grape_vector_db_tpu.errors import TransportError
+
+    docs = make_docs(60)
+    svc.upsert(docs)
+    coord = svc.nodes["node-0"]
+    victim = "node-1"
+    orig = svc.transport._handlers[victim]
+    state = {"dropped": 0}
+
+    def flaky(method, payload):
+        if method == "data_search" and state["dropped"] == 0:
+            state["dropped"] += 1
+            raise TransportError("injected: leg lost in flight")
+        return orig(method, payload)
+
+    svc.transport._handlers[victim] = flaky
+    try:
+        # a doc whose shard's primary is the victim, so its leg is the one
+        # that drops
+        sid_of = coord.shard_map.shard_for_key
+        target = next(
+            d for d in docs
+            if coord.shard_map.shards[sid_of(d.id)].primary_node == victim)
+        stale: list = []
+        hits = coord.search(target.vector, k=3, stale_out=stale)
+        assert state["dropped"] == 1, "injected leg failure never fired"
+        assert hits and hits[0][0] == target.id, (hits[:3], stale)
+    finally:
+        svc.transport._handlers[victim] = orig

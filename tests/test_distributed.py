@@ -397,3 +397,24 @@ def test_failed_primary_only_shard_elects_new_primary_and_recovers():
     done = fo.run_pending()
     assert all(not (t.result or "").startswith("error:") for t in done), \
         [t.result for t in done]
+
+
+def test_lb_staleness_never_corrupts_the_shared_membership_view():
+    """sweep_stale's SUSPECTED is an LB-local routing hint. When the caller
+    registers the raft-replicated membership NodeInfo, the sweep must not
+    mutate it (regression: the shared object let every node's OWN entry go
+    stale-SUSPECTED after stale_after_s — a node never heartbeats itself —
+    and cluster_health reported a permanently degraded cluster once uptime
+    crossed 60 s; exposed by a slow-relay tpu_cluster_smoke run)."""
+    from grape_vector_db_tpu.distributed.types import NodeInfo, NodeState
+
+    lb = IntelligentLoadBalancer(LoadBalancerConfig(stale_after_s=0.01))
+    member = NodeInfo(node_id="n0", address="x")
+    lb.add_node(member)
+    time.sleep(0.05)
+    assert lb.sweep_stale() == ["n0"]
+    # LB view suspected, membership view untouched
+    assert member.state == NodeState.HEALTHY
+    # explicit membership transitions still reach the LB
+    lb.set_node_state("n0", NodeState.FAILED)
+    assert member.state == NodeState.HEALTHY

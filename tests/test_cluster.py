@@ -1161,7 +1161,7 @@ def test_failed_scatter_leg_retries_at_replica(svc):
     coordinator retries each shard once at its next healthy owner (RF=2
     keeps one). Regression for the relay-stall mode where one leg timed out
     and self-match quietly dropped to 2/8."""
-    from grape_vector_db_tpu.errors import TransportError
+    from grape_vector_db_tpu.distributed.transport import TransportError
 
     docs = make_docs(60)
     svc.upsert(docs)

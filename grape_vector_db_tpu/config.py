@@ -133,6 +133,19 @@ class QueryConfig:
     # recall. The TPU-native analog of the reference rescoring binary
     # candidates from stored vectors (quantization.rs:286-354).
     host_rescore: int = 0
+    # Selectivity-aware filtered search on probe-based indexes (IVF family,
+    # mask_exact=False — an in-probe mask only covers the probed lists;
+    # measured recall 0.13 vs the masked oracle at 1% selectivity on the
+    # 16.78M int4 tier). When a filter allows at most ``filter_exact_max``
+    # ids, the planner skips the device entirely and scores the allowed
+    # rows' full-precision store embeddings on host (exact, and cheaper
+    # than a dispatch at this size). Between that and
+    # ``filter_exhaustive_below`` x index-size allowed rows, it runs the
+    # exhaustive masked scan (ops/ivf_scan.py: one streaming corpus pass +
+    # k-list probe — exact at a flat-scan cost). Above, the normal masked
+    # probe is already near-exact. 0 / 0.0 disable each tier.
+    filter_exact_max: int = 8192
+    filter_exhaustive_below: float = 0.05
 
 
 @dataclass

@@ -180,6 +180,47 @@ class QueryEngine:
             out.append(rescored[:k])
         return out
 
+    def _host_exact_over_ids(
+        self,
+        queries: np.ndarray,
+        ids,
+        k: int,
+    ) -> Optional[List[List[Tuple[str, float]]]]:
+        """Exact dense top-k over an explicit allowed-id set, scored on host
+        from the store's full-precision embeddings. Used when a
+        low-selectivity filter hits a probe-based index (``mask_exact`` is
+        False): for small allowed sets the exact answer is cheaper than any
+        device dispatch, and it is full-precision — strictly better than
+        the quantized device scan would be. Returns None when the store
+        holds no embeddings for the set (caller falls back to the device
+        path)."""
+        ids = list(ids)
+        recs = self.store.batch_get(ids)
+        kept_ids, embs = [], []
+        for id_, rec in zip(ids, recs):
+            if rec is not None and rec.embedding is not None:
+                kept_ids.append(id_)
+                embs.append(rec.embedding)
+        if not embs:
+            return None
+        m = np.empty((len(embs), len(embs[0])), np.float32)
+        for j, e in enumerate(embs):
+            m[j] = e
+        metric = getattr(self.index, "metric", "cosine")
+        if metric == "cosine":
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        out = []
+        kk = min(k, len(kept_ids))
+        for q in np.asarray(queries, dtype=np.float32):
+            if metric == "cosine":
+                q = q / max(float(np.linalg.norm(q)), 1e-12)
+            scores = m @ q
+            part = np.argpartition(-scores, kk - 1)[:kk]
+            order = part[np.argsort(-scores[part])]
+            out.append([(kept_ids[j], float(scores[j])) for j in order])
+        return out
+
     # -- vector search ------------------------------------------------------------------
 
     def vector_search(self, req: SearchRequest) -> List[ScoredPoint]:
@@ -212,16 +253,47 @@ class QueryEngine:
                 # Masked top-k inside the search kernel (SURVEY §7.1 step 6;
                 # filtering.rs:374-488 semantics done device-side): the filter
                 # compiles to a slot mask fused into the scan's validity
-                # predicate, so even a 0.1%-selective filter returns the exact
-                # top-k over allowed rows — no over-fetch heuristics.
+                # predicate. On full-scan indexes (mask_exact) that is the
+                # exact top-k over allowed rows at any selectivity. On the
+                # probe-based IVF family the in-probe mask only covers the
+                # probed lists (measured: recall 0.13-0.14 vs the masked
+                # oracle at 1% selectivity on the 16.78M int4 tier), so low
+                # selectivity routes to an exact tier instead:
+                #   |allowed| <= filter_exact_max     -> host full-precision
+                #   |allowed| <  exhaustive_below * N -> exhaustive masked
+                #     scan (one corpus pass + k-list probe, ops/ivf_scan.py)
                 # The (list, pos)-addressed mask must not race a concurrent
                 # optimize() repack between compile and search.
-                with self.index.locked():
-                    mask = self.index.compile_mask(allowed)
-                    hits = self.index.search_batch(
-                        np.asarray(req.vector, dtype=np.float32)[None, :],
-                        dev_fetch, mask=mask, **search_kw,
-                    )[0]
+                hits = None
+                if not getattr(self.index, "mask_exact", True):
+                    host_max = int(getattr(
+                        self.config, "filter_exact_max", 0))
+                    if len(allowed) <= host_max:
+                        rows = self._host_exact_over_ids(
+                            np.asarray(req.vector,
+                                       dtype=np.float32)[None, :],
+                            allowed, dev_fetch)
+                        if rows is not None:
+                            hits = rows[0]
+                            rescore_c = 0  # already full-precision exact
+                if hits is None:
+                    exh = (not getattr(self.index, "mask_exact", True)
+                           and getattr(self.index,
+                                       "supports_exhaustive_mask", False)
+                           and len(self.index) > 0
+                           and len(allowed) < float(getattr(
+                               self.config, "filter_exhaustive_below", 0.0))
+                           * len(self.index))
+                    kw = dict(search_kw)
+                    if exh:
+                        kw["exhaustive"] = True
+                    with self.index.locked():
+                        mask = self.index.compile_mask(allowed)
+                        hits = self.index.search_batch(
+                            np.asarray(req.vector,
+                                       dtype=np.float32)[None, :],
+                            dev_fetch, mask=mask, **kw,
+                        )[0]
             else:
                 # Fallback (indexes without masked search): over-fetch so the
                 # host post-filter still fills the page — scaled by the

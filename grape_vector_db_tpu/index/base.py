@@ -44,6 +44,21 @@ class VectorIndex(abc.ABC):
     #: device-side; SURVEY §7.1 step 6).
     supports_mask: bool = False
 
+    #: Whether a mask folded into search_batch is EXACT over the allowed
+    #: rows at ANY selectivity. Full-scan indexes (flat/int8/binary) fuse
+    #: the mask into a corpus-wide scan, so yes. Probe-based indexes (the
+    #: IVF family) only mask the probed lists — allowed rows in unprobed
+    #: lists are invisible (measured: recall 0.13 vs the masked oracle at
+    #: 1% selectivity on the 16.78M int4 tier) — so the planner applies a
+    #: selectivity-aware fallback when this is False.
+    mask_exact: bool = True
+
+    #: Probe-based indexes whose bucketed layout can run the exhaustive
+    #: masked scan (ops/ivf_scan.py: one streaming pass + k-list probe)
+    #: advertise it here; ``search_batch(..., exhaustive=True)`` then
+    #: returns the exact masked top-k at any selectivity.
+    supports_exhaustive_mask: bool = False
+
     @property
     @abc.abstractmethod
     def dimension(self) -> int: ...

@@ -136,6 +136,13 @@ def _ivf_topk(
 class IvfDeviceIndex(VectorIndex):
     kind = "ivf"
     supports_mask = True
+    # A probe visits nprobe lists; a mask folded into it is exact only over
+    # those lists — allowed rows elsewhere are invisible (measured: recall
+    # 0.13-0.14 vs the masked oracle at 1% selectivity on the 16.78M tier,
+    # bench/SWEEP_INT4.jsonl int4_16M_masked). The planner routes around
+    # this at low selectivity; see ops/ivf_scan.py.
+    mask_exact = False
+    supports_exhaustive_mask = True
     # Mosaic DMA lane alignment the kernel needs from the DIMENSION; int4
     # tightens to 256 (its packed width d/2 must be 128-aligned).
     _pallas_dim_align = 128
@@ -437,8 +444,31 @@ class IvfDeviceIndex(VectorIndex):
             valid, k=k, nprobe=nprobe, metric=self.metric,
         )
 
+    def _scan_planes(self):
+        """(data, weight plane, format) for the exhaustive masked scan —
+        the same arrays the probe kernel reads (subclass seam)."""
+        return self.vecs, self.recip, "bf16"
+
+    def _exhaustive_topk(self, qp: np.ndarray, k: int, mask):
+        """Exact masked top-k over EVERY list: one streaming corpus pass
+        reduces each list to its masked max, then the top-k lists per query
+        go through the normal DMA probe (ops/ivf_scan.py). The planner's
+        low-selectivity fallback — nprobe does not bound recall here."""
+        from grape_vector_db_tpu.ops.ivf_scan import (
+            default_chunk_lists, ivf_exhaustive_masked_topk)
+
+        data, plane, fmt = self._scan_planes()
+        return ivf_exhaustive_masked_topk(
+            jnp.asarray(qp), data, plane, jnp.asarray(mask[0]),
+            k=k, metric=self.metric, fmt=fmt,
+            chunk_lists=default_chunk_lists(self.nlist, data.shape[1]),
+            use_kernel=self._use_pallas,
+            interpret=self._pallas_interpret,
+            nblocks=self._pallas_nblocks() if self._use_pallas else None)
+
     def search_batch(self, queries: np.ndarray, k: int,
-                     mask=None, nprobe=None) -> List[List[SearchHit]]:
+                     mask=None, nprobe=None,
+                     exhaustive: bool = False) -> List[List[SearchHit]]:
         queries = np.asarray(queries, dtype=np.float32)
         if queries.shape[1] != self._dim:
             raise DimensionMismatchError(self._dim, queries.shape[1])
@@ -451,7 +481,12 @@ class IvfDeviceIndex(VectorIndex):
                     queries, k, mask=None if mask is None else mask[1])
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
-            vals, slots = self._main_topk(qp, k, mask, nprobe=nprobe)
+            if (exhaustive and mask is not None
+                    and self.supports_exhaustive_mask
+                    and self._scan_planes()[0] is not None):
+                vals, slots = self._exhaustive_topk(qp, k, mask)
+            else:
+                vals, slots = self._main_topk(qp, k, mask, nprobe=nprobe)
             vals, slots = fetch_scores_slots(vals, slots)
             vals, slots = vals[:b], slots[:b]
             if len(self._overflow):

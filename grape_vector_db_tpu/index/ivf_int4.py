@@ -144,6 +144,9 @@ class Int4IvfDeviceIndex(Int8IvfDeviceIndex):
 
     # -- search ----------------------------------------------------------------
 
+    def _scan_planes(self):
+        return self.codes, self.factor, "int4"
+
     def _main_topk(self, qp: np.ndarray, k: int, mask, nprobe=None):
         nprobe = min(nprobe or self.nprobe, self.nlist)
         cm = None if mask is None else jnp.asarray(mask[0])

@@ -187,6 +187,9 @@ class Int8IvfDeviceIndex(IvfDeviceIndex):
             return 0
         return next_bucket(max(self.rescore, k), base=64)
 
+    def _scan_planes(self):
+        return self.codes, self.factor, "int8"
+
     def _main_topk(self, qp: np.ndarray, k: int, mask, nprobe=None):
         nprobe = min(nprobe or self.nprobe, self.nlist)
         cm = None if mask is None else jnp.asarray(mask[0])

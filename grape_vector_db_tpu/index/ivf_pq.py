@@ -187,6 +187,8 @@ def _ivfpq_topk(
 
 class IvfPqDeviceIndex(IvfDeviceIndex):
     kind = "ivf_pq"
+    # PQ codes need the ADC arithmetic, not the shared bf16/int8/int4 scan.
+    supports_exhaustive_mask = False
 
     def __init__(self, *args, n_sub: Optional[int] = None, nbits: int = 8,
                  rescore_k: int = 256, residual: bool = True,

@@ -185,7 +185,8 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
     # -- search -------------------------------------------------------------------
 
     def search_batch(self, queries: np.ndarray, k: int,
-                     mask=None, nprobe=None) -> List[List]:
+                     mask=None, nprobe=None,
+                     exhaustive: bool = False) -> List[List]:
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2 or queries.shape[1] != self.full_dim:
             raise DimensionMismatchError(self.full_dim,
@@ -193,9 +194,9 @@ class ProjectedInt8IvfIndex(Int8IvfDeviceIndex):
                                          else -1)
         if self.proj is None:
             return super().search_batch(queries[:, :self._dim], k, mask=mask,
-                                        nprobe=nprobe)
+                                        nprobe=nprobe, exhaustive=exhaustive)
         return super().search_batch(self._project(queries), k, mask=mask,
-                                    nprobe=nprobe)
+                                    nprobe=nprobe, exhaustive=exhaustive)
 
     # -- introspection (back-project to the caller's space) -----------------------
 

@@ -1,0 +1,152 @@
+"""Exhaustive masked IVF scan — exact filtered search at any selectivity.
+
+The DMA probe visits ``nprobe`` lists per query, so a filter mask folded
+into it is exact only over the probed lists: at low selectivity the masked
+oracle's winners live in lists the centroid ranking never surfaces
+(measured at 16.78M rows / 1% selectivity: recall 0.13-0.14 vs the masked
+oracle at nprobe 4/8, bench/SWEEP_INT4.jsonl ``int4_16M_masked``). This
+module restores exactness the TPU way, without re-reading the corpus per
+query (a naive nprobe=nlist probe would: the kernel DMAs each probed list
+once per query cell):
+
+- **Phase 1** streams the whole bucketed layout once ([L, C, ...] in
+  ``chunk_lists``-list chunks, one MXU einsum per chunk) and reduces each
+  list to its masked score maximum -> a [B, L] plane. No top-k inside the
+  loop (``lax.top_k`` over long axes is pathological on TPU; the per-list
+  max is a cheap VPU reduce fused into the matmul's epilogue).
+- **Phase 2** selects each query's top-``P`` lists from that plane (exact
+  iterative selection over [B, L]) and probes exactly those lists through
+  the same ragged block-DMA kernel the normal search uses, with the mask
+  folded into the final selection. Two-phase exactness argument: if a true
+  top-k row's list were outside the top-k lists ranked by masked max, at
+  least k rows in better-ranked lists would beat it — contradiction. So
+  ``P >= k`` lists suffice.
+
+Cost = one corpus read (the bytes a flat scan moves) + a k-list probe.
+This is the planner's fallback when a filter's selectivity is below
+``QueryConfig.filter_exhaustive_below`` on an index whose mask is not
+exact (``mask_exact = False``, the IVF family).
+
+Reference parity: filtering.rs:374-400 — the reference filters by
+post-intersecting a full scan (always exact, never fast); this keeps the
+exactness contract and adds the fast path for the common case.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from grape_vector_db_tpu.ops.distance import _select_topk, prepare_queries
+from grape_vector_db_tpu.ops.int4 import unpack_int4
+from grape_vector_db_tpu.ops.ivf_pallas import (
+    finalize_probe_topk, ivf_probe_scores, ivf_probe_scores_int4,
+    ivf_probe_scores_int8)
+
+__all__ = ["ivf_exhaustive_masked_topk", "default_chunk_lists"]
+
+# Keep each chunk's [B, chunk_lists * C] selection plane on the iterative
+# exact path (ops/distance.py routes <= 262_144 there) and its [B, CL, C]
+# score intermediate modest.
+_MAX_CHUNK_CELLS = 262_144
+
+
+def default_chunk_lists(nlist: int, cap: int) -> int:
+    """Largest power-of-two list count per phase-1 chunk that divides
+    ``nlist`` and keeps chunk cells <= 262k (the iterative-selection
+    crossover; larger chunks gain nothing — phase 1 is bandwidth-bound)."""
+    cl = 1
+    while (cl * 2 <= nlist and nlist % (cl * 2) == 0
+           and cl * 2 * cap <= _MAX_CHUNK_CELLS):
+        cl *= 2
+    return cl
+
+
+def _dequant(dd: jax.Array, fmt: str) -> jax.Array:
+    """Chunk rows -> bf16 candidates, matching each probe kernel's
+    arithmetic (validated vs the probes at 50% selectivity: recall 1.0)."""
+    if fmt == "bf16":
+        return dd.astype(jnp.bfloat16)
+    if fmt == "int8":
+        return dd.astype(jnp.bfloat16)
+    if fmt == "int4":
+        return unpack_int4(dd).astype(jnp.bfloat16)
+    raise ValueError(f"unknown scan format {fmt!r}")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "metric", "fmt", "chunk_lists", "use_kernel", "interpret"))
+def ivf_exhaustive_masked_topk(
+    queries: jax.Array,   # [B, D] f32 raw
+    data: jax.Array,      # [L, C, D] bf16 | [L, C, D] int8 | [L, C, D/2] packed
+    plane: jax.Array,     # [L, 8, C] f32 weight plane (recip / factor; 0 = invalid)
+    mask: jax.Array,      # [L, C] bool filter (True = allowed)
+    k: int,
+    metric: str = "cosine",
+    fmt: str = "bf16",
+    chunk_lists: int = 64,
+    use_kernel: bool = False,          # ragged DMA probe for phase 2 (TPU)
+    interpret: bool = False,
+    nblocks: jax.Array | None = None,  # [L] occupied RB-row blocks (kernel)
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact masked top-k over EVERY list of a bucketed IVF layout.
+
+    Returns (vals [B, k] f32, slots [B, k] int32 global cell ids lst*C+pos)
+    — the ``_main_topk`` contract. Disallowed/invalid rows can only appear
+    as -inf tail padding. ``k <= 64`` keeps both selections on the
+    iterative exact path; larger k degrades to ``lax.top_k``.
+    """
+    b = queries.shape[0]
+    l, c = mask.shape
+    qp = prepare_queries(queries, metric)
+    qb = qp.astype(jnp.bfloat16)
+
+    nch = l // chunk_lists
+    d3 = data.reshape((nch, chunk_lists) + tuple(data.shape[1:]))
+    w0 = plane[:, 0, :]                                   # [L, C]
+    p3 = w0.reshape(nch, chunk_lists, c)
+    m3 = mask.reshape(nch, chunk_lists, c)
+
+    def body(carry, xs):
+        dd, ww, mm = xs
+        cand = _dequant(dd, fmt)                          # [CL, C, D]
+        dots = jnp.einsum("bd,lcd->blc", qb, cand,
+                          preferred_element_type=jnp.float32)
+        w = jnp.where(mm, ww, 0.0)
+        sc = jnp.where(w[None] == 0.0, -jnp.inf, dots * w[None])
+        return carry, sc.max(axis=2)                      # [B, CL]
+
+    _, lmax = lax.scan(body, None, (d3, p3, m3))          # [nch, B, CL]
+    lmax = jnp.moveaxis(lmax, 0, 1).reshape(b, l)         # [B, L]
+
+    p = min(l, max(k, 8))
+    _, probe = _select_topk(lmax, p, "exact", 0.99)       # [B, P]
+    probe = probe.astype(jnp.int32)
+
+    if use_kernel:
+        if fmt == "bf16":
+            scores = ivf_probe_scores(qp, probe, data, plane,
+                                      nblocks=nblocks, interpret=interpret)
+        elif fmt == "int8":
+            scores = ivf_probe_scores_int8(qp, probe, data, plane,
+                                           nblocks=nblocks,
+                                           interpret=interpret)
+        else:
+            scores = ivf_probe_scores_int4(qp, probe, data, plane,
+                                           nblocks=nblocks,
+                                           interpret=interpret)
+    else:
+        # XLA gather phase 2 (CPU tests / unaligned shapes): k lists per
+        # query is small, so the gather is bounded even though per-row.
+        dd = data[probe]                                  # [B, P, C, ...]
+        cand = _dequant(dd, fmt)
+        dots = jnp.einsum("bd,bpcd->bpc", qb, cand,
+                          preferred_element_type=jnp.float32)
+        w = w0[probe]                                     # [B, P, C]
+        scores = jnp.where(w == 0.0, -1e9, dots * w)
+
+    return finalize_probe_topk(qp, probe, scores, k, metric, cell_mask=mask)

@@ -828,6 +828,10 @@ class ShardedIvfIndex(IvfDeviceIndex):
 
     kind = "sharded_ivf"
     supports_mask = True
+    # The sharded layouts hold per-shard array handles; the single-chip
+    # exhaustive masked scan does not apply (scatter-gather coordinators
+    # over-fetch + post-filter instead).
+    supports_exhaustive_mask = False
 
     def __init__(
         self,

@@ -73,6 +73,20 @@ def _recip_invalidate(recip, list_ids, positions):
     return recip.at[list_ids, :, positions].set(0.0, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _weight_plane(norms, valid, metric: str):
+    """Synthesize the [L, 8, C] score-weight plane the exhaustive masked
+    scan needs when the Pallas probe (and so ``recip``) is off — same
+    semantics as ``_recip_scatter``: 1/|v| for cosine, 1.0 for dot,
+    0 = invalid cell."""
+    if metric == "cosine":
+        w = 1.0 / jnp.maximum(norms, 1e-12)
+    else:
+        w = jnp.ones_like(norms)
+    w = jnp.where(valid, w, 0.0)
+    return jnp.broadcast_to(w[:, None, :], (norms.shape[0], 8, norms.shape[1]))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def _ivf_topk(
     queries,      # [B, D] f32 raw
@@ -165,6 +179,11 @@ class IvfDeviceIndex(VectorIndex):
     ):
         self._dim = dimension
         self.metric = metric
+        if metric not in ("cosine", "dot"):
+            # the exhaustive masked scan scores weighted dots only
+            # (ops/ivf_scan.py); euclidean filters use the in-probe mask +
+            # the planner's host full-precision tier instead
+            self.supports_exhaustive_mask = False
         self.storage_dtype = jnp.dtype(storage_dtype)
         self.nlist = nlist
         self.nprobe = min(nprobe, nlist)
@@ -446,8 +465,13 @@ class IvfDeviceIndex(VectorIndex):
 
     def _scan_planes(self):
         """(data, weight plane, format) for the exhaustive masked scan —
-        the same arrays the probe kernel reads (subclass seam)."""
-        return self.vecs, self.recip, "bf16"
+        the same arrays the probe kernel reads (subclass seam). Off-Pallas
+        there is no maintained ``recip`` plane; synthesize the equivalent
+        from norms+validity (the r4 crash: ivf_scan subscripted None)."""
+        plane = self.recip
+        if plane is None:
+            plane = _weight_plane(self.norms, self.valid, self.metric)
+        return self.vecs, plane, "bf16"
 
     def _exhaustive_topk(self, qp: np.ndarray, k: int, mask):
         """Exact masked top-k over EVERY list: one streaming corpus pass
@@ -482,8 +506,7 @@ class IvfDeviceIndex(VectorIndex):
             bb = next_bucket(b, base=8)
             qp = pad_rows(queries, bb)
             if (exhaustive and mask is not None
-                    and self.supports_exhaustive_mask
-                    and self._scan_planes()[0] is not None):
+                    and self.supports_exhaustive_mask):
                 vals, slots = self._exhaustive_topk(qp, k, mask)
             else:
                 vals, slots = self._main_topk(qp, k, mask, nprobe=nprobe)

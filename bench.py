@@ -144,32 +144,45 @@ def main() -> None:
         wcfg = VectorDbConfig(vector_dimension=DIM)
         wcfg.index.initial_capacity = cap
         wcfg.cache.enabled = False
-        wdb = VectorDatabase(config=wcfg)
         wdocs = [Document(id=f"w{i}", content=f"doc {i} topic{i % 7}",
                           vector=vecs[i]) for i in range(n)]
         wb = 4096
-        wdb.batch_add_documents(wdocs[:wb])
-        gc.collect()
-        gc.disable()
-        try:
-            t0 = time.perf_counter()
-            for i in range(wb, n, wb):
-                wdb.batch_add_documents(wdocs[i:i + wb])
-            jax.block_until_ready(getattr(wdb.index, "vectors", None))
-            write_s = time.perf_counter() - t0
-        finally:
-            gc.enable()
+
+        def write_draw() -> float:
+            wdb = VectorDatabase(config=wcfg)
+            wdb.batch_add_documents(wdocs[:wb])  # warm jit caches
+            gc.collect()
+            gc.disable()
+            try:
+                t0 = time.perf_counter()
+                for i in range(wb, n, wb):
+                    wdb.batch_add_documents(wdocs[i:i + wb])
+                jax.block_until_ready(getattr(wdb.index, "vectors", None))
+                dt = time.perf_counter() - t0
+            finally:
+                gc.enable()
+            wdb.close()
+            return (n - wb) / dt
+
+        # The relay's upload bandwidth swings run-to-run (observed 1.9k-39k
+        # docs/s for identical code), so a single draw records tunnel
+        # weather: take >= 2 draws, report best + median, score the median.
+        wdraws = [write_draw()]
+        wdraws.append(write_draw())
+        if (n - wb) / wdraws[0] < 30.0:  # first draw fast -> afford a third
+            wdraws.append(write_draw())
+        w_med = float(np.median(wdraws))
         matrix["write_path_100k"] = {
-            "docs_per_s": round((n - wb) / write_s, 0),
-            "vs_write_baseline_13240": round((n - wb) / write_s / 13_240, 2),
+            "docs_per_s": round(max(wdraws), 0),
+            "docs_per_s_median": round(w_med, 0),
+            "draws": [round(d, 0) for d in wdraws],
+            "vs_write_baseline_13240": round(w_med / 13_240, 2),
             "note": "full batch_add_documents (store+index+BM25+filters); "
-                    "through the dev relay this row is capped by the tunnel's "
-                    "upload bandwidth (observed 1.9k-39k for identical code as "
-                    "tunnel load varied; embeddings ship as bf16 to halve the "
-                    "bytes) — quiet-relay/co-located draws in bench/SERVING.jsonl",
+                    "best + median over draws (relay upload bandwidth "
+                    "varies; embeddings ship as bf16 to halve the bytes) — "
+                    "quiet-relay/co-located draws in bench/SERVING.jsonl",
         }
-        wdb.close()
-        del wdb, wdocs
+        del wdocs
 
     # ------------------------------------------------------------- flat modes
 
@@ -745,6 +758,10 @@ def main() -> None:
             for kk_ in ("qps", "qps_median", "recall")},
         "write_path_docs_per_s": matrix.get(
             "write_path_100k", {}).get("docs_per_s"),
+        "write_path_docs_per_s_median": matrix.get(
+            "write_path_100k", {}).get("docs_per_s_median"),
+        "write_path_vs_baseline": matrix.get(
+            "write_path_100k", {}).get("vs_write_baseline_13240"),
         "ingest_docs_per_s": matrix.get("ingest_100k", {}).get("docs_per_s"),
         "backend": result["backend"],
     }

@@ -157,9 +157,61 @@ def main() -> None:
             failures.append(kind)
         del idx
 
+    cross_engine_index_agreement(failures)
+
     if failures:
         raise SystemExit(f"tpu_smoke FAILED for: {failures}")
     print("tpu_smoke: all kinds OK")
+
+
+def cross_engine_index_agreement(failures: list) -> None:
+    """All four exact top-k engines must return the SAME INDICES at every
+    rank on the same corpus. Cross-engine VALUE jitter is expected (bf16
+    accumulation order, up to ~1.3e-3 rel — bench/top4_agree_diag.py), so
+    this compares indices only; an index mismatch means an engine regressed.
+    Canary form of the r4 diag, so engine drift is caught here and not
+    first seen in a bench (VERDICT r4 item 8). Calls the engines directly —
+    the production router only picks the segmax engines above 131k rows,
+    which is too much corpus for a canary upload."""
+    import jax.numpy as jnp
+
+    from grape_vector_db_tpu.ops.distance import (_segmax_exact_topk,
+        prepare_queries, scored_topk)
+    from grape_vector_db_tpu.ops.segmax_pallas import (pallas_segmax2_topk,
+        pallas_segmax4_topk, segmax_pallas_supported)
+
+    n2, d2, b2, k2 = 32768, 256, 16, 10
+    rng = np.random.default_rng(7)
+    vecs_f = rng.standard_normal((n2, d2)).astype(np.float32)
+    vecs = jnp.asarray(vecs_f, dtype=jnp.bfloat16)
+    norms = jnp.linalg.norm(jnp.asarray(vecs_f), axis=1)
+    valid = jnp.ones((n2,), dtype=bool)
+    q = jnp.asarray(vecs_f[:b2] + 0.01 * rng.standard_normal(
+        (b2, d2)).astype(np.float32))
+
+    engines = {
+        "iterative": lambda: scored_topk(q, vecs, norms, valid, k=k2,
+                                         metric="cosine", mode="exact"),
+        "xla_segmax": lambda: _segmax_exact_topk(
+            prepare_queries(q, "cosine"), vecs, norms, valid, k2,
+            "cosine", n2),
+    }
+    if segmax_pallas_supported():
+        engines["top2"] = lambda: pallas_segmax2_topk(
+            q, vecs, norms, valid, k=k2, metric="cosine")
+        engines["top4"] = lambda: pallas_segmax4_topk(
+            q, vecs, norms, valid, k=k2, metric="cosine")
+    got = {name: np.asarray(fn()[1]) for name, fn in engines.items()}
+    base_name = "iterative"
+    base = got[base_name]
+    bad = [name for name, idxs in got.items()
+           if not np.array_equal(idxs, base)]
+    line = f"cross-engine index agreement ({', '.join(got)})"
+    if bad:
+        print(f"FAIL {line}: {bad} disagree with {base_name}", flush=True)
+        failures.append("cross_engine_agreement")
+    else:
+        print(f"OK   {line}", flush=True)
 
 
 if __name__ == "__main__":

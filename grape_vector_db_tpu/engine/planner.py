@@ -277,13 +277,29 @@ class QueryEngine:
                             hits = rows[0]
                             rescore_c = 0  # already full-precision exact
                 if hits is None:
-                    exh = (not getattr(self.index, "mask_exact", True)
-                           and getattr(self.index,
-                                       "supports_exhaustive_mask", False)
-                           and len(self.index) > 0
-                           and len(allowed) < float(getattr(
-                               self.config, "filter_exhaustive_below", 0.0))
-                           * len(self.index))
+                    exh_wanted = (not getattr(self.index, "mask_exact", True)
+                                  and len(self.index) > 0
+                                  and len(allowed) < float(getattr(
+                                      self.config,
+                                      "filter_exhaustive_below", 0.0))
+                                  * len(self.index))
+                    exh = exh_wanted and getattr(
+                        self.index, "supports_exhaustive_mask", False)
+                    if exh_wanted and not exh:
+                        # Exactness backstop for probe indexes without an
+                        # exhaustive scan (ivf_pq): the host full-precision
+                        # tier, whatever the allowed-set size — matching the
+                        # reference's always-exact filtered search
+                        # (filtering.rs:374-400) at the reference's own
+                        # cost model (a full pass over the allowed rows).
+                        rows = self._host_exact_over_ids(
+                            np.asarray(req.vector,
+                                       dtype=np.float32)[None, :],
+                            allowed, dev_fetch)
+                        if rows is not None:
+                            hits = rows[0]
+                            rescore_c = 0
+                if hits is None:
                     kw = dict(search_kw)
                     if exh:
                         kw["exhaustive"] = True

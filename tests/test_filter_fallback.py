@@ -115,6 +115,43 @@ def test_exhaustive_masked_scan_exact_where_probe_misses(kind):
         assert len(set(got) & set(want)) >= k - 1, (kind, got, want)
 
 
+@pytest.mark.parametrize("kind", ["sharded_ivf", "sharded_ivf_int8",
+                                  "sharded_ivf_int4"])
+def test_sharded_exhaustive_masked_scan_exact(kind):
+    """The exactness contract extends across the mesh (r4 verdict item 2):
+    the SPMD exhaustive masked scan finds allowed rows the sharded nprobe=1
+    probe provably cannot reach, over the 8-device virtual mesh."""
+    from grape_vector_db_tpu.parallel import (ShardedInt4IvfIndex,
+        ShardedInt8IvfIndex, ShardedIvfIndex, make_mesh)
+
+    cls = {"sharded_ivf": ShardedIvfIndex,
+           "sharded_ivf_int8": ShardedInt8IvfIndex,
+           "sharded_ivf_int4": ShardedInt4IvfIndex}[kind]
+    rng = np.random.default_rng(11)
+    ids, vectors, query, allowed_rows = _adversarial_corpus(rng)
+    allowed_ids = {f"r{i}" for i in allowed_rows}
+    k = 5
+
+    idx = cls(vectors.shape[1], mesh=make_mesh(), nlist=8, nprobe=1,
+              initial_capacity=4096)
+    idx.add_batch(ids, vectors)
+    assert len(idx._overflow) == 0, "lists spilled; enlarge initial_capacity"
+    assert idx.supports_mask and not idx.mask_exact
+    assert idx.supports_exhaustive_mask
+
+    with idx.locked():
+        mask = idx.compile_mask(allowed_ids)
+        probe_hits = idx.search_batch(query[None, :], k, mask=mask)[0]
+        exh_hits = idx.search_batch(query[None, :], k, mask=mask,
+                                    exhaustive=True)[0]
+
+    want = _oracle_ids(vectors, allowed_rows, query, k)
+    assert set(h[0] for h in probe_hits) != set(want), \
+        "probe unexpectedly exact — adversarial layout broken"
+    got = [h[0] for h in exh_hits]
+    assert got == want, (kind, got, want)
+
+
 def test_exhaustive_matches_probe_at_high_selectivity():
     """At 50% selectivity both paths see the same lists — same answer
     (the exhaustive scan is a strict superset of the probe's coverage)."""
@@ -191,6 +228,31 @@ def test_planner_host_exact_tier_over_small_filter():
         vector=query, limit=5,
         filter=Filter(must=[Condition("vip", "eq", True)])))
     assert {p.id for p in got2} != want
+
+
+def test_planner_host_backstop_without_exhaustive_support():
+    """ivf_pq has no exhaustive masked scan (supports_exhaustive_mask is
+    False) — when the selectivity routing WOULD pick the exhaustive tier,
+    the planner must fall back to the host full-precision tier instead of
+    silently serving the in-probe mask (the always-exact contract of
+    filtering.rs:374-400 holds on every kind)."""
+    from grape_vector_db_tpu import SearchRequest
+
+    rng = np.random.default_rng(29)
+    ids, vectors, query, allowed_rows = _adversarial_corpus(rng)
+    allowed_ids = {f"r{i}" for i in allowed_rows}
+    want = set(_oracle_ids(vectors, allowed_rows, query, 5))
+
+    db = _db(vectors, ids, filter_exact_max=0, exhaustive_below=1.0,
+             kind="ivf_pq")
+    assert not db.index.supports_exhaustive_mask
+    for d_id in allowed_ids:
+        db.store.get(d_id).metadata["vip"] = True
+        db.filter_engine.index_document(d_id, db.store.get(d_id).metadata)
+    got = db.vector_search(SearchRequest(
+        vector=query, limit=5,
+        filter=Filter(must=[Condition("vip", "eq", True)])))
+    assert {p.id for p in got} == want
 
 
 @pytest.mark.parametrize("kind", ["ivf", "ivf_int8"])

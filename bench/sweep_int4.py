@@ -519,6 +519,109 @@ def main() -> None:
                 **({"ms": round(ms, 3), "qps": round(B / ms * 1e3, 0)}
                    if ms is not None else {}))
 
+    # ---------------------------------------------------- cap16m_exhaustive
+    if "cap16m_exhaustive" in STAGES:
+        # VERDICT r4 item 3: (a) the selectivity CURVE of the plain in-probe
+        # mask — the measured points were 1.0 recall at 50% and 0.13 at 1%
+        # with nothing between, so config.filter_exhaustive_below = 0.05 was
+        # a guess; (b) the on-chip cost of exactness: the exhaustive masked
+        # scan (ops/ivf_scan.py — one streaming corpus pass + k-list probe)
+        # at low selectivity, recall vs the masked int4 oracle (must be 1.0
+        # bar bf16 accumulation ties).
+        from grape_vector_db_tpu.ops.ivf_scan import (default_chunk_lists,
+            ivf_exhaustive_masked_topk)
+
+        n, nlist = 16_777_216 // SCALE, 16_384 // SCALE
+        lay = build_clustered_layout(n, nlist, n_centers=262_144 // SCALE,
+                                     seed=4, planes={"int4"})
+        cents, inr, ival = lay["cents"], lay["inr"], lay["ival"]
+        codes4, scales4 = lay["codes4"], lay["scales4"]
+        cap = codes4.shape[1]
+        factor4 = make_factor(scales4, inr, ival)
+        nblk = nblocks_from_counts(jnp.sum(ival, axis=1))
+        kq = random.PRNGKey(7)
+        take = (B + nlist - 1) // nlist
+        qsrc = (unpack_int4(codes4[:, :take, :]).astype(jnp.float32)
+                * scales4[:, :take, None]).reshape(-1, DIM)[:B]
+        q0 = qsrc + 0.05 * random.normal(kq, (B, DIM), jnp.float32)
+
+        lists_per = 256 // SCALE if nlist % (256 // SCALE) == 0 else nlist
+
+        @jax.jit
+        def f_oracle16_masked(q, codes4, factor4, mask):
+            qp = prepare_queries(q, "cosine")
+            nchunks = nlist // lists_per
+            c3 = codes4.reshape(nchunks, lists_per, cap, DIM // 2)
+            f3 = factor4.reshape(nchunks, lists_per, 8, cap)
+            m3 = mask.reshape(nchunks, lists_per, cap)
+
+            def body(carry, xs):
+                cc, ff, mm = xs
+                cand = unpack_int4(cc).astype(jnp.bfloat16)
+                dots = jnp.einsum("bd,lcd->blc", qp.astype(jnp.bfloat16),
+                                  cand, preferred_element_type=jnp.float32)
+                w = jnp.where(mm, ff[:, 0, :], 0.0)
+                sc = dots * w[None] + jnp.where(w[None] == 0.0, -1e9, 0.0)
+                v, i = lax.top_k(sc.reshape(B, lists_per * cap), K)
+                return carry, (v, i)
+
+            _, (vs, is_) = lax.scan(body, None, (c3, f3, m3))
+            offs = (jnp.arange(nchunks, dtype=jnp.int32)
+                    * (lists_per * cap))[:, None, None]
+            is_ = is_ + offs
+            vs = jnp.moveaxis(vs, 0, 1).reshape(B, -1)
+            is_ = jnp.moveaxis(is_, 0, 1).reshape(B, -1)
+            fv, fp = lax.top_k(vs, K)
+            return fv, jnp.take_along_axis(is_, fp, axis=1)
+
+        cl = default_chunk_lists(nlist, cap)
+
+        def step_exh(q, codes4, factor4, mask, nblk):
+            return ivf_exhaustive_masked_topk(
+                q, codes4, factor4, mask, k=K, metric="cosine", fmt="int4",
+                chunk_lists=cl, use_kernel=not interpret,
+                interpret=interpret, nblocks=nblk)
+
+        kmask = random.PRNGKey(33)
+        sels = tuple(float(s) for s in os.environ.get(
+            "SWEEP_SELS", "0.25,0.10,0.05,0.02,0.01").split(","))
+        for sel in sels:
+            k1, kmask = random.split(kmask)
+            mask = jnp.logical_and(random.uniform(k1, ival.shape) < sel, ival)
+            _, omi = f_oracle16_masked(q0, codes4, factor4, mask)
+            oracle_m = np.asarray(omi)
+
+            row = {"n": n, "nlist": nlist, "selectivity": sel}
+            # masked-probe recall points: TPU only (the interpreted Pallas
+            # probe cannot finish a 65k-row dry-run on the 1-core host; the
+            # masked probe itself is already exercised on-chip and in the
+            # CPU suite at test scale)
+            for nprobe in (() if interpret else (4, 8)):
+                def step_m(q, cents, codes4, factor4, mask, nblk,
+                           nprobe=nprobe):
+                    return pallas_ivf_topk_int4(
+                        q, cents, codes4, factor4, k=K, nprobe=nprobe,
+                        metric="cosine", nblocks=nblk, cell_mask=mask,
+                        interpret=interpret)
+
+                _, sm = jax.jit(step_m)(q0, cents, codes4, factor4, mask,
+                                        nblk)
+                row[f"probe_recall_np{nprobe}"] = round(
+                    recall_at_k(np.asarray(sm), oracle_m), 4)
+            if sel in (sels[0], sels[-1]):
+                # exactness cost: time the exhaustive scan (small-trip fori
+                # — full-iteration wrapping of big XLA scans hung the relay
+                # AOT once, 2-8 trips compile fine) and assert recall
+                ms_e = timed_fori(step_exh, q0, codes4, factor4, mask, nblk,
+                                  iters=8)
+                _, se = jax.jit(step_exh)(q0, codes4, factor4, mask, nblk)
+                row["exhaustive_ms"] = round(ms_e, 3)
+                row["exhaustive_qps"] = round(B / ms_e * 1e3, 0)
+                row["exhaustive_recall"] = round(
+                    recall_at_k(np.asarray(se), oracle_m), 4)
+            log("int4_16M_selectivity_curve", **row)
+        del lay, cents, inr, ival, codes4, scales4, factor4
+
     print("sweep int4 done", flush=True)
 
 

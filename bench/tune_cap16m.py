@@ -1,0 +1,186 @@
+"""`tune(hard=True)` validated at the 16.78M int4 capacity layout on-chip
+(VERDICT r4 item 5).
+
+The cap16m_hard truth table (docs/benchmarks.md) says the honest operating
+point for the 16.78M x 768 int4 capacity tier is nprobe=4-8 with host
+rescore (recall 0.85 @ 137k QPS at nprobe=4). `tune(hard=True)` — the
+closed-loop version of the reference's IndexOptimizer
+(performance/index_optimizer.rs:11-154, which recommended but never
+measured) — must land that pair from its own held-out-query sweep, on the
+real layout, on the real chip. This drives it end to end:
+
+  build the cap16m layout (bench/_layout.py, SAME recipe/seed as
+  bench/sweep_int4.py cap16m => same corpus)
+  -> graft into a product Int4IvfDeviceIndex (capacity config,
+     keep_bf16=False) inside a VectorDatabase — planes, id maps,
+     per-list fill; the corpus is never host-resident
+  -> a generator-backed store serves full-precision rows (f16, chunk
+     -cached, re-streamed from the layout's deterministic PRNG keys) so
+     the host-rescore tier and synth_tuning_queries see real embeddings
+  -> db.tune(hard=True, target_recall=0.85) sweeps (nprobe, host_rescore)
+     against the exhaustive-scan + host-rescore oracle and pins the pair.
+
+Asserts 4 <= chosen nprobe <= 8 and host_rescore == 64; appends
+stage=tune_cap16m (chosen pair + full sweep table + wall) to
+bench/SWEEP_INT4.jsonl.
+
+Scale down with TCAP_SCALE=256 for a CPU dry-run (same code path, XLA
+probe + interpreted scan).
+
+Run: timeout 3600 python bench/tune_cap16m.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench._layout import build_clustered_layout  # noqa: E402
+
+OUT = os.environ.get("SWEEP_OUT", "bench/SWEEP_INT4.jsonl")
+DIM = 768
+SCALE = int(os.environ.get("TCAP_SCALE", "1"))
+
+
+def log(stage: str, **kv) -> None:
+    rec = {"stage": stage, **kv}
+    print(json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from grape_vector_db_tpu.config import VectorDbConfig
+    from grape_vector_db_tpu.db import VectorDatabase
+    from grape_vector_db_tpu.ops.ivf_pallas import make_factor
+    from grape_vector_db_tpu.storage.store import MemoryDocumentStore
+    from grape_vector_db_tpu.types import DocumentRecord
+
+    n = 16_777_216 // SCALE
+    nlist = 16_384 // SCALE
+    n_centers = 262_144 // SCALE
+    print(f"backend={jax.default_backend()} n={n} nlist={nlist}", flush=True)
+
+    t0 = time.perf_counter()
+    lay = build_clustered_layout(n, nlist, n_centers=n_centers, seed=4,
+                                 planes={"int4"}, dim=DIM, keep_gen=True,
+                                 chunk=min(131_072, n), log=log)
+    cap = lay["codes4"].shape[1]
+    build_s = time.perf_counter() - t0
+
+    class GenBackedStore(MemoryDocumentStore):
+        """Full-precision rows re-streamed from the layout's deterministic
+        generator: chunk-cached f16 (half the f32 bytes; bf16 normals fit
+        f16's range at unit scale), materialized only for chunks a lookup
+        actually touches. Serves the SAME values the int4 planes were
+        quantized from, so host rescore is the true exact tier."""
+
+        def __init__(self, lay_, n_):
+            super().__init__()
+            self._gen = lay_["gen"]
+            self._meta = lay_["chunks_meta"]
+            self._centers = lay_["centers"]
+            self._chunk = lay_["chunk"]
+            self._n = n_
+            self._rows: dict = {}
+
+        def _row(self, r: int) -> np.ndarray:
+            ci, off = divmod(r, self._chunk)
+            arr = self._rows.get(ci)
+            if arr is None:
+                v, _ = self._gen(*self._meta[ci], self._centers)
+                arr = np.asarray(v.astype(jnp.float16))
+                self._rows[ci] = arr
+            return arr[off]
+
+        def get(self, id_):
+            if not id_.startswith("doc-"):
+                return None
+            r = int(id_[4:])
+            if not (0 <= r < self._n):
+                return None
+            return DocumentRecord(id=id_, content="",
+                                  embedding=self._row(r))
+
+        def batch_get(self, ids):
+            return [self.get(i) for i in ids]
+
+    cfg = VectorDbConfig(vector_dimension=DIM)
+    cfg.index.kind = "ivf_int4"
+    cfg.index.nlist = nlist
+    cfg.index.initial_capacity = nlist * 128  # smallest 128-aligned alloc
+    cfg.index.ivf_int8_keep_bf16 = False      # capacity config: codes only
+    cfg.device.auto_shard = False
+    cfg.cache.enabled = False
+    store = GenBackedStore(lay, n)
+    db = VectorDatabase(config=cfg, store=store)
+    idx = db.index
+
+    # -- graft the layout into the product index (the planes and host maps
+    # _place would have built over a 16.78M ingest; CLAUDE.md layout/build
+    # at 16M is ~5 min on-host — the ingest path would be hours at 1 core)
+    t0 = time.perf_counter()
+    idx.list_cap = cap
+    idx.centroids = lay["cents"]
+    idx.codes = lay["codes4"]
+    idx.scales = lay["scales4"]
+    idx.factor = make_factor(lay["scales4"], lay["inr"], lay["ival"])
+    idx.norms = lay["inr"]
+    idx.valid = lay["ival"]
+    idx.vecs = None
+    idx.recip = None
+    idx._next_pos = lay["counts"].astype(np.int64)
+    idx._nblocks_cache = None
+    idx._free = [[] for _ in range(nlist)]
+    rowmap = lay["rowmap"]
+    lst_all = (rowmap // cap).astype(np.int64)
+    pos_all = (rowmap % cap).astype(np.int64)
+    id_to_cell = {}
+    cell_to_id = {}
+    rm_list = rowmap.tolist()
+    lst_list = lst_all.tolist()
+    pos_list = pos_all.tolist()
+    for r in range(n):
+        s = "doc-%d" % r
+        id_to_cell[s] = (lst_list[r], pos_list[r])
+        cell_to_id[rm_list[r]] = s
+    idx._id_to_cell = id_to_cell
+    idx._cell_to_id = cell_to_id
+    del rm_list, lst_list, pos_list, lst_all, pos_all
+    graft_s = time.perf_counter() - t0
+    print(f"graft OK ({graft_s:.1f}s, {len(idx)} rows)", flush=True)
+
+    t0 = time.perf_counter()
+    out = db.tune(target_recall=0.85, k=10, hard=True, max_host_rescore=64)
+    tune_s = time.perf_counter() - t0
+
+    rec = {"n": n, "nlist": nlist, "list_cap": cap,
+           "backend": jax.default_backend(),
+           "build_s": round(build_s, 1), "graft_s": round(graft_s, 1),
+           "tune_s": round(tune_s, 1),
+           "chosen_nprobe": out["nprobe"],
+           "chosen_host_rescore": out["host_rescore"],
+           "chosen_recall": out["recall"],
+           "sweep": out.get("sweep", [])}
+    log("tune_cap16m", **rec)
+
+    ok = (4 <= out["nprobe"] <= 8) and out["host_rescore"] == 64
+    print(f"tune landed nprobe={out['nprobe']} host_rescore="
+          f"{out['host_rescore']} recall={out['recall']} "
+          f"({'PASS' if ok else 'FAIL: expected nprobe 4-8 + rescore 64'})",
+          flush=True)
+    if not ok and SCALE == 1:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

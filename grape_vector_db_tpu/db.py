@@ -10,6 +10,7 @@ search used by the gRPC layer with text fallback (lib.rs:459-540).
 from __future__ import annotations
 
 import concurrent.futures
+import itertools
 import os
 import threading
 import time
@@ -455,6 +456,42 @@ class VectorDatabase:
             self.metrics.record_insert(len(docs))
             return ids
 
+    def add_documents_pipelined(self, docs: Sequence[Document],
+                                batch_size: int = 4096,
+                                inflight: int = 2) -> List[str]:
+        """Bulk ingest with overlapped batches.
+
+        ``batch_add_documents`` embeds (featurize + device dispatch + the
+        f16 store readback) BEFORE taking the write lock, so ``inflight``
+        concurrent calls pipeline legally: batch N's relay readback wait
+        overlaps batch N+1's host featurization while the lock serializes
+        the scatter/store/filter phase. On the embed-at-ingest path the
+        readback wire (~6.3 MB/batch at the relay's ~30-55 MB/s) is the
+        dominant per-batch term (bench/SERVING.jsonl tag=embed_profile), so
+        two in-flight batches hide most of the host work behind it.
+
+        Semantics match sequential ``batch_add_documents`` per batch; ids
+        return in input order. Batches are independent — ingest order
+        BETWEEN overlapping batches is not defined, so duplicate ids across
+        batches should be avoided (within a batch they raise as before).
+
+        Reference: embeddings.rs:55-219 awaits its HTTP embedding call
+        before storage per batch — it cannot overlap; this is the
+        TPU-native ingest pipeline instead.
+        """
+        if inflight < 1 or batch_size < 1:
+            raise InvalidArgumentError("inflight and batch_size must be >= 1")
+        batches = [docs[i:i + batch_size]
+                   for i in range(0, len(docs), batch_size)]
+        if not batches:
+            return []
+        if inflight == 1 or len(batches) == 1:
+            return [i for b in batches for i in self.batch_add_documents(b)]
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=inflight) as ex:
+            results = list(ex.map(self.batch_add_documents, batches))
+        return [i for ids in results for i in ids]
+
     # -- point ops ----------------------------------------------------------------
 
     def list_documents(self, offset: int = 0, limit: int = 100,
@@ -649,22 +686,40 @@ class VectorDatabase:
         if queries is None:
             queries = self.synth_tuning_queries(n=128)
         queries = np.asarray(queries, dtype=np.float32)
-        # host rescore needs full-precision rows in the store
+        # host rescore needs full-precision rows in the store (islice: at
+        # 16.78M ids, list(dict) materializes ~1.6 GB to take one key)
         have_store = False
-        for id_ in list(getattr(idx, "_id_to_cell", {}))[:1]:
+        for id_ in itertools.islice(getattr(idx, "_id_to_cell", {}), 1):
             rec = self.store.get(id_)
             have_store = rec is not None and rec.embedding is not None
         rescore_grid = [0, max_host_rescore] if (
             have_store and max_host_rescore > k) else [0]
+        # One fetch width for the whole sweep: a fetch-`max` row truncated to
+        # k equals a fetch-k row, and on TPU every (nprobe, fetch) pair is a
+        # separate relay compile (60-200 s each) — don't pay it twice per
+        # nprobe.
+        fetch = max(k, *rescore_grid)
 
-        def run(nprobe: int, rescore: int) -> List[List[Tuple[str, float]]]:
-            fetch = max(k, rescore)
-            rows = idx.search_batch(queries, fetch, nprobe=nprobe)
+        def run(nprobe: int, rescore: int,
+                exhaustive: bool = False) -> List[List[Tuple[str, float]]]:
+            if exhaustive:
+                # Exact reachability oracle in ONE streaming corpus pass per
+                # batch (ops/ivf_scan.py) — an nprobe=nlist probe through the
+                # DMA kernel re-reads the corpus B times (828 GB at 16.78M,
+                # B=128), the scan reads it once (6.4 GB).
+                rows = idx.search_batch(queries, fetch,
+                                        mask=(np.asarray(idx.valid), None),
+                                        exhaustive=True)
+            else:
+                rows = idx.search_batch(queries, fetch, nprobe=nprobe)
             if rescore:
                 rows = self.engine._host_rescore_rows(queries, rows, k)
             return [row[:k] for row in rows]
 
-        oracle_rows = run(idx.nlist, max(r for r in rescore_grid + [0]) or 0)
+        use_exh = bool(getattr(idx, "supports_exhaustive_mask", False)
+                       and getattr(idx, "valid", None) is not None)
+        oracle_rows = run(idx.nlist, max(r for r in rescore_grid + [0]) or 0,
+                          exhaustive=use_exh)
         oracle = [frozenset(h[0] for h in row) for row in oracle_rows]
         denom = sum(len(w) for w in oracle) or 1
 

@@ -274,8 +274,20 @@ class IvfDeviceIndex(VectorIndex):
                 sample.shape[0], self.train_size, replace=False
             )
             sample = sample[sel]
+        # Unchunked Lloyd's materializes an [N, nlist] assignment plane; at
+        # production nlist (16,384) with the storage planes already resident
+        # (they allocate at construction) that plane OOMs the chip — cap it
+        # at ~256 MB f32 and run the chunked scan (same fixed point).
+        chunk = None
+        if sample.shape[0] * self.nlist > (1 << 26):
+            chunk = max(256, (1 << 26) // self.nlist)
+            n_use = max((sample.shape[0] // chunk) * chunk,
+                        min(chunk, sample.shape[0]))
+            sample = sample[:n_use]
+            if sample.shape[0] % chunk:
+                chunk = sample.shape[0]
         cents, _ = kmeans(jnp.asarray(sample), k=self.nlist, iters=self.kmeans_iters,
-                          seed=seed, mode=self._kmeans_mode)
+                          seed=seed, mode=self._kmeans_mode, chunk=chunk)
         self.centroids = cents
 
     # -- mutation -----------------------------------------------------------------

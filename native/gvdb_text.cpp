@@ -14,6 +14,7 @@
 // Output records: [u16 token_len][token bytes][u32 count], tightly packed.
 
 #include <algorithm>
+#include <array>
 #include <climits>
 #include <cmath>
 #include <cstdint>
@@ -230,18 +231,19 @@ int32_t gvdb_tokenize_batch(const char* texts, const int32_t* offsets,
 namespace {
 
 const uint32_t* crc32_table() {
-    static uint32_t t[256];
-    static bool ready = false;
-    if (!ready) {
+    // magic-static init: concurrent first calls (pipelined ingest runs the
+    // featurizer from two threads) must not race the table fill
+    static const auto t = [] {
+        std::array<uint32_t, 256> a{};
         for (uint32_t i = 0; i < 256; ++i) {
             uint32_t c = i;
             for (int k = 0; k < 8; ++k)
                 c = (c & 1u) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
-            t[i] = c;
+            a[i] = c;
         }
-        ready = true;
-    }
-    return t;
+        return a;
+    }();
+    return t.data();
 }
 
 // zlib-compatible: crc32(b) == crc32_update(0, b); incremental over concat.

@@ -699,3 +699,42 @@ def test_tune_hard_held_out_queries(rng):
     # this corpus (held-out queries are at least as hard as self queries)
     db2_nprobe = db.index.tune_nprobe(k=10, target_recall=0.9)
     assert out["nprobe"] >= db2_nprobe, (out["nprobe"], db2_nprobe)
+
+
+def test_add_documents_pipelined_matches_sequential(rng):
+    """Pipelined bulk ingest (overlapped batches; db.py
+    add_documents_pipelined) must land the same corpus state as sequential
+    batch_add_documents: every id present, searchable, store-backed."""
+    db = VectorDatabase(config=small_config())
+    docs = make_docs(300, prefix="pp")
+    for d in docs:
+        d.vector = rng.standard_normal(32).astype(np.float32)
+    ids = db.add_documents_pipelined(docs, batch_size=64, inflight=3)
+    assert ids == [d.id for d in docs]
+    assert db.stats().document_count == 300
+    # searchable through the public path, store row present
+    hits = db.vector_search(SearchRequest(
+        vector=list(map(float, docs[7].vector)), limit=3))
+    assert hits and hits[0].id == "pp-7"
+    rec = db.store.get("pp-299")
+    assert rec is not None and rec.embedding is not None
+    # single-batch / inflight=1 degenerate forms
+    db2 = VectorDatabase(config=small_config())
+    assert db2.add_documents_pipelined([], batch_size=8) == []
+    more = make_docs(10, prefix="q")
+    for d in more:
+        d.vector = rng.standard_normal(32).astype(np.float32)
+    assert len(db2.add_documents_pipelined(more, batch_size=64,
+                                           inflight=1)) == 10
+
+
+def test_add_documents_pipelined_propagates_errors(rng):
+    """A failing batch (bad dimension) must raise out of the pipelined
+    call, not vanish on a worker thread."""
+    db = VectorDatabase(config=small_config())
+    docs = make_docs(120, prefix="er")
+    for d in docs:
+        d.vector = rng.standard_normal(32).astype(np.float32)
+    docs[70].vector = rng.standard_normal(16).astype(np.float32)  # wrong dim
+    with pytest.raises(Exception):
+        db.add_documents_pipelined(docs, batch_size=32, inflight=2)

@@ -408,3 +408,46 @@ def test_ivf_pq_residual_beats_plain_adc(rng):
         ])
     assert recs[True] >= recs[False] - 0.02, recs
     assert recs[True] >= 0.5, recs
+
+
+def test_kmeans_chunked_matches_unchunked(rng):
+    """The chunked scan (bounded [chunk, K] planes for large-nlist training)
+    must reach the same fixed point as the unchunked form — same seed, same
+    assignments, centroids equal to accumulation-order tolerance."""
+    x = rng.standard_normal((1024, 16)).astype(np.float32)
+    for mode in ("l2", "spherical"):
+        c1, a1 = kmeans(jnp.asarray(x), k=8, iters=5, seed=3, mode=mode)
+        c2, a2 = kmeans(jnp.asarray(x), k=8, iters=5, seed=3, mode=mode,
+                        chunk=256)
+        assert np.array_equal(np.asarray(a1), np.asarray(a2)), mode
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_ivf_train_large_nlist_chunks_the_assignment_plane(monkeypatch, rng):
+    """train() must route large sample x nlist products through chunked
+    k-means: the unchunked form materializes an [N, nlist] plane that OOMs
+    a chip whose storage planes are already resident (the 16.78M cap16m
+    layout trains at nlist=16384). Guard: > 2^26 assignment cells."""
+    import grape_vector_db_tpu.index.ivf as ivf_mod
+
+    seen = {}
+    real = ivf_mod.kmeans
+
+    def spy(x, k, iters, seed, mode, chunk=None):
+        seen["chunk"], seen["n"] = chunk, x.shape[0]
+        return real(x[: 4 * k], k=k, iters=1, seed=seed, mode=mode)
+
+    monkeypatch.setattr(ivf_mod, "kmeans", spy)
+    idx = ivf_mod.IvfDeviceIndex(dimension=8, nlist=256, train_size=400_000,
+                                 kmeans_iters=1, use_pallas=False)
+    sample = rng.standard_normal((300_000, 8)).astype(np.float32)
+    idx.train(sample)
+    assert seen["chunk"] is not None
+    assert seen["n"] % seen["chunk"] == 0
+    # small samples keep the unchunked fast path
+    seen.clear()
+    idx2 = ivf_mod.IvfDeviceIndex(dimension=8, nlist=16, train_size=50_000,
+                                  kmeans_iters=1, use_pallas=False)
+    idx2.train(rng.standard_normal((2_048, 8)).astype(np.float32))
+    assert seen["chunk"] is None

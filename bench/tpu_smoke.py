@@ -125,6 +125,37 @@ def main() -> None:
                        and row[0][0] == f"doc-{j}")
             ok_extra &= m_ok >= 7
             extra += f"  masked {m_ok}/8"
+        if getattr(idx, "supports_exhaustive_mask", False):
+            # exactness tier (r5): a LOW-selectivity filter (1.56% allowed)
+            # through the streaming exhaustive masked scan — the regime
+            # where the in-probe mask measured recall 0.13 at 16.78M. Every
+            # returned id must be allowed (the contract that regressed in
+            # r4), rows must fill to k, and containment vs the f32 masked
+            # oracle meets a per-family floor (quantized kinds rank over
+            # codes without a rescore plane in this path, so int8/int4 get
+            # rank-noise allowances; proj kinds scan a projected space and
+            # only assert the filter contract).
+            allowed_rows = np.arange(0, N, 64)
+            allowed_ids = {f"doc-{int(i)}" for i in allowed_rows}
+            emask = idx.compile_mask(allowed_ids)
+            ehits = idx.search_batch(vecs[:8], K, mask=emask,
+                                     exhaustive=True)
+            qn8 = vn[:8] @ vn[allowed_rows].T
+            cont, all_allowed, filled = 0.0, True, True
+            for i, row in enumerate(ehits):
+                got_ids = {h[0] for h in row}
+                all_allowed &= got_ids <= allowed_ids
+                filled &= len(row) == K
+                want = {f"doc-{int(allowed_rows[j])}"
+                        for j in np.argsort(-qn8[i])[:K]}
+                cont += len(got_ids & want) / K
+            cont /= 8
+            floor = (0.9 if kind in ("ivf", "sharded_ivf") else
+                     None if "proj" in kind else
+                     0.5 if "int4" in kind else 0.7)
+            ok_extra &= all_allowed and filled and (
+                floor is None or cont >= floor)
+            extra += f"  exact-filter cont {cont:.2f}"
         if "ivf" in kind:
             # per-request ef override (SearchParams.ef -> nprobe): a member
             # query's own list is its nearest centroid, so nprobe=1 must

@@ -97,6 +97,10 @@ def main() -> None:
             ci, off = divmod(r, self._chunk)
             arr = self._rows.get(ci)
             if arr is None:
+                if isinstance(self._centers, np.ndarray):
+                    # centers were offloaded to host around index
+                    # construction (HBM peak headroom); re-upload once
+                    self._centers = jnp.asarray(self._centers)
                 v, _ = self._gen(*self._meta[ci], self._centers)
                 arr = np.asarray(v.astype(jnp.float16))
                 self._rows[ci] = arr
@@ -113,6 +117,14 @@ def main() -> None:
 
         def batch_get(self, ids):
             return [self.get(i) for i in ids]
+
+    # HBM budget: layout planes + factor ~15.2 GB at full scale; the fresh
+    # index's construction alloc (~0.9 GB at cap=128) plus the resident
+    # generator centers (0.8 GB) would overshoot the 16 GB chip — offload
+    # centers to host across construction; the store re-uploads lazily.
+    centers_host = np.asarray(lay["centers"])
+    lay["centers"].delete()
+    lay["centers"] = centers_host
 
     cfg = VectorDbConfig(vector_dimension=DIM)
     cfg.index.kind = "ivf_int4"

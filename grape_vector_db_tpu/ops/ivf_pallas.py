@@ -193,6 +193,33 @@ def _probe_kernel(probe_smem, nblk_smem, q_vmem, vecs_hbm, recip_hbm,
     lax.fori_loop(0, ncells, body, None)
 
 
+# Per-format scoped-VMEM output budgets (f32 cells) for the probe-scores
+# kernels: ~16 MB limit minus each kernel's double-buffer scratch (bf16
+# scratch 2xCxD bf16 is the largest). Module-level so tests can shrink them
+# to exercise the chunked path at interpret-mode shapes.
+_PROBE_OUT_BUDGET = {"bf16": 2_000_000, "int8": 2_500_000, "int4": 3_000_000}
+
+
+def _probe_p_chunks(b: int, p: int, c: int, budget_cells: int):
+    """Chunk plan for the probe-scores kernels' P axis, or None.
+
+    The whole [B*P, C] f32 scores output lives in VMEM for the duration of
+    the kernel (grid=1), so B*P*C must stay under the ~16 MB scoped limit
+    minus the double-buffer scratch (the r5 OOM: the exhaustive scan at
+    fetch=64 over the 16.78M layout asked for 69.7 MB). Returns a list of
+    (lo, hi) column slices; prefers an even split so every chunk compiles
+    the SAME program (each relay compile is minutes under congestion)."""
+    p_sub = max(1, budget_cells // (b * c))
+    if p <= p_sub:
+        return None
+    nchunks = -(-p // p_sub)
+    cap = min(2 * nchunks, p)
+    while p % nchunks and nchunks < cap:
+        nchunks += 1
+    p_sub = -(-p // nchunks)
+    return [(lo, min(lo + p_sub, p)) for lo in range(0, p, p_sub)]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ivf_probe_scores(
     q: jax.Array,       # [B, D] f32, L2-normalized (cosine) or raw (dot)
@@ -213,6 +240,12 @@ def ivf_probe_scores(
     b, d = q.shape
     p = probe.shape[1]
     l, c, _ = vecs.shape
+    chunks = _probe_p_chunks(b, p, c, _PROBE_OUT_BUDGET["bf16"])
+    if chunks is not None:
+        return jnp.concatenate(
+            [ivf_probe_scores(q, probe[:, lo:hi], vecs, recip,
+                              nblocks=nblocks, interpret=interpret)
+             for lo, hi in chunks], axis=1)
     if c % 128 and not interpret:
         raise ValueError(f"list capacity {c} must be a multiple of 128 "
                          "for the Pallas probe (Mosaic lane alignment)")
@@ -350,6 +383,12 @@ def ivf_probe_scores_int8(
     b, d = q.shape
     p = probe.shape[1]
     l, c, _ = codes.shape
+    chunks = _probe_p_chunks(b, p, c, _PROBE_OUT_BUDGET["int8"])
+    if chunks is not None:
+        return jnp.concatenate(
+            [ivf_probe_scores_int8(q, probe[:, lo:hi], codes, factor,
+                                   nblocks=nblocks, interpret=interpret)
+             for lo, hi in chunks], axis=1)
     if c % 128 and not interpret:
         raise ValueError(f"list capacity {c} must be a multiple of 128 "
                          "for the Pallas probe (Mosaic lane alignment)")
@@ -524,6 +563,12 @@ def ivf_probe_scores_int4(
     b, d = q.shape
     p = probe.shape[1]
     l, c, d2 = codes.shape
+    chunks = _probe_p_chunks(b, p, c, _PROBE_OUT_BUDGET["int4"])
+    if chunks is not None:
+        return jnp.concatenate(
+            [ivf_probe_scores_int4(q, probe[:, lo:hi], codes, factor,
+                                   nblocks=nblocks, interpret=interpret)
+             for lo, hi in chunks], axis=1)
     if d != 2 * d2:
         raise ValueError(f"query dim {d} != 2 x packed width {d2}")
     if c % 128 and not interpret:

@@ -245,3 +245,60 @@ def test_projected_int4_ivf_end_to_end(rng):
     idx.optimize()
     assert len(idx) == n
     assert idx.search_batch(base[9:10], 1)[0][0][0] == "d9"
+
+
+def test_probe_scores_chunked_matches_direct(rng, monkeypatch):
+    """VMEM-budget chunking of the probe-scores P axis (the r5 OOM: the
+    exhaustive scan at fetch=64 over the 16.78M layout asked for a 69.7 MB
+    scores plane against the 16 MB scoped limit) must return byte-identical
+    scores to the single-call form, for all three formats."""
+    import jax.numpy as jnp
+
+    from grape_vector_db_tpu.ops import ivf_pallas as ip
+    from grape_vector_db_tpu.ops.int4 import quantize_int4
+    from grape_vector_db_tpu.ops.int8 import quantize_int8
+
+    b, p, l, c, d = 4, 6, 8, 16, 32
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    probe = rng.integers(0, l, (b, p)).astype(np.int32)
+    vecs = rng.standard_normal((l, c, d)).astype(np.float32)
+    norms = np.linalg.norm(vecs, axis=2)
+    valid = rng.random((l, c)) < 0.9
+    recip = np.where(valid, 1.0 / np.maximum(norms, 1e-12), 0.0)
+    recip8 = np.broadcast_to(recip[:, None, :], (l, 8, c)).copy()
+
+    vi8, s8 = quantize_int8(jnp.asarray(vecs.reshape(-1, d)))
+    codes8 = jnp.asarray(vi8).reshape(l, c, d)
+    f8 = np.where(valid, np.asarray(s8).reshape(l, c)
+                  / np.maximum(norms, 1e-12), 0.0)
+    f8 = jnp.asarray(np.broadcast_to(f8[:, None, :], (l, 8, c)).copy())
+    vi4, s4 = quantize_int4(jnp.asarray(vecs.reshape(-1, d)))
+    codes4 = jnp.asarray(vi4).reshape(l, c, d // 2)
+    f4 = np.where(valid, np.asarray(s4).reshape(l, c)
+                  / np.maximum(norms, 1e-12), 0.0)
+    f4 = jnp.asarray(np.broadcast_to(f4[:, None, :], (l, 8, c)).copy())
+
+    cases = [
+        ("bf16", ip.ivf_probe_scores, jnp.asarray(vecs, jnp.bfloat16),
+         jnp.asarray(recip8)),
+        ("int8", ip.ivf_probe_scores_int8, codes8, f8),
+        ("int4", ip.ivf_probe_scores_int4, codes4, f4),
+    ]
+    for fmt, fn, data, plane in cases:
+        # go through __wrapped__ so each call re-traces (the jit cache would
+        # otherwise return the first trace and make the equality vacuous);
+        # the chunk branch's nested calls still hit the jitted module name.
+        raw = fn.__wrapped__
+        direct = np.asarray(raw(jnp.asarray(q), jnp.asarray(probe), data,
+                                plane, interpret=True))
+        # budget of 2*b*c cells -> p_sub = 2 -> 3 chunks of 2
+        monkeypatch.setitem(ip._PROBE_OUT_BUDGET, fmt, 2 * b * c)
+        assert ip._probe_p_chunks(b, p, c, 2 * b * c) == [(0, 2), (2, 4),
+                                                          (4, 6)]
+        chunked = np.asarray(raw(jnp.asarray(q), jnp.asarray(probe), data,
+                                 plane, interpret=True))
+        np.testing.assert_array_equal(direct, chunked, err_msg=fmt)
+    # even-split preference: 64 lists at p_sub 10 -> 8 even chunks of 8
+    assert ip._probe_p_chunks(128, 64, 2176, 3_000_000) == [
+        (i, i + 8) for i in range(0, 64, 8)]

@@ -141,11 +141,18 @@ class QueryConfig:
     # rows' full-precision store embeddings on host (exact, and cheaper
     # than a dispatch at this size). Between that and
     # ``filter_exhaustive_below`` x index-size allowed rows, it runs the
-    # exhaustive masked scan (ops/ivf_scan.py: one streaming corpus pass +
-    # k-list probe — exact at a flat-scan cost). Above, the normal masked
-    # probe is already near-exact. 0 / 0.0 disable each tier.
+    # exact device tier (ops/ivf_scan.py): compact gather-scan of just the
+    # allowed rows when they fit the HBM budget, else one streaming corpus
+    # pass + k-list probe. Above, the normal masked probe is near-exact.
+    # 0 / 0.0 disable each tier.
+    # The 0.25 threshold is measured, not guessed: the in-probe mask's
+    # recall vs the masked oracle on the 16.78M int4 tier is 0.997 at 25%
+    # selectivity but 0.73 at 10%, 0.43 at 5%, 0.13 at 1% (bench/
+    # SWEEP_INT4.jsonl int4_16M_selectivity_curve, nprobe 4-8) — the
+    # exactness contract (filtering.rs:374-400) needs the exact tier
+    # anywhere below ~25%.
     filter_exact_max: int = 8192
-    filter_exhaustive_below: float = 0.05
+    filter_exhaustive_below: float = 0.25
 
 
 @dataclass

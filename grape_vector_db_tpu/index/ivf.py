@@ -485,15 +485,44 @@ class IvfDeviceIndex(VectorIndex):
             plane = _weight_plane(self.norms, self.valid, self.metric)
         return self.vecs, plane, "bf16"
 
+    # HBM budget for the compact tier's gathered row copy (the streaming
+    # scan allocates none). 1 GiB leaves headroom even on the 14.1 GB
+    # -resident 16.78M int4 layout; at int4 bytes/row that is ~2.8M rows.
+    compact_max_bytes = 1 << 30
+
     def _exhaustive_topk(self, qp: np.ndarray, k: int, mask):
-        """Exact masked top-k over EVERY list: one streaming corpus pass
-        reduces each list to its masked max, then the top-k lists per query
-        go through the normal DMA probe (ops/ivf_scan.py). The planner's
-        low-selectivity fallback — nprobe does not bound recall here."""
+        """Exact masked top-k over EVERY list. Two engines, routed by the
+        allowed-set size (the mask is query-independent, so its cost is
+        paid once per filter, not per query):
+
+        - compact tier: gather ONLY the allowed rows into a [R]-row block
+          (source dtype — no decode amplification), exact-scan those
+          (ops/ivf_scan.py ivf_compact_masked_topk). Cost ~ selectivity,
+          not corpus size.
+        - streaming tier: one corpus pass reducing each list to its masked
+          max, then the top-k lists through the normal DMA probe. Cost =
+          one corpus read (133.6 ms/128-batch at 16.78M) at ANY
+          selectivity — the fallback when the allowed set outgrows the
+          compact tier's HBM budget.
+
+        The planner's low-selectivity fallback — nprobe does not bound
+        recall on either engine."""
         from grape_vector_db_tpu.ops.ivf_scan import (
-            default_chunk_lists, ivf_exhaustive_masked_topk)
+            default_chunk_lists, ivf_compact_masked_topk,
+            ivf_exhaustive_masked_topk)
 
         data, plane, fmt = self._scan_planes()
+        m = np.asarray(mask[0])
+        r = int(m.sum())
+        row_bytes = int(np.prod(data.shape[2:])) * data.dtype.itemsize
+        rp = next_bucket(max(r, 1), base=2048)
+        if r > 0 and rp * row_bytes <= self.compact_max_bytes:
+            cells = np.full(rp, -1, dtype=np.int32)
+            cells[:r] = np.flatnonzero(m.reshape(-1)).astype(np.int32)
+            return ivf_compact_masked_topk(
+                jnp.asarray(qp), data, plane, jnp.asarray(cells),
+                k=k, metric=self.metric, fmt=fmt,
+                chunk_rows=min(131_072, rp))
         return ivf_exhaustive_masked_topk(
             jnp.asarray(qp), data, plane, jnp.asarray(mask[0]),
             k=k, metric=self.metric, fmt=fmt,

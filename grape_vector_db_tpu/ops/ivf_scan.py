@@ -47,8 +47,8 @@ from grape_vector_db_tpu.ops.ivf_pallas import (
     finalize_probe_topk, ivf_probe_scores, ivf_probe_scores_int4,
     ivf_probe_scores_int8)
 
-__all__ = ["ivf_exhaustive_masked_topk", "default_chunk_lists",
-           "probe_dup_mask"]
+__all__ = ["ivf_exhaustive_masked_topk", "ivf_compact_masked_topk",
+           "default_chunk_lists", "probe_dup_mask"]
 
 
 def probe_dup_mask(probe: jax.Array) -> jax.Array:
@@ -168,3 +168,90 @@ def ivf_exhaustive_masked_topk(
 
     scores = jnp.where(dup[:, :, None], -jnp.inf, scores)
     return finalize_probe_topk(qp, probe, scores, k, metric, cell_mask=mask)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "fmt",
+                                             "chunk_rows"))
+def ivf_compact_masked_topk(
+    queries: jax.Array,   # [B, D] f32 raw (proj kinds pass projected)
+    data: jax.Array,      # [L, C, D] bf16 | [L, C, D] int8 | [L, C, D/2] packed
+    plane: jax.Array,     # [L, 8, C] f32 weight plane (recip / factor; 0 = invalid)
+    cells: jax.Array,     # [R] int32 flat allowed cell ids lst*C+pos; -1 = pad
+    k: int,
+    metric: str = "cosine",
+    fmt: str = "bf16",
+    chunk_rows: int = 131_072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact masked top-k by compaction: gather ONLY the allowed rows, scan
+    those.
+
+    The streaming exhaustive scan (above) reads the whole corpus per batch
+    regardless of how few rows the filter allows — measured 133.6 ms/128
+    -batch (958 QPS) on the 16.78M int4 tier at BOTH 25% and 1% selectivity
+    (bench/SWEEP_INT4.jsonl int4_16M_selectivity_curve). But the filter
+    mask is query-INDEPENDENT: all B queries share one allowed set, so a
+    single [R]-row gather (XLA row gather runs ~97 GB/s, ~38 ns/row issue
+    cost — CLAUDE.md binary_profile3) amortizes over the batch, and the
+    scan cost becomes proportional to selectivity instead of corpus size.
+    At 1% of 16.78M that is ~167k rows: a flat-scan-sized problem.
+
+    Same scoring arithmetic as the streaming scan (dot(q_hat, x) * w,
+    w = 0 for invalid): the two tiers agree bar bf16 accumulation order.
+    ``cells`` must be a padded power-of-two bucket (keeps the jit cache
+    small); pad entries are -1 and can only surface as -inf tail.
+
+    Returns (vals [B, k] f32, slots [B, k] int32) — the ``_main_topk``
+    contract. Reference parity: filtering.rs:374-400 (the reference's
+    always-exact post-intersected full scan; this is the same contract at
+    selectivity-proportional cost).
+    """
+    b = queries.shape[0]
+    l, _, c = plane.shape
+    r = cells.shape[0]
+    qp = prepare_queries(queries, metric)
+    qb = qp.astype(jnp.bfloat16)
+
+    flat = data.reshape((l * c,) + tuple(data.shape[2:]))
+    safe = jnp.maximum(cells, 0)
+    rows = flat[safe]                                     # [R, D or D/2]
+    w = jnp.where(cells >= 0, plane[:, 0, :].reshape(-1)[safe], 0.0)  # [R]
+
+    cr = min(chunk_rows, r)
+    nch = max(r // cr, 1)
+    kk = min(k, cr)
+
+    def chunk_topk(dd, ww, off):
+        cand = _dequant(dd, fmt)                          # [CR, D]
+        dots = jnp.einsum("bd,rd->br", qb, cand,
+                          preferred_element_type=jnp.float32)
+        sc = jnp.where(ww[None] == 0.0, -jnp.inf, dots * ww[None])
+        v, i = _select_topk(sc, kk, "exact", 0.99)
+        return v, i.astype(jnp.int32) + off
+
+    if nch == 1:
+        vals, idx = chunk_topk(rows, w, jnp.int32(0))
+    else:
+        r3 = rows.reshape((nch, cr) + tuple(rows.shape[1:]))
+        w3 = w.reshape(nch, cr)
+        offs = jnp.arange(nch, dtype=jnp.int32) * cr
+
+        def body(carry, xs):
+            cv, ci = carry
+            v, i = chunk_topk(*xs)
+            mv = jnp.concatenate([cv, v], axis=1)         # [B, 2k]
+            mi = jnp.concatenate([ci, i], axis=1)
+            sv, si = _select_topk(mv, kk, "exact", 0.99)
+            return (sv, jnp.take_along_axis(mi, si, axis=1)), None
+
+        init = (jnp.full((b, kk), -jnp.inf, jnp.float32),
+                jnp.zeros((b, kk), jnp.int32))
+        (vals, idx), _ = lax.scan(body, init, (r3, w3, offs))
+
+    slots = jnp.take(cells, idx)                          # [B, kk] (-1 on pad)
+    if metric == "cosine":
+        vals = jnp.minimum(vals, 1.0)
+    vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
+    return vals, slots

@@ -281,3 +281,80 @@ def test_planner_exhaustive_tier_routes_on_selectivity(kind):
         vector=query, limit=5,
         filter=Filter(must=[Condition("vip", "eq", True)])))
     assert {p.id for p in got} == want
+
+
+@pytest.mark.parametrize("kind", ["ivf", "ivf_int8", "ivf_int4", "ivf_proj"])
+def test_compact_tier_matches_streaming_scan(kind):
+    """The compact tier (gather allowed rows, scan those) and the streaming
+    exhaustive scan are the same exactness contract at different cost
+    models — they must return the same hits. Forcing
+    ``compact_max_bytes = 0`` re-routes to the streaming engine; the
+    default routes this small allowed set through compaction."""
+    rng = np.random.default_rng(41)
+    ids, vectors, query, allowed_rows = _adversarial_corpus(
+        rng, dim=256 if kind == "ivf_proj" else 32)
+    allowed_ids = {f"r{i}" for i in allowed_rows}
+    k = 5
+
+    idx = _build(kind, vectors.shape[1], len(ids))
+    idx.add_batch(ids, vectors)
+    with idx.locked():
+        mask = idx.compile_mask(allowed_ids)
+        compact = idx.search_batch(query[None, :], k, mask=mask,
+                                   exhaustive=True)[0]
+        idx.compact_max_bytes = 0
+        streaming = idx.search_batch(query[None, :], k, mask=mask,
+                                     exhaustive=True)[0]
+    got_c = [h[0] for h in compact]
+    got_s = [h[0] for h in streaming]
+    assert got_c == got_s, (kind, got_c, got_s)
+    assert set(got_c) <= allowed_ids
+    # scores agree bar accumulation order (bf16 jitter: CLAUDE.md —
+    # cross-engine checks compare indices, values only at loose rtol)
+    for (ic, vc), (is_, vs) in zip(compact, streaming):
+        assert ic == is_
+        assert vc == pytest.approx(vs, rel=3e-3, abs=3e-3)
+
+
+@pytest.mark.parametrize("fmt", ["bf16", "int8", "int4"])
+def test_compact_chunked_merge_matches_single_shot(fmt):
+    """The compact scan's multi-chunk lax.scan merge (chunk_rows < R) must
+    equal the single-chunk path — same values, same slots."""
+    import jax.numpy as jnp
+
+    from grape_vector_db_tpu.ops.ivf_scan import ivf_compact_masked_topk
+
+    rng = np.random.default_rng(7)
+    l, c, d, b, k = 8, 64, 32, 4, 6
+    if fmt == "bf16":
+        data = jnp.asarray(rng.standard_normal((l, c, d)), jnp.bfloat16)
+    elif fmt == "int8":
+        data = jnp.asarray(rng.integers(-127, 128, (l, c, d)), jnp.int8)
+    else:
+        data = jnp.asarray(rng.integers(-128, 128, (l, c, d // 2)), jnp.int8)
+    w = rng.uniform(0.5, 1.5, (l, c)).astype(np.float32)
+    w[rng.random((l, c)) < 0.2] = 0.0  # some invalid cells
+    plane = jnp.asarray(np.broadcast_to(w[:, None, :], (l, 8, c)).copy())
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+
+    r = 256
+    cells_np = np.full(r, -1, np.int32)
+    picked = rng.choice(l * c, 200, replace=False).astype(np.int32)
+    cells_np[:200] = picked
+    cells = jnp.asarray(cells_np)
+
+    v1, s1 = ivf_compact_masked_topk(q, data, plane, cells, k=k,
+                                     metric="cosine", fmt=fmt,
+                                     chunk_rows=256)
+    v2, s2 = ivf_compact_masked_topk(q, data, plane, cells, k=k,
+                                     metric="cosine", fmt=fmt,
+                                     chunk_rows=64)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=3e-3, atol=3e-3)
+    # every returned slot is an allowed cell with nonzero weight, or -inf pad
+    wf = w.reshape(-1)
+    for row_v, row_s in zip(np.asarray(v1), np.asarray(s1)):
+        for vv, ss in zip(row_v, row_s):
+            if np.isfinite(vv):
+                assert ss in picked and wf[ss] > 0.0

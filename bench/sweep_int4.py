@@ -619,6 +619,54 @@ def main() -> None:
                 row["exhaustive_qps"] = round(B / ms_e * 1e3, 0)
                 row["exhaustive_recall"] = round(
                     recall_at_k(np.asarray(se), oracle_m), 4)
+
+            # compact tier: gather only the allowed rows (source dtype),
+            # exact-scan those — cost ~ selectivity, not corpus size
+            # (ops/ivf_scan.py ivf_compact_masked_topk; same HBM budget
+            # the index routing uses)
+            from grape_vector_db_tpu.ops.ivf_scan import (
+                ivf_compact_masked_topk)
+            from grape_vector_db_tpu.utils.buckets import next_bucket
+
+            m_np = np.asarray(mask)
+            r_allowed = int(m_np.sum())
+            rp = next_bucket(max(r_allowed, 1), base=2048)
+            row_bytes = DIM // 2
+            if rp * row_bytes <= (1 << 30):
+                cells_np = np.full(rp, -1, np.int32)
+                cells_np[:r_allowed] = np.flatnonzero(
+                    m_np.reshape(-1)).astype(np.int32)
+                cells_d = jnp.asarray(cells_np)
+                cr = min(131_072, rp)
+
+                def step_c(q, codes4, factor4, cells):
+                    # roll by a query-derived (loop-varying, value-zero in
+                    # expectation-free way) shift so the row gather cannot
+                    # hoist out of the timing loop: in production every
+                    # dispatch re-gathers (TIMING TRAP note, CLAUDE.md)
+                    shift = jnp.abs(q[0, 0] * 1e4).astype(jnp.int32) % rp
+                    return ivf_compact_masked_topk(
+                        q, codes4, factor4, jnp.roll(cells, shift),
+                        k=K, metric="cosine", fmt="int4", chunk_rows=cr)
+
+                def step_c_fixed(q, codes4, factor4, cells):
+                    return ivf_compact_masked_topk(
+                        q, codes4, factor4, cells,
+                        k=K, metric="cosine", fmt="int4", chunk_rows=cr)
+
+                ms_c = timed_fori(step_c, q0, codes4, factor4, cells_d,
+                                  iters=32)
+                # hoisted variant: the gather lifts out of the loop, so the
+                # delta vs ms_c decomposes gather vs scan
+                ms_cs = timed_fori(step_c_fixed, q0, codes4, factor4,
+                                   cells_d, iters=32)
+                _, sc_ = jax.jit(step_c_fixed)(q0, codes4, factor4, cells_d)
+                row["compact_rows"] = rp
+                row["compact_ms"] = round(ms_c, 3)
+                row["compact_qps"] = round(B / ms_c * 1e3, 0)
+                row["compact_scan_only_ms"] = round(ms_cs, 3)
+                row["compact_recall"] = round(
+                    recall_at_k(np.asarray(sc_), oracle_m), 4)
             log("int4_16M_selectivity_curve", **row)
         del lay, cents, inr, ival, codes4, scales4, factor4
 

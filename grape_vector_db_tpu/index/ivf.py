@@ -514,14 +514,22 @@ class IvfDeviceIndex(VectorIndex):
         data, plane, fmt = self._scan_planes()
         m = np.asarray(mask[0])
         r = int(m.sum())
-        row_bytes = int(np.prod(data.shape[2:])) * data.dtype.itemsize
+        cdata, cplane, cfmt = data, plane, fmt
+        if fmt != "bf16" and self.vecs is not None:
+            # quantized kind keeping a bf16 shadow: the compact tier can
+            # afford to gather full-precision rows (R is bounded by the
+            # HBM budget), so its scores are exact, not quantized
+            cdata, cplane, cfmt = (self.vecs,
+                                   _weight_plane(self.norms, self.valid,
+                                                 self.metric), "bf16")
+        row_bytes = int(np.prod(cdata.shape[2:])) * cdata.dtype.itemsize
         rp = next_bucket(max(r, 1), base=2048)
         if r > 0 and rp * row_bytes <= self.compact_max_bytes:
             cells = np.full(rp, -1, dtype=np.int32)
             cells[:r] = np.flatnonzero(m.reshape(-1)).astype(np.int32)
             return ivf_compact_masked_topk(
-                jnp.asarray(qp), data, plane, jnp.asarray(cells),
-                k=k, metric=self.metric, fmt=fmt,
+                jnp.asarray(qp), cdata, cplane, jnp.asarray(cells),
+                k=k, metric=self.metric, fmt=cfmt,
                 chunk_rows=min(131_072, rp))
         return ivf_exhaustive_masked_topk(
             jnp.asarray(qp), data, plane, jnp.asarray(mask[0]),

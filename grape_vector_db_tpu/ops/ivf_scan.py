@@ -48,7 +48,7 @@ from grape_vector_db_tpu.ops.ivf_pallas import (
     ivf_probe_scores_int8)
 
 __all__ = ["ivf_exhaustive_masked_topk", "ivf_compact_masked_topk",
-           "default_chunk_lists", "probe_dup_mask"]
+           "compact_scan_core", "default_chunk_lists", "probe_dup_mask"]
 
 
 def probe_dup_mask(probe: jax.Array) -> jax.Array:
@@ -206,16 +206,40 @@ def ivf_compact_masked_topk(
     selectivity-proportional cost).
     """
     b = queries.shape[0]
-    l, _, c = plane.shape
-    r = cells.shape[0]
+    if plane.ndim == 3:                                   # [L, 8, C] -> [L, C]
+        plane = plane[:, 0, :]
+    l, c = plane.shape
     qp = prepare_queries(queries, metric)
     qb = qp.astype(jnp.bfloat16)
 
     flat = data.reshape((l * c,) + tuple(data.shape[2:]))
     safe = jnp.maximum(cells, 0)
     rows = flat[safe]                                     # [R, D or D/2]
-    w = jnp.where(cells >= 0, plane[:, 0, :].reshape(-1)[safe], 0.0)  # [R]
+    w = jnp.where(cells >= 0, plane.reshape(-1)[safe], 0.0)           # [R]
 
+    vals, idx = compact_scan_core(qb, rows, w, k=k, fmt=fmt,
+                                  chunk_rows=chunk_rows)
+    kk = vals.shape[1]
+    slots = jnp.take(cells, idx)                          # [B, kk] (-1 on pad)
+    if metric == "cosine":
+        vals = jnp.minimum(vals, 1.0)
+    vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
+    return vals, slots
+
+
+def compact_scan_core(qb: jax.Array, rows: jax.Array, w: jax.Array,
+                      k: int, fmt: str,
+                      chunk_rows: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a compacted row block: chunked MXU einsum + exact
+    selection with a running top-k merge (shared by the single-chip and
+    SPMD compact tiers — trace-level, callers jit). Returns
+    (vals [B, kk] f32, idx [B, kk] int32 row indices into ``rows``),
+    kk = min(k, chunk)."""
+    b = qb.shape[0]
+    r = rows.shape[0]
     cr = min(chunk_rows, r)
     nch = max(r // cr, 1)
     kk = min(k, cr)
@@ -229,29 +253,21 @@ def ivf_compact_masked_topk(
         return v, i.astype(jnp.int32) + off
 
     if nch == 1:
-        vals, idx = chunk_topk(rows, w, jnp.int32(0))
-    else:
-        r3 = rows.reshape((nch, cr) + tuple(rows.shape[1:]))
-        w3 = w.reshape(nch, cr)
-        offs = jnp.arange(nch, dtype=jnp.int32) * cr
+        return chunk_topk(rows, w, jnp.int32(0))
 
-        def body(carry, xs):
-            cv, ci = carry
-            v, i = chunk_topk(*xs)
-            mv = jnp.concatenate([cv, v], axis=1)         # [B, 2k]
-            mi = jnp.concatenate([ci, i], axis=1)
-            sv, si = _select_topk(mv, kk, "exact", 0.99)
-            return (sv, jnp.take_along_axis(mi, si, axis=1)), None
+    r3 = rows.reshape((nch, cr) + tuple(rows.shape[1:]))
+    w3 = w.reshape(nch, cr)
+    offs = jnp.arange(nch, dtype=jnp.int32) * cr
 
-        init = (jnp.full((b, kk), -jnp.inf, jnp.float32),
-                jnp.zeros((b, kk), jnp.int32))
-        (vals, idx), _ = lax.scan(body, init, (r3, w3, offs))
+    def body(carry, xs):
+        cv, ci = carry
+        v, i = chunk_topk(*xs)
+        mv = jnp.concatenate([cv, v], axis=1)             # [B, 2k]
+        mi = jnp.concatenate([ci, i], axis=1)
+        sv, si = _select_topk(mv, kk, "exact", 0.99)
+        return (sv, jnp.take_along_axis(mi, si, axis=1)), None
 
-    slots = jnp.take(cells, idx)                          # [B, kk] (-1 on pad)
-    if metric == "cosine":
-        vals = jnp.minimum(vals, 1.0)
-    vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        slots = jnp.pad(slots, ((0, 0), (0, k - kk)))
-    return vals, slots
+    init = (jnp.full((b, kk), -jnp.inf, jnp.float32),
+            jnp.zeros((b, kk), jnp.int32))
+    (vals, idx), _ = lax.scan(body, init, (r3, w3, offs))
+    return vals, idx

@@ -41,6 +41,7 @@ from grape_vector_db_tpu.utils.fetch import fetch_scores_slots
 
 __all__ = ["make_mesh", "sharded_scored_topk", "sharded_ivf_topk",
            "sharded_ivf_int8_topk", "sharded_ivf_exhaustive_topk",
+           "sharded_ivf_compact_topk",
            "ShardedInt8IvfIndex", "ShardedInt4IvfIndex", "ShardedFlatIndex",
            "ShardedIvfIndex"]
 
@@ -987,6 +988,115 @@ def sharded_ivf_exhaustive_topk(
     )(*operands)
 
 
+def sharded_ivf_compact_topk(
+    queries: jax.Array,   # [B, D] f32 (replica-split rows on 2D meshes)
+    data: jax.Array,      # [L, C, D] bf16|int8 or [L, C, D/2] int4, axis-1 sharded
+    scales: jax.Array | None,  # [L, C] f32 (quantized kinds), axis-1 sharded
+    norms: jax.Array,     # [L, C] f32, axis-1 sharded
+    cells: jax.Array,     # [S, R] int32 LOCAL flat ids l*(C/S)+pos; -1 pad
+    k: int,
+    metric: str,
+    mesh: Mesh,
+    shard_axis: str = "shard",
+    replica_axis: str | None = None,
+    codes_kind: str = "bf16",
+    chunk_rows: int = 131_072,
+) -> Tuple[jax.Array, jax.Array]:
+    """SPMD compact gather-scan — the sharded twin of
+    ops/ivf_scan.py::ivf_compact_masked_topk.
+
+    The streaming SPMD scan reads every device's whole local slice per
+    batch; this tier instead gathers each device's ALLOWED rows once (the
+    filter mask is query-independent) and exact-scans just those, so the
+    cost is proportional to selectivity. Embarrassingly SPMD: no
+    cross-device work at all until the single all_gather merge of local
+    top-k — the same collective the probe path uses. The host builds
+    ``cells`` per shard from the (list, pos)-addressed filter mask, padded
+    to a shared power-of-two bucket so every device runs the same program.
+
+    Reference parity: filtering.rs:374-400 (always-exact filtered search),
+    at selectivity-proportional cost across the mesh.
+    """
+    n_shards = mesh.shape[shard_axis]
+    c_global = data.shape[1]
+    c_local = c_global // n_shards
+    l = data.shape[0]
+
+    def dequant(dd):
+        if codes_kind == "int4":
+            from grape_vector_db_tpu.ops.int4 import unpack_int4
+
+            return unpack_int4(dd).astype(jnp.bfloat16)
+        return dd.astype(jnp.bfloat16)
+
+    def spmd(q, dd_all, sc_all, nrm_all, cl):
+        from grape_vector_db_tpu.ops.ivf_scan import compact_scan_core
+
+        qp = prepare_queries(q, metric)
+        qb = qp.astype(jnp.bfloat16)
+        cl = cl.reshape(-1)                                 # [R] local ids
+        safe = jnp.maximum(cl, 0)
+        flat = dd_all.reshape((l * c_local,) + tuple(dd_all.shape[2:]))
+        rows = flat[safe]                                   # [R, ...]
+        nrm = nrm_all.reshape(-1)[safe]
+        ok = cl >= 0
+        if codes_kind == "bf16":
+            w = (1.0 / jnp.maximum(nrm, 1e-12) if metric == "cosine"
+                 else jnp.ones_like(nrm))
+        else:
+            sc_ = sc_all.reshape(-1)[safe]
+            w = (sc_ / jnp.maximum(nrm, 1e-12) if metric == "cosine"
+                 else sc_)
+        w = jnp.where(ok, w, 0.0)
+
+        # identical rows=0-weight scoring core as the single-chip tier;
+        # dequant here matches the streaming twin's arithmetic
+        if codes_kind == "int4":
+            fmt = "int4"
+        elif codes_kind == "int8":
+            fmt = "int8"
+        else:
+            fmt = "bf16"
+        vals, idx = compact_scan_core(qb, rows, w, k=k, fmt=fmt,
+                                      chunk_rows=chunk_rows)
+        kk = vals.shape[1]
+        cellv = jnp.take(cl, idx)                           # local flat id
+        shard_id = lax.axis_index(shard_axis)
+        ll = jnp.maximum(cellv, 0) // c_local
+        pos = jnp.maximum(cellv, 0) % c_local
+        slots = ll * c_global + shard_id * c_local + pos
+        if metric == "cosine":
+            vals = jnp.minimum(vals, 1.0)
+        vals = jnp.where(jnp.isfinite(vals) & (cellv >= 0), vals, -jnp.inf)
+
+        all_vals = lax.all_gather(vals, shard_axis, axis=1, tiled=True)
+        all_slots = lax.all_gather(slots, shard_axis, axis=1, tiled=True)
+        fvals, fslots = take_topk(all_vals, all_slots,
+                                  min(k, all_vals.shape[1]))
+        if fvals.shape[1] < k:
+            pad = k - fvals.shape[1]
+            fvals = jnp.pad(fvals, ((0, 0), (0, pad)),
+                            constant_values=-jnp.inf)
+            fslots = jnp.pad(fslots, ((0, 0), (0, pad)))
+        return fvals, fslots
+
+    cell = P(None, shard_axis, None)
+    cellv = P(None, shard_axis)
+    qspec = P(replica_axis, None) if replica_axis else P()
+    operands = [queries, data,
+                scales if scales is not None
+                else jnp.zeros((l, c_global), jnp.float32),
+                norms, cells]
+    specs = [qspec, cell, cellv, cellv, P(shard_axis, None)]
+    return jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(qspec, qspec),
+        check_vma=False,
+    )(*operands)
+
+
 class ShardedIvfIndex(IvfDeviceIndex):
     """Mesh-sharded IVF: the engine that carries the sublinear multi-chip
     story (VERDICT r1 item 6). Same VectorIndex/IvfDeviceIndex contract and
@@ -1124,15 +1234,51 @@ class ShardedIvfIndex(IvfDeviceIndex):
 
     def _exhaustive_topk(self, qp: np.ndarray, k: int, mask):
         """Exact masked top-k over EVERY list across the mesh — overrides
-        the single-chip streaming scan with its SPMD twin (each device owns
-        1/S of every list; one pmax + one all_gather)."""
+        the single-chip engines with their SPMD twins. Routed like the
+        single-chip tier: compact gather-scan of just the allowed rows when
+        each device's share fits the HBM budget (cost ~ selectivity), else
+        the streaming scan (each device reads its whole local slice; one
+        pmax + one all_gather)."""
         from grape_vector_db_tpu.ops.ivf_scan import default_chunk_lists
+        from grape_vector_db_tpu.utils.buckets import next_bucket
 
         data, scales, fmt, vecs, rescore = self._sharded_scan_operands(k)
+
+        # -- compact tier: per-shard allowed cells from the host mask
+        m = np.asarray(mask[0])
+        s, cg = self.n_shards, self.list_cap
+        cl_ = cg // s
+        m3 = m.reshape(m.shape[0], s, cl_)                # [L, S, C/S]
+        counts = m3.sum(axis=(0, 2))
+        r_max = int(counts.max())
+        cdata, cscales, ckind = data, scales, fmt
+        if vecs is not None:
+            # quantized kind keeping a bf16 shadow: compact gathers full
+            # precision (R is budget-bounded), scores exact (see
+            # index/ivf.py _exhaustive_topk)
+            cdata, cscales, ckind = vecs, None, "bf16"
+        row_bytes = (int(np.prod(cdata.shape[2:]))
+                     * cdata.dtype.itemsize)
+        rp = next_bucket(max(r_max, 1), base=2048)
+        q_dev = self._place_queries(qp)
+        if r_max > 0 and rp * row_bytes <= self.compact_max_bytes:
+            cells = np.full((s, rp), -1, dtype=np.int32)
+            for si in range(s):
+                loc = np.flatnonzero(m3[:, si, :].reshape(-1))
+                cells[si, :loc.size] = loc.astype(np.int32)
+            cells_d = jax.device_put(
+                jnp.asarray(cells),
+                NamedSharding(self.mesh, P(self.shard_axis, None)))
+            return sharded_ivf_compact_topk(
+                q_dev, cdata, cscales, self.norms, cells_d,
+                k=k, metric=self.metric, mesh=self.mesh,
+                shard_axis=self.shard_axis,
+                replica_axis=self.replica_axis, codes_kind=ckind,
+                chunk_rows=min(131_072, rp))
+
         allowed = jnp.logical_and(
             self.valid,
             jax.device_put(jnp.asarray(mask[0]), self._cellv_sharding))
-        q_dev = self._place_queries(qp)
         return sharded_ivf_exhaustive_topk(
             q_dev, data, scales, self.norms, allowed, vecs,
             k=k, metric=self.metric, mesh=self.mesh,

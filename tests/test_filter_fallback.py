@@ -309,11 +309,15 @@ def test_compact_tier_matches_streaming_scan(kind):
     got_s = [h[0] for h in streaming]
     assert got_c == got_s, (kind, got_c, got_s)
     assert set(got_c) <= allowed_ids
-    # scores agree bar accumulation order (bf16 jitter: CLAUDE.md —
-    # cross-engine checks compare indices, values only at loose rtol)
+    # Scores: the compact tier prefers the bf16 shadow when a quantized
+    # kind keeps one, so its values are EXACT while the streaming scan's
+    # carry quantization noise — compare at the format's noise floor
+    # (indices above are the strict check; CLAUDE.md bf16-jitter rule).
+    tol = {"ivf": 3e-3, "ivf_int8": 2e-2, "ivf_int4": 5e-2,
+           "ivf_proj": 5e-2}[kind]
     for (ic, vc), (is_, vs) in zip(compact, streaming):
         assert ic == is_
-        assert vc == pytest.approx(vs, rel=3e-3, abs=3e-3)
+        assert vc == pytest.approx(vs, rel=tol, abs=tol)
 
 
 @pytest.mark.parametrize("fmt", ["bf16", "int8", "int4"])
@@ -358,3 +362,38 @@ def test_compact_chunked_merge_matches_single_shot(fmt):
         for vv, ss in zip(row_v, row_s):
             if np.isfinite(vv):
                 assert ss in picked and wf[ss] > 0.0
+
+
+@pytest.mark.parametrize("kind", ["sharded_ivf", "sharded_ivf_int8",
+                                  "sharded_ivf_int4"])
+def test_sharded_compact_tier_matches_streaming(kind):
+    """The SPMD compact gather-scan (each device gathers its local allowed
+    rows, one all_gather merge) must return the same hits as the SPMD
+    streaming scan, over the 8-device virtual mesh."""
+    from grape_vector_db_tpu.parallel import (ShardedInt4IvfIndex,
+        ShardedInt8IvfIndex, ShardedIvfIndex, make_mesh)
+
+    cls = {"sharded_ivf": ShardedIvfIndex,
+           "sharded_ivf_int8": ShardedInt8IvfIndex,
+           "sharded_ivf_int4": ShardedInt4IvfIndex}[kind]
+    rng = np.random.default_rng(53)
+    ids, vectors, query, allowed_rows = _adversarial_corpus(rng)
+    allowed_ids = {f"r{i}" for i in allowed_rows}
+    k = 5
+
+    idx = cls(vectors.shape[1], mesh=make_mesh(), nlist=8, nprobe=1,
+              initial_capacity=4096)
+    idx.add_batch(ids, vectors)
+    assert len(idx._overflow) == 0
+    with idx.locked():
+        mask = idx.compile_mask(allowed_ids)
+        compact = idx.search_batch(query[None, :], k, mask=mask,
+                                   exhaustive=True)[0]
+        idx.compact_max_bytes = 0
+        streaming = idx.search_batch(query[None, :], k, mask=mask,
+                                     exhaustive=True)[0]
+    want = _oracle_ids(vectors, allowed_rows, query, k)
+    got_c = [h[0] for h in compact]
+    got_s = [h[0] for h in streaming]
+    assert got_c == want, (kind, got_c, want)
+    assert got_c == got_s, (kind, got_c, got_s)

@@ -260,8 +260,10 @@ class QueryEngine:
                 # oracle at 1% selectivity on the 16.78M int4 tier), so low
                 # selectivity routes to an exact tier instead:
                 #   |allowed| <= filter_exact_max     -> host full-precision
-                #   |allowed| <  exhaustive_below * N -> exhaustive masked
-                #     scan (one corpus pass + k-list probe, ops/ivf_scan.py)
+                #   |allowed| <  exhaustive_below * N -> exact device tier
+                #     (ops/ivf_scan.py: compact gather-scan of just the
+                #     allowed rows under the HBM budget, else one streaming
+                #     corpus pass + k-list probe)
                 # The (list, pos)-addressed mask must not race a concurrent
                 # optimize() repack between compile and search.
                 hits = None

@@ -225,6 +225,10 @@ class IvfDeviceIndex(VectorIndex):
         self._nblocks_cache = None  # device [L] int32; rebuilt when _next_pos moves
         self._free: List[List[int]] = [[] for _ in range(nlist)]
         self._cell_to_id: Dict[int, str] = {}
+        # Compact filter tier: write-epoch-keyed one-entry cache of the
+        # gathered allowed-row block (see _exhaustive_topk).
+        self._mutation_epoch = 0
+        self._compact_cache = None
 
     def _alloc(self, cap: int) -> None:
         l, d = self.nlist, self._dim
@@ -343,6 +347,7 @@ class IvfDeviceIndex(VectorIndex):
             self._id_to_cell[id_] = (lst, pos)
             self._cell_to_id[lst * self.list_cap + pos] = id_
         self._nblocks_cache = None  # _next_pos may have advanced
+        self._mutation_epoch += 1
         keep = list_ids >= 0
         if keep.any():
             kv = vectors[keep]
@@ -401,6 +406,7 @@ class IvfDeviceIndex(VectorIndex):
 
     def _invalidate_cells(self, lists_p, pos_p) -> None:
         """Device invalidation of removed cells (subclass seam)."""
+        self._mutation_epoch += 1
         self.valid = _ivf_invalidate(self.valid, lists_p, pos_p)
         if self.recip is not None:
             self.recip = _recip_invalidate(self.recip, lists_p, pos_p)
@@ -414,6 +420,8 @@ class IvfDeviceIndex(VectorIndex):
             self._cell_to_id.clear()
             self._next_pos = np.zeros(self.nlist, dtype=np.int64)
             self._nblocks_cache = None
+            self._mutation_epoch += 1
+            self._compact_cache = None
             self._free = [[] for _ in range(self.nlist)]
 
     # -- search -------------------------------------------------------------------
@@ -508,8 +516,7 @@ class IvfDeviceIndex(VectorIndex):
         The planner's low-selectivity fallback — nprobe does not bound
         recall on either engine."""
         from grape_vector_db_tpu.ops.ivf_scan import (
-            default_chunk_lists, ivf_compact_masked_topk,
-            ivf_exhaustive_masked_topk)
+            default_chunk_lists, ivf_exhaustive_masked_topk)
 
         data, plane, fmt = self._scan_planes()
         m = np.asarray(mask[0])
@@ -525,10 +532,29 @@ class IvfDeviceIndex(VectorIndex):
         row_bytes = int(np.prod(cdata.shape[2:])) * cdata.dtype.itemsize
         rp = next_bucket(max(r, 1), base=2048)
         if r > 0 and rp * row_bytes <= self.compact_max_bytes:
+            from grape_vector_db_tpu.ops.ivf_scan import (
+                compact_gather, compact_topk_from_rows)
+
             cells = np.full(rp, -1, dtype=np.int32)
             cells[:r] = np.flatnonzero(m.reshape(-1)).astype(np.int32)
-            return ivf_compact_masked_topk(
-                jnp.asarray(qp), cdata, cplane, jnp.asarray(cells),
+            # One-entry gathered-block cache: production filters repeat
+            # (tenant scoping), and the gather is ~75% of the tier's cost
+            # (~38 ns/row) — a repeat filter pays scan-only (~4x). Keyed
+            # on the mutation epoch so any write/delete/optimize/clear
+            # invalidates; the old block is dropped BEFORE the new gather
+            # so at most one budget-sized copy lives in HBM.
+            key = (self._mutation_epoch, cfmt, rp,
+                   hash(cells.tobytes()))
+            cached = self._compact_cache
+            if cached is not None and cached[0] == key:
+                _, cells_d, rows, w = cached
+            else:
+                self._compact_cache = None
+                cells_d = jnp.asarray(cells)
+                rows, w = compact_gather(cdata, cplane, cells_d)
+                self._compact_cache = (key, cells_d, rows, w)
+            return compact_topk_from_rows(
+                jnp.asarray(qp), rows, w, cells_d,
                 k=k, metric=self.metric, fmt=cfmt,
                 chunk_rows=min(131_072, rp))
         return ivf_exhaustive_masked_topk(

@@ -48,7 +48,8 @@ from grape_vector_db_tpu.ops.ivf_pallas import (
     ivf_probe_scores_int8)
 
 __all__ = ["ivf_exhaustive_masked_topk", "ivf_compact_masked_topk",
-           "compact_scan_core", "default_chunk_lists", "probe_dup_mask"]
+           "compact_gather", "compact_topk_from_rows", "compact_scan_core",
+           "default_chunk_lists", "probe_dup_mask"]
 
 
 def probe_dup_mask(probe: jax.Array) -> jax.Array:
@@ -205,18 +206,47 @@ def ivf_compact_masked_topk(
     always-exact post-intersected full scan; this is the same contract at
     selectivity-proportional cost).
     """
-    b = queries.shape[0]
+    rows, w = compact_gather(data, plane, cells)
+    return compact_topk_from_rows(queries, rows, w, cells, k=k,
+                                  metric=metric, fmt=fmt,
+                                  chunk_rows=chunk_rows)
+
+
+@jax.jit
+def compact_gather(data: jax.Array, plane: jax.Array,
+                   cells: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Gather the allowed rows (source dtype) and their score weights.
+
+    Split out of ``ivf_compact_masked_topk`` so the index can CACHE the
+    gathered block per filter: the gather is ~75% of the compact tier's
+    cost (measured 12.6 ms total vs 3.1 ms scan-only at 16.78M / 1%
+    selectivity — the ~38 ns/row XLA gather wall), and production filters
+    repeat (tenant scoping), so a repeat filtered query pays scan-only."""
     if plane.ndim == 3:                                   # [L, 8, C] -> [L, C]
         plane = plane[:, 0, :]
     l, c = plane.shape
-    qp = prepare_queries(queries, metric)
-    qb = qp.astype(jnp.bfloat16)
-
     flat = data.reshape((l * c,) + tuple(data.shape[2:]))
     safe = jnp.maximum(cells, 0)
     rows = flat[safe]                                     # [R, D or D/2]
     w = jnp.where(cells >= 0, plane.reshape(-1)[safe], 0.0)           # [R]
+    return rows, w
 
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "fmt",
+                                             "chunk_rows"))
+def compact_topk_from_rows(
+    queries: jax.Array,   # [B, D] f32 raw
+    rows: jax.Array,      # [R, ...] gathered allowed rows (compact_gather)
+    w: jax.Array,         # [R] f32 score weights (0 = pad/invalid)
+    cells: jax.Array,     # [R] int32 flat cell ids; -1 = pad
+    k: int,
+    metric: str = "cosine",
+    fmt: str = "bf16",
+    chunk_rows: int = 131_072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scan stage of the compact tier (see ``ivf_compact_masked_topk``)."""
+    qp = prepare_queries(queries, metric)
+    qb = qp.astype(jnp.bfloat16)
     vals, idx = compact_scan_core(qb, rows, w, k=k, fmt=fmt,
                                   chunk_rows=chunk_rows)
     kk = vals.shape[1]

@@ -397,3 +397,39 @@ def test_sharded_compact_tier_matches_streaming(kind):
     got_s = [h[0] for h in streaming]
     assert got_c == want, (kind, got_c, want)
     assert got_c == got_s, (kind, got_c, got_s)
+
+
+def test_compact_cache_repeat_and_invalidation():
+    """The compact tier caches the gathered block per filter (the gather
+    is ~75% of its cost and production filters repeat). A repeat search
+    must serve from cache with identical results; any mutation (here: a
+    delete of an allowed row) must invalidate it — serving stale gathered
+    rows would resurrect deleted documents."""
+    rng = np.random.default_rng(61)
+    ids, vectors, query, allowed_rows = _adversarial_corpus(rng)
+    allowed_ids = {f"r{i}" for i in allowed_rows}
+    k = 5
+
+    idx = _build("ivf", vectors.shape[1], len(ids))
+    idx.add_batch(ids, vectors)
+    with idx.locked():
+        mask = idx.compile_mask(allowed_ids)
+        first = idx.search_batch(query[None, :], k, mask=mask,
+                                 exhaustive=True)[0]
+        assert idx._compact_cache is not None
+        key0 = idx._compact_cache[0]
+        again = idx.search_batch(query[None, :], k, mask=mask,
+                                 exhaustive=True)[0]
+        assert idx._compact_cache[0] == key0  # cache hit, not rebuilt
+    assert [h[0] for h in first] == [h[0] for h in again]
+
+    # delete the top hit; the same filter must no longer return it
+    top_id = first[0][0]
+    idx.remove_batch([top_id])
+    with idx.locked():
+        mask2 = idx.compile_mask(allowed_ids)
+        after = idx.search_batch(query[None, :], k, mask=mask2,
+                                 exhaustive=True)[0]
+    got = [h[0] for h in after]
+    assert top_id not in got
+    assert set(got) <= allowed_ids - {top_id}

@@ -232,11 +232,24 @@ def cross_engine_index_agreement(failures: list) -> None:
             q, vecs, norms, valid, k=k2, metric="cosine")
         engines["top4"] = lambda: pallas_segmax4_topk(
             q, vecs, norms, valid, k=k2, metric="cosine")
-    got = {name: np.asarray(fn()[1]) for name, fn in engines.items()}
+    got = {name: tuple(np.asarray(x) for x in fn())
+           for name, fn in engines.items()}
     base_name = "iterative"
-    base = got[base_name]
-    bad = [name for name, idxs in got.items()
-           if not np.array_equal(idxs, base)]
+    base_v, base_i = got[base_name]
+    # Per-rank index equality is too strict: at 256-d, adjacent ranks sit
+    # within bf16 accumulation jitter and engines legally swap them
+    # (measured on-chip: swaps at dv <= 2e-4, sets identical — the same
+    # ~1.3e-3 jitter as bench/top4_agree_diag.py). Drift detection =
+    # identical per-row SETS, and any per-rank index difference must be a
+    # near-tie (both engines' values within the jitter tolerance).
+    bad = []
+    for name, (vv, ii) in got.items():
+        set_ok = all(set(ii[r]) == set(base_i[r])
+                     for r in range(ii.shape[0]))
+        mism = ii != base_i
+        tie_ok = bool(np.all(np.abs(vv[mism] - base_v[mism]) <= 3e-3))
+        if not (set_ok and tie_ok):
+            bad.append(name)
     line = f"cross-engine index agreement ({', '.join(got)})"
     if bad:
         print(f"FAIL {line}: {bad} disagree with {base_name}", flush=True)
